@@ -1,0 +1,18 @@
+from ca_lanczos_tpu.solvers.lanczos import lanczos, LanczosResult
+from ca_lanczos_tpu.solvers.ca_lanczos import (
+    ca_lanczos,
+    CaLanczosResult,
+    build_basis_matrix,
+    monomial_basis_matrix,
+    newton_shifts_bootstrap,
+)
+
+__all__ = [
+    "lanczos",
+    "LanczosResult",
+    "ca_lanczos",
+    "CaLanczosResult",
+    "build_basis_matrix",
+    "monomial_basis_matrix",
+    "newton_shifts_bootstrap",
+]
