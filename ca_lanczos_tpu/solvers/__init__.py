@@ -6,6 +6,11 @@ from ca_lanczos_tpu.solvers.ca_lanczos import (
     monomial_basis_matrix,
     newton_shifts_bootstrap,
 )
+from ca_lanczos_tpu.solvers.restarted import (
+    restarted_lanczos,
+    restarted_ca_lanczos,
+    RestartedResult,
+)
 
 __all__ = [
     "lanczos",
@@ -15,4 +20,7 @@ __all__ = [
     "build_basis_matrix",
     "monomial_basis_matrix",
     "newton_shifts_bootstrap",
+    "restarted_lanczos",
+    "restarted_ca_lanczos",
+    "RestartedResult",
 ]

@@ -1,0 +1,80 @@
+"""Restarted-driver parity tests (test_restart_diagonal_matrices.m model):
+diagonal matrices with exactly-known spectra; converged eigenvalues must
+match the analytic top of the spectrum within the driver tolerance."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ca_lanczos_tpu.config import Basis, LanczosConfig, Orth
+from ca_lanczos_tpu.solvers.restarted import restarted_ca_lanczos, restarted_lanczos
+from ca_lanczos_tpu.utils.matrices import diag_spectrum, laplacian_2d
+
+
+def _exact_top(n, lo, hi, k):
+    return np.linspace(lo, hi, n)[::-1][:k]
+
+
+class TestRestartedLanczos:
+    @pytest.mark.parametrize("orth", [Orth.LOCAL, Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE])
+    def test_diagonal(self, orth):
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        r = jnp.ones((n,), jnp.float64)
+        res = restarted_lanczos(A, r, max_lanczos=30, n_wanted=6, orth=orth, tol=1e-8)
+        assert res.converged
+        exact = _exact_top(n, 1.0, 100.0, 6)
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-6)
+
+    def test_residuals_returned(self):
+        n = 300
+        A = diag_spectrum(n, 1.0, 50.0)
+        r = jnp.ones((n,), jnp.float64)
+        res = restarted_lanczos(A, r, max_lanczos=24, n_wanted=4, orth=Orth.FULL)
+        assert res.conv_rnorms.shape == (4,)
+        assert res.orth_err.shape == (res.n_restarts,)
+        # Full orth keeps the basis numerically orthonormal.
+        assert np.max(res.orth_err) < 1e-8
+
+
+class TestRestartedCaLanczos:
+    @pytest.mark.parametrize("orth", [Orth.LOCAL, Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE])
+    @pytest.mark.parametrize("basis", [Basis.MONOMIAL, Basis.NEWTON])
+    def test_diagonal(self, orth, basis):
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        r = jnp.ones((n,), jnp.float64)
+        cfg = LanczosConfig(s=4, basis=basis, orth=orth, n_wanted=6, tol=1e-8)
+        res = restarted_ca_lanczos(A, r, max_lanczos=32, config=cfg)
+        assert res.converged, f"did not converge in {res.n_restarts} restarts"
+        exact = _exact_top(n, 1.0, 100.0, 6)
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-6)
+
+    def test_flagship_config(self):
+        """North-star defaults: s=6, newton, local, tol=1e-8
+        (restarted_ca_lanczos.m:13-39)."""
+        n = 500
+        A = diag_spectrum(n, 1.0, 100.0)
+        r = jnp.ones((n,), jnp.float64)
+        cfg = LanczosConfig()  # s=6, newton, local, n_wanted=10
+        res = restarted_ca_lanczos(A, r, max_lanczos=60, config=cfg)
+        assert res.converged
+        exact = _exact_top(n, 1.0, 100.0, 10)
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-6)
+        # Residuals at lock time satisfy the scaled tolerance.
+        assert np.max(res.conv_rnorms) < 1e-8 * 100.0 * 1.01
+
+    def test_laplacian_2d(self):
+        """General (non-diagonal) operator: 2-D Laplacian, eigenvalues
+        known analytically: 4 - 2cos(i pi h) - 2cos(j pi h)."""
+        nx = ny = 20
+        A = laplacian_2d(nx, ny)
+        n = nx * ny
+        iv = np.pi * np.arange(1, nx + 1) / (nx + 1)
+        lam = 2 - 2 * np.cos(iv)
+        exact = np.sort(np.add.outer(lam, lam).ravel())[::-1][:4]
+        r = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+        cfg = LanczosConfig(s=4, basis=Basis.NEWTON, orth=Orth.FULL, n_wanted=4, tol=1e-9)
+        res = restarted_ca_lanczos(A, r, max_lanczos=40, config=cfg)
+        assert res.converged
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-7)
