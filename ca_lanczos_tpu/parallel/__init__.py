@@ -1,0 +1,31 @@
+from ca_lanczos_tpu.parallel.mesh import make_mesh, row_sharding, replicated, ROWS
+from ca_lanczos_tpu.parallel.distributed import DistDia, dist_matrix_powers, dist_spmv
+from ca_lanczos_tpu.parallel.dist_orth import (
+    local_tsqr,
+    local_cholqr,
+    local_gram,
+    local_project,
+    local_norm,
+)
+from ca_lanczos_tpu.parallel.step import dist_first_block, dist_ca_block, newton_coeffs
+from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos, DistCaLanczosResult
+
+__all__ = [
+    "make_mesh",
+    "row_sharding",
+    "replicated",
+    "ROWS",
+    "DistDia",
+    "dist_matrix_powers",
+    "dist_spmv",
+    "local_tsqr",
+    "local_cholqr",
+    "local_gram",
+    "local_project",
+    "local_norm",
+    "dist_first_block",
+    "dist_ca_block",
+    "newton_coeffs",
+    "dist_ca_lanczos",
+    "DistCaLanczosResult",
+]

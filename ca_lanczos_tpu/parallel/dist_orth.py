@@ -1,0 +1,94 @@
+"""Distributed block orthogonalization: TSQR, CholQR, block CGS.
+
+TPU-native replacements for the reference's tall-skinny QR layer
+(tsqr.m:7-12, cholqr.m:3-9, project.m:32-39): the n-dimension is
+row-sharded, all reductions are single XLA collectives:
+
+* ``dist_tsqr`` — local thin QR per shard, ``all_gather`` of the P small
+  R factors, replicated QR of the stacked (P*m, m) matrix, local Q
+  correction.  One collective of P*m*m elements; the classic
+  communication-optimal TSQR tree collapsed to one level (P is small on a
+  pod slice, and XLA's all-gather is already a tree/ring on ICI).
+* ``dist_cholqr`` — Gram matrix via ``psum``, replicated Cholesky, local
+  triangular solve.  2x fewer flops than TSQR, half the stability (used
+  exactly like cholqr.m: an alternative normalizer).
+* ``dist_project`` — block classical Gram-Schmidt with ``psum``-reduced
+  Gram products (the distributed form of project.m:32-39), fixed two
+  passes (BCGS2) so the step stays branch-free under jit; the
+  data-dependent single/double-pass choice of the host path
+  (projectAndNormalize.m:43-57) is deliberately replaced by the
+  always-double-pass variant, which is what a fixed-shape TPU step wants
+  and is at least as accurate.
+
+All functions run INSIDE ``shard_map`` (they operate on local shards and
+use ``psum``/``all_gather`` over the ``'rows'`` axis); compose them into a
+jitted step with ``jax.shard_map`` — see ``parallel.step``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ca_lanczos_tpu.parallel.mesh import ROWS
+
+
+def local_tsqr(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """TSQR across the rows axis: X_local (n_local, m) -> (Q_local, R).
+
+    R is replicated and has a non-negative diagonal (sign-fix parity with
+    tsqr.m:9-11).  Call inside shard_map.
+    """
+    m = X_local.shape[1]
+    Q1, R1 = jnp.linalg.qr(X_local, mode="reduced")  # (n_local, m), (m, m)
+    # Gather the P local R factors by slot-placement + psum (equivalent to
+    # all_gather but statically replicated, so the result feeds replicated
+    # small math without VMA casts).
+    P_ = lax.axis_size(ROWS)
+    idx = lax.axis_index(ROWS)
+    stacked = jnp.zeros((P_ * m, m), R1.dtype)
+    stacked = lax.dynamic_update_slice_in_dim(stacked, R1, idx * m, axis=0)
+    stacked = lax.psum(stacked, ROWS)
+    Q2, R = jnp.linalg.qr(stacked, mode="reduced")
+    # Sign fix: diag(R) >= 0.
+    sgn = jnp.where(jnp.diag(R) < 0, -1.0, 1.0).astype(R.dtype)
+    R = sgn[:, None] * R
+    Q2 = Q2 * sgn[None, :]
+    idx = lax.axis_index(ROWS)
+    Q2_mine = lax.dynamic_slice_in_dim(Q2, idx * m, m, axis=0)
+    return Q1 @ Q2_mine, R
+
+
+def local_cholqr(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """CholQR across the rows axis (cholqr.m:3-9): G = psum(X^T X),
+    R = chol(G), Q = X R^{-1}.  Call inside shard_map."""
+    G = lax.psum(X_local.T @ X_local, ROWS)
+    R = jnp.linalg.cholesky(G, upper=True)
+    Q = lax.linalg.triangular_solve(R, X_local, left_side=False, lower=False)
+    return Q, R
+
+
+def local_gram(Q_local: jax.Array, X_local: jax.Array) -> jax.Array:
+    """Replicated Gram product R = Q^H X via psum.  Call inside shard_map."""
+    return lax.psum(Q_local.conj().T @ X_local, ROWS)
+
+
+def local_project(Q_local: jax.Array, X_local: jax.Array, passes: int = 2):
+    """Block CGS of X against orthonormal Q with ``passes`` fixed passes
+    (distributed project.m:32-39 with the BCGS2 second pass made
+    unconditional).  Returns (Y_local, R accumulated)."""
+    R = jnp.zeros((Q_local.shape[1], X_local.shape[1]), X_local.dtype)
+    Y = X_local
+    for _ in range(passes):
+        Rp = local_gram(Q_local, Y)
+        Y = Y - Q_local @ Rp
+        R = R + Rp
+    return Y, R
+
+
+def local_norm(x_local: jax.Array) -> jax.Array:
+    """Global 2-norm of a row-sharded vector/multivector (per column)."""
+    return jnp.sqrt(lax.psum(jnp.sum(jnp.abs(x_local) ** 2, axis=0), ROWS))

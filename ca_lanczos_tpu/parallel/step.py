@@ -1,0 +1,94 @@
+"""The jitted distributed CA-Lanczos block step.
+
+One call = one outer CA iteration's device work, compiled to a single XLA
+program over the ``('rows',)`` mesh:
+
+    halo exchange (ppermute)  ->  s local SpMVs        [matrix powers]
+    psum Gram + 2x block CGS  ->  TSQR (all_gather)    [block orth]
+
+Everything the reference does per block in MATLAB dense algebra
+(ca_lanczos.m:174-198) runs here as one fused step; the O(s^2) T-assembly
+from the returned R factors stays on host (solvers._block).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec
+
+from ca_lanczos_tpu.parallel.dist_orth import local_project, local_tsqr
+from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
+from ca_lanczos_tpu.parallel.mesh import ROWS
+
+
+def newton_coeffs(Bk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Three-term recurrence coefficients (diag, sup) from a change-of-basis
+    matrix Bk ((s+1) x s, unit subdiagonal): V[:,k+1] = (A - diag[k]) V[:,k]
+    - sup[k] V[:,k-1].  Monomial Bk gives zeros (ca_lanczos.m:63-65)."""
+    Bk = np.asarray(Bk, dtype=np.float64)
+    s = Bk.shape[1]
+    diag = np.diagonal(Bk)[:s].copy()
+    sup = np.zeros(s)
+    if s > 1:
+        sup[1:] = np.diagonal(Bk, 1)[: s - 1]
+    return diag, sup
+
+
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def dist_first_block(
+    A: DistDia, q: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh
+):
+    """First CA block: V = powers(q); [Q, R] = TSQR(V)
+    (ca_lanczos.m:176-182).  Returns (Q (n, s+1) sharded, R (s+1, s+1))."""
+
+    def body(data_block, x_local, dg, sb):
+        V = _powers_local(
+            data_block[0], x_local, dg, sb,
+            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
+        )
+        Q, R = local_tsqr(V)
+        return Q, R
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        out_specs=(PartitionSpec(ROWS), PartitionSpec()),
+    )(A.data, q, diag, sub)
+
+
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def dist_ca_block(
+    A: DistDia, Q_prev: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh
+):
+    """One CA block step k>1 (ca_lanczos.m:185-214 device portion).
+
+    Q_prev: previous block's s+1 orthonormal columns (row-sharded); its
+    last column seeds the next matrix-powers block (ca_lanczos.m:170-174).
+    Returns (Q_new (n, s) sharded, Rkk (s+1, s), R (s, s)) with Rkk the
+    CGS coefficients against Q_prev and R the TSQR factor — exactly the
+    inputs of the Tk recurrence (solvers._block.block_T).
+    """
+
+    def body(data_block, Qp_local, dg, sb):
+        q_local = Qp_local[:, -1]
+        V = _powers_local(
+            data_block[0], q_local, dg, sb,
+            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
+        )
+        X = V[:, 1:]
+        Y, Rkk = local_project(Qp_local, X, passes=2)
+        Q_new, R = local_tsqr(Y)
+        return Q_new, Rkk, R
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+    )(A.data, Q_prev, diag, sub)

@@ -1,0 +1,161 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest.py):
+distributed kernels must match the single-chip path to roundoff, and the
+distributed CA-Lanczos driver must match single-chip Ritz values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ca_lanczos_tpu.config import Basis, Orth
+from ca_lanczos_tpu.ops.matrix_powers import matrix_powers
+from ca_lanczos_tpu.ops.qr import tsqr
+from ca_lanczos_tpu.parallel import (
+    DistDia,
+    dist_ca_lanczos,
+    dist_matrix_powers,
+    dist_spmv,
+    local_cholqr,
+    local_tsqr,
+    make_mesh,
+)
+from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, ca_lanczos
+from ca_lanczos_tpu.parallel.step import newton_coeffs
+from ca_lanczos_tpu.utils.matrices import diag_spectrum, laplacian_1d, laplacian_2d
+from jax.sharding import PartitionSpec
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+class TestDistSpmv:
+    def test_matches_local(self, mesh):
+        n = 128
+        A = laplacian_1d(n)
+        Adist = DistDia.from_dia(A, mesh, s_max=4)
+        x = np.random.default_rng(0).standard_normal(n)
+        xs = Adist.shard_vector(x, mesh)
+        y = np.asarray(dist_spmv(Adist, xs, mesh))[:n]
+        y_ref = np.asarray(A.matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(y, y_ref, atol=1e-13)
+
+    def test_uneven_rows_padded(self, mesh):
+        n = 123  # not divisible by 8
+        A = laplacian_1d(n)
+        Adist = DistDia.from_dia(A, mesh, s_max=2)
+        x = np.random.default_rng(1).standard_normal(n)
+        xs = Adist.shard_vector(x, mesh)
+        y = np.asarray(dist_spmv(Adist, xs, mesh))[:n]
+        np.testing.assert_allclose(y, np.asarray(A.matvec(jnp.asarray(x))), atol=1e-13)
+
+
+class TestDistMatrixPowers:
+    @pytest.mark.parametrize("s", [1, 2, 4, 8])
+    def test_monomial(self, mesh, s):
+        n = 256
+        A = laplacian_1d(n)
+        Adist = DistDia.from_dia(A, mesh, s_max=s)
+        x = np.random.default_rng(2).standard_normal(n)
+        xs = Adist.shard_vector(x, mesh)
+        z = jnp.zeros(s)
+        V = np.asarray(dist_matrix_powers(Adist, xs, s, z, z, mesh))[:n]
+        V_ref = np.asarray(matrix_powers(A, jnp.asarray(x), s, None, Basis.MONOMIAL))
+        np.testing.assert_allclose(V, V_ref, rtol=1e-12, atol=1e-10)
+
+    def test_newton_2d(self, mesh):
+        nx, ny = 16, 64  # bandwidth nx=16; halo s*16=64 < 128 rows/shard
+        A = laplacian_2d(nx, ny)
+        s = 4
+        Adist = DistDia.from_dia(A, mesh, s_max=s)
+        x = np.random.default_rng(3).standard_normal(nx * ny)
+        q = jnp.asarray(x)
+        Bk = build_basis_matrix(A, q / jnp.linalg.norm(q), s, Basis.NEWTON)
+        diag, sub = newton_coeffs(Bk)
+        xs = Adist.shard_vector(x, mesh)
+        V = np.asarray(
+            dist_matrix_powers(Adist, xs, s, jnp.asarray(diag), jnp.asarray(sub), mesh)
+        )[: nx * ny]
+        from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_from_B
+
+        V_ref = np.asarray(matrix_powers_from_B(A, q, Bk))
+        np.testing.assert_allclose(V, V_ref, rtol=1e-12, atol=1e-10)
+
+
+class TestDistOrth:
+    def test_tsqr(self, mesh):
+        n, m = 512, 7
+        X = np.random.default_rng(4).standard_normal((n, m))
+        Xs = jax.device_put(jnp.asarray(X), jax.NamedSharding(mesh, PartitionSpec(ROWS)))
+        Q, R = jax.jit(
+            jax.shard_map(
+                local_tsqr,
+                mesh=mesh,
+                in_specs=PartitionSpec(ROWS),
+                out_specs=(PartitionSpec(ROWS), PartitionSpec()),
+            )
+        )(Xs)
+        Q, R = np.asarray(Q), np.asarray(R)
+        assert np.all(np.diag(R) >= 0)  # sign-fix parity (tsqr.m:9-11)
+        np.testing.assert_allclose(Q @ R, X, atol=1e-12)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(m), atol=1e-12)
+        # Matches the single-chip TSQR up to nothing at all: same sign fix.
+        Qr, Rr = tsqr(jnp.asarray(X))
+        np.testing.assert_allclose(R, np.asarray(Rr), rtol=1e-8, atol=1e-10)
+
+    def test_cholqr(self, mesh):
+        n, m = 512, 5
+        X = np.random.default_rng(5).standard_normal((n, m))
+        Xs = jax.device_put(jnp.asarray(X), jax.NamedSharding(mesh, PartitionSpec(ROWS)))
+        Q, R = jax.jit(
+            jax.shard_map(
+                local_cholqr,
+                mesh=mesh,
+                in_specs=PartitionSpec(ROWS),
+                out_specs=(PartitionSpec(ROWS), PartitionSpec()),
+            )
+        )(Xs)
+        Q, R = np.asarray(Q), np.asarray(R)
+        np.testing.assert_allclose(Q @ R, X, atol=1e-10)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(m), atol=1e-10)
+
+
+class TestDistCaLanczos:
+    @pytest.mark.parametrize("s", [2, 4])
+    def test_ritz_parity_monomial(self, mesh, s):
+        n = 256
+        A = laplacian_1d(n)
+        r = jnp.ones((n,), jnp.float64)
+        steps = 24
+        res_d = dist_ca_lanczos(A, r, s, steps, mesh, basis=Basis.MONOMIAL)
+        res_1 = ca_lanczos(A, r, s, steps, basis=Basis.MONOMIAL, orth=Orth.LOCAL)
+        d_dist = np.sort(np.linalg.eigvalsh(res_d.T))
+        d_one = np.sort(np.linalg.eigvalsh(res_1.T))
+        np.testing.assert_allclose(d_dist, d_one, rtol=1e-9, atol=1e-9)
+
+    def test_ritz_parity_newton(self, mesh):
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        r = jnp.ones((n,), jnp.float64)
+        s, steps = 4, 48
+        q = r / jnp.linalg.norm(r)
+        Bk = build_basis_matrix(A, q, s, Basis.NEWTON)
+        res_d = dist_ca_lanczos(A, r, s, steps, mesh, basis=Basis.NEWTON, Bk=Bk)
+        res_1 = ca_lanczos(A, r, s, steps, basis=Basis.NEWTON, orth=Orth.LOCAL, Bk=Bk)
+        d_dist = np.sort(np.linalg.eigvalsh(res_d.T))
+        d_one = np.sort(np.linalg.eigvalsh(res_1.T))
+        np.testing.assert_allclose(d_dist, d_one, rtol=1e-7, atol=1e-7)
+        # The largest Ritz value approaches the true spectrum top (full
+        # convergence needs a restarted driver; parity above is the point).
+        np.testing.assert_allclose(d_dist[-1], 100.0, rtol=1e-4)
+
+    def test_basis_orthonormal(self, mesh):
+        n = 256
+        A = laplacian_1d(n)
+        r = jnp.ones((n,), jnp.float64)
+        res = dist_ca_lanczos(A, r, 4, 16, mesh, basis=Basis.MONOMIAL)
+        Q = res.Q
+        G = Q.T @ Q
+        np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=1e-8)
