@@ -1,0 +1,92 @@
+"""Headline benchmark: SpMV throughput (nnz/s/chip) inside the CA-Lanczos
+matrix-powers kernel — the hot kernel of the whole framework
+(BASELINE.md north-star metric; the MATLAB reference publishes no numbers,
+so vs_baseline is reported against the recorded best of previous rounds
+in BENCH_BEST.json when available, else 1.0).
+
+Measurement notes: host<->device calls through the axon relay carry
+~30 ms fixed latency and ``block_until_ready`` does not reliably fence, so
+the benchmark (a) chains all work inside ONE jitted fori_loop, (b) forces
+a scalar readback, and (c) cancels the fixed call latency with a
+two-point (reps_lo, reps_hi) measurement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@partial(jax.jit, static_argnames=("s", "reps"))
+def _powers_chain(A, q, s, reps):
+    from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial
+
+    def body(i, v):
+        return matrix_powers_monomial(A, v, s)[:, s]
+
+    return jnp.sum(lax.fori_loop(0, reps, body, q))
+
+
+def main():
+    from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+    # Banded SPD operator, ~4M rows x 9 diagonals (~37.7M nnz), f32: the
+    # shape-family of the reference corpus (banded Laplacians/Hamiltonians)
+    # at production scale.  Scaled to spectral norm ~1 so chained powers
+    # stay bounded without renormalization.
+    n = 1 << 22
+    offsets = tuple(range(-4, 5))
+    ndiags = len(offsets)
+    rng = np.random.default_rng(0)
+    data = np.asarray(rng.standard_normal((ndiags, n)), np.float32) * 0.02
+    data[ndiags // 2] += 0.8
+    A = DiaMatrix(data=jnp.asarray(data), offsets=offsets)
+    s = 8
+    nnz = A.nnz
+
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    q = q / jnp.linalg.norm(q)
+
+    reps_lo, reps_hi = 2, 12
+    # Warm up / compile both variants.
+    float(_powers_chain(A, q, s, reps_lo))
+    float(_powers_chain(A, q, s, reps_hi))
+
+    def timed(reps, trials=3):
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(_powers_chain(A, q, s, reps))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lo, t_hi = timed(reps_lo), timed(reps_hi)
+    gnnz_per_s = nnz * s * (reps_hi - reps_lo) / (t_hi - t_lo) / 1e9
+
+    try:
+        with open("BENCH_BEST.json") as f:
+            best = json.load(f)["value"]  # Gnnz/s from a previous round
+        vs = gnnz_per_s / best
+    except Exception:
+        vs = 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "matrix_powers_spmv_throughput",
+                "value": round(gnnz_per_s, 4),
+                "unit": "Gnnz/s/chip",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,12 @@ from ca_lanczos_tpu.solvers.ca_lanczos import (
     monomial_basis_matrix,
     newton_shifts_bootstrap,
 )
+from ca_lanczos_tpu.solvers.propagators import (
+    lanczos_prop,
+    ca_lanczos_prop,
+    propagate,
+    PropResult,
+)
 from ca_lanczos_tpu.solvers.restarted import (
     restarted_lanczos,
     restarted_ca_lanczos,
@@ -23,4 +29,8 @@ __all__ = [
     "restarted_lanczos",
     "restarted_ca_lanczos",
     "RestartedResult",
+    "lanczos_prop",
+    "ca_lanczos_prop",
+    "propagate",
+    "PropResult",
 ]

@@ -24,9 +24,10 @@ def _rdiv(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
 
 def first_block_T(Rk: np.ndarray, Bk: np.ndarray, s: int) -> Tuple[np.ndarray, float]:
     """First-block T = Rk Bk / Rk[0:s,0:s], beta_1 = T[s, s-1]
-    (ca_lanczos.m:178-182)."""
+    (ca_lanczos.m:178-182).  beta is real for the eigensolver path; the
+    complex propagator path carries a (numerically) real value too."""
     T = _rdiv(np.asarray(Rk) @ np.asarray(Bk), np.asarray(Rk)[:s, :s])
-    return T, float(T[s, s - 1])
+    return T, float(np.real(T[s, s - 1]))
 
 
 def block_T(
@@ -44,14 +45,17 @@ def block_T(
     Rk_s: (s, s) normalization R factor.
     Returns (Tk (s, s), beta_k, Rk (s+1, s+1) assembled R).
     """
-    Rkk_s = np.asarray(Rkk_s, dtype=np.float64)
-    Rk_s = np.asarray(Rk_s, dtype=np.float64)
-    Bk = np.asarray(Bk, dtype=np.float64)
+    # Promote to float64/complex128 (complex path feeds the propagators,
+    # ca_lanczos_prop.m:91-114; their T is taken real at the end).
+    wide = np.result_type(np.float64, np.asarray(Rkk_s).dtype, np.asarray(Rk_s).dtype)
+    Rkk_s = np.asarray(Rkk_s, dtype=wide)
+    Rk_s = np.asarray(Rk_s, dtype=wide)
+    Bk = np.asarray(Bk, dtype=np.result_type(np.float64, np.asarray(Bk).dtype))
 
     # Rkk = [0 | Rkk_s[0:s, :]]  (s x (s+1));  Rk = [e1 | [Rkk_s[s, :]; Rk_s]]
     # ((s+1) x (s+1))  (ca_lanczos.m:201-202).
-    Rkk = np.hstack([np.zeros((s, 1)), Rkk_s[:s, :]])
-    Rk = np.zeros((s + 1, s + 1))
+    Rkk = np.hstack([np.zeros((s, 1), wide), Rkk_s[:s, :]])
+    Rk = np.zeros((s + 1, s + 1), wide)
     Rk[0, 0] = 1.0
     Rk[0, 1:] = Rkk_s[s, :s]
     Rk[1:, 1:] = Rk_s
@@ -73,7 +77,7 @@ def block_T(
     Tk = main + corr - b_prev * np.outer(e1, last_row[0])
 
     beta_k = bk * (rho / rho_t)
-    return Tk, float(beta_k), Rk
+    return Tk, float(np.real(beta_k)), Rk
 
 
 def extend_T(T_prev: np.ndarray, Tk: np.ndarray, b_prev: float, b_k: float, s: int) -> np.ndarray:
@@ -81,7 +85,7 @@ def extend_T(T_prev: np.ndarray, Tk: np.ndarray, b_prev: float, b_k: float, s: i
     (ca_lanczos.m:217-223): couple blocks through b_{k-1}, append Tk, and
     place b_k on the new trailing row."""
     m = T_prev.shape[1]
-    out = np.zeros((m + s + 1, m + s))
+    out = np.zeros((m + s + 1, m + s), np.result_type(T_prev.dtype, Tk.dtype))
     out[:m, :m] = T_prev[:m, :m]
     out[m - 1, m] = b_prev
     out[m, m - 1] = b_prev

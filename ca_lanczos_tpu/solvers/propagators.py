@@ -1,0 +1,255 @@
+"""Lanczos time propagators for quantum dynamics: psi(t+dt) ~ Q expm(-i dt T) e1 ||psi||.
+
+Reference: lanczos_prop.m, ca_lanczos_prop.m, and the experiment driver
+runLanczos.m (1-D harmonic oscillator, N=512, dt=0.025, 200 steps, s=6,
+24 Krylov steps, residual tol 1e-10).
+
+Dtype note: the wavefunction is complex while the Hamiltonian is real
+symmetric.  On CPU (and for parity tests) the Krylov recurrence runs in
+native complex128; on TPU serving paths, run the SpMV on a stacked
+(n, 2) real view (re/im columns ride the same kernel) — the DIA/ELL
+matvecs accept multivectors, so ``spmv(H, psi_ri)`` is the split form.
+
+The small-T exponential uses the eigendecomposition of the (symmetrized)
+tridiagonal T: expm(-i dt T) = V diag(exp(-i dt d)) V^T — exact for the
+standard Lanczos T; for the CA T (near-symmetric up to roundoff) we use
+scipy's expm of the unsymmetric T, matching expm() in ca_lanczos_prop.m:122.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from ca_lanczos_tpu.basis.leja import leja
+from ca_lanczos_tpu.basis.newton import newton_basis_matrix
+from ca_lanczos_tpu.config import Basis, LejaVariant, Orth
+from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_from_B, matrix_powers_monomial
+from ca_lanczos_tpu.ops.orth import normalize, project_and_normalize
+from ca_lanczos_tpu.ops.spmv import Operator, spmv
+from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
+from ca_lanczos_tpu.solvers.ca_lanczos import monomial_basis_matrix
+from ca_lanczos_tpu.solvers.lanczos import lanczos
+
+
+@dataclasses.dataclass
+class PropResult:
+    """Krylov factorization for one propagation step.
+
+    T: real (m, m) projection matrix; Q: (n, m) complex basis;
+    n_steps: Krylov dimension actually built; residual: last residual
+    estimate |dt * beta * [expm(-i dt T)]_{m,1} * ||psi|||.
+    """
+
+    T: np.ndarray
+    Q: jax.Array
+    n_steps: int
+    residual: float
+
+    def apply_exp(self, dt: float, nrm: float) -> jax.Array:
+        """psi(t+dt) = Q expm(-i dt T) e1 * ||psi|| (runLanczos.m:102)."""
+        m = self.T.shape[0]
+        E = _expm_tridiag(self.T, dt)
+        coeff = jnp.asarray(E[:m, 0] * nrm, self.Q.dtype)
+        return self.Q @ coeff
+
+
+def _expm_tridiag(T: np.ndarray, dt: float) -> np.ndarray:
+    """expm(-i dt T) for small T (host).  Symmetric T goes through eigh
+    (exact); general T through scipy (ca_lanczos_prop.m:122)."""
+    T = np.asarray(T, np.float64)
+    if np.allclose(T, T.T, atol=1e-12 * max(1.0, np.abs(T).max())):
+        d, V = np.linalg.eigh(T)
+        return (V * np.exp(-1j * dt * d)) @ V.T
+    return scipy.linalg.expm(-1j * dt * T)
+
+
+@jax.jit
+def _prop_step(H: Operator, qj: jax.Array, qjm1: jax.Array, beta_prev: jax.Array):
+    """One complex Lanczos step (lanczos_prop.m:31-41)."""
+    r = spmv(H, qj) - beta_prev * qjm1
+    alpha = jnp.real(jnp.vdot(qj, r))
+    r = r - alpha * qj
+    beta = jnp.linalg.norm(r)
+    return r / beta, alpha, beta
+
+
+def lanczos_prop(
+    H: Operator,
+    r0: jax.Array,
+    maxiter: int,
+    dt: float,
+    tol: float = 1.0e-10,
+    adaptive: bool = False,
+) -> PropResult:
+    """Krylov approximation of exp(-i dt H) psi (lanczos_prop.m:15-61).
+
+    With ``adaptive`` the iteration stops as soon as the residual
+    |dt * beta_j * [expm(-i dt T_j)]_{j,1} * ||psi||| drops below tol
+    (lanczos_prop.m:44-55)."""
+    r0 = jnp.asarray(r0)
+    if not jnp.iscomplexobj(r0):
+        r0 = r0.astype(jnp.complex128)
+    n = r0.shape[0]
+    nrm = float(jnp.linalg.norm(r0))
+    q = r0 / nrm
+
+    Q = jnp.zeros((n, maxiter + 1), r0.dtype).at[:, 0].set(q)
+    alpha = np.zeros(maxiter)
+    beta = np.zeros(maxiter)
+    residual = np.inf
+    j = 0
+    for j in range(1, maxiter + 1):
+        qj = Q[:, j - 1]
+        qjm1 = Q[:, j - 2] if j > 1 else jnp.zeros_like(qj)
+        bprev = jnp.asarray(beta[j - 2] if j > 1 else 0.0, jnp.float64)
+        qn, a, b = _prop_step(H, qj, qjm1, bprev)
+        alpha[j - 1] = float(a)
+        beta[j - 1] = float(b)
+        Q = Q.at[:, j].set(qn)
+        if j >= 3:
+            T = _tridiag(alpha[:j], beta[:j])
+            E = _expm_tridiag(T, dt)
+            residual = abs(dt * beta[j - 1] * E[j - 1, 0] * nrm)
+            if residual < tol and adaptive:
+                break
+
+    T = _tridiag(alpha[:j], beta[:j])
+    return PropResult(T=T, Q=Q[:, :j], n_steps=j, residual=float(residual))
+
+
+def _tridiag(alpha: np.ndarray, beta: np.ndarray) -> np.ndarray:
+    m = len(alpha)
+    T = np.diag(alpha)
+    if m > 1:
+        T += np.diag(beta[: m - 1], 1) + np.diag(beta[: m - 1], -1)
+    return T
+
+
+def ca_lanczos_prop(
+    A: Operator,
+    r0: jax.Array,
+    s: int,
+    m: int,
+    dt: float,
+    tol: float = 1.0e-10,
+    basis: Basis = Basis.NEWTON,
+    eigest: Optional[np.ndarray] = None,
+    adaptive: bool = False,
+) -> PropResult:
+    """CA propagator: one block of s SpMVs per orthogonalization round
+    (ca_lanczos_prop.m:3-135).
+
+    ``eigest`` supplies basis eigenvalue estimates, skipping the 2s-step
+    Lanczos bootstrap (ca_lanczos_prop.m:31-39).  Newton shifts come from
+    the single-arg leja path — nonmodified ordering of the real parts
+    (ca_lanczos_prop.m:40) — and the NONmodified newton basis matrix
+    (modifiedp=0, ca_lanczos_prop.m:41).
+    """
+    basis = Basis(basis)
+    r0 = jnp.asarray(r0)
+    if not jnp.iscomplexobj(r0):
+        r0 = r0.astype(jnp.complex128)
+    n = r0.shape[0]
+    nrm = float(jnp.linalg.norm(r0))
+    q = r0 / nrm
+
+    if basis == Basis.MONOMIAL:
+        Bk = monomial_basis_matrix(s)
+    else:
+        if eigest is None:
+            boot = lanczos(A, r0, 2 * s, Orth.LOCAL)
+            basis_eigs = np.linalg.eigvalsh(boot.T)
+        else:
+            basis_eigs = np.asarray(eigest)
+        shifts = leja(np.real(basis_eigs), LejaVariant.NONMODIFIED)
+        Bk = newton_basis_matrix(shifts, s, modified=False)
+
+    blocks: List[jax.Array] = []
+    b = np.zeros(m)
+    T: Optional[np.ndarray] = None
+    residual = np.inf
+    k = 0
+
+    while k < m:
+        k += 1
+        if k > 1:
+            q = blocks[-1][:, s]
+
+        if basis == Basis.MONOMIAL:
+            V = matrix_powers_monomial(A, q, s)
+        else:
+            V = matrix_powers_from_B(A, q, Bk)
+
+        if k == 1:
+            Qb, Rk, _ = normalize(V)
+            blocks.append(Qb)
+            T, b[0] = first_block_T(Rk, Bk, s)
+        else:
+            # No conditional second pass (reorth=False,
+            # ca_lanczos_prop.m:78).
+            res = project_and_normalize([blocks[-1]], V[:, 1 : s + 1], reorth=False)
+            Tk, b[k - 1], _ = block_T(res.R_blocks[0], res.R, Bk, b[k - 2], s)
+            T = extend_T(T, Tk, b[k - 2], b[k - 1], s)
+            blocks.append(jnp.concatenate([blocks[-1][:, s : s + 1], res.Q], axis=1))
+
+        # Residual from the exponential of the current T
+        # (ca_lanczos_prop.m:120-128).
+        Tsq = np.real(T[: k * s, : k * s])
+        E = _expm_tridiag(Tsq, dt)
+        residual = abs(dt * b[k - 1] * E[k * s - 1, 0] * nrm)
+        if residual < tol and k * s >= 3 and adaptive:
+            break
+
+    # Assemble the basis (ca_lanczos_prop.m:131-134): block 1 contributes
+    # its s+1 columns, later blocks their s NEW columns (their column 0 is
+    # the previous block's last column, stored twice); trim to k*s.
+    cols = [blocks[0]]
+    for Bq in blocks[1:]:
+        cols.append(Bq[:, 1 : s + 1])
+    Q = jnp.concatenate(cols, axis=1)[:, : k * s]
+    return PropResult(
+        T=np.real(T[: k * s, : k * s]), Q=Q, n_steps=k * s, residual=float(residual)
+    )
+
+
+def propagate(
+    H: Operator,
+    psi0: jax.Array,
+    dt: float,
+    n_steps: int,
+    krylov_dim: int = 24,
+    method: str = "lanczos",
+    s: int = 6,
+    tol: float = 1.0e-10,
+    basis: Basis = Basis.NEWTON,
+    eigest: Optional[np.ndarray] = None,
+    adaptive: bool = False,
+):
+    """Time loop of runLanczos.m:66-131: psi <- Q expm(-i dt T) e1 ||psi||
+    per step.  method in {"lanczos", "ca"}.  Returns the final psi."""
+    psi = jnp.asarray(psi0)
+    if not jnp.iscomplexobj(psi):
+        psi = psi.astype(jnp.complex128)
+
+    if method == "ca" and basis == Basis.NEWTON and eigest is None:
+        boot = lanczos(H, psi, 2 * s, Orth.LOCAL)
+        eigest = np.linalg.eigvalsh(boot.T)
+
+    for _ in range(n_steps):
+        nrm = float(jnp.linalg.norm(psi))
+        if method == "lanczos":
+            res = lanczos_prop(H, psi, krylov_dim, dt, tol, adaptive)
+        elif method == "ca":
+            res = ca_lanczos_prop(
+                H, psi, s, krylov_dim // s, dt, tol, basis, eigest, adaptive
+            )
+        else:
+            raise ValueError(f"unknown method {method}")
+        psi = res.apply_exp(dt, nrm)
+    return psi

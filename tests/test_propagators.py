@@ -1,0 +1,88 @@
+"""Propagator parity tests (runLanczos.m model): propagate the harmonic-
+oscillator Gaussian packet and compare against the dense matrix-exponential
+oracle psi_ref = expm(-i t H) psi (runLanczos.m:30,211-213)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from ca_lanczos_tpu.config import Basis
+from ca_lanczos_tpu.solvers.propagators import ca_lanczos_prop, lanczos_prop, propagate
+from ca_lanczos_tpu.utils.matrices import gaussian_packet, harmonic_oscillator
+
+
+@pytest.fixture(scope="module")
+def ho():
+    H, x = harmonic_oscillator(128, (-10.0, 10.0))
+    psi = gaussian_packet(x)
+    return H, jnp.asarray(psi, jnp.complex128)
+
+
+class TestLanczosProp:
+    def test_single_step_oracle(self, ho):
+        H, psi = ho
+        dt = 0.025
+        res = lanczos_prop(H, psi, 24, dt)
+        out = np.asarray(res.apply_exp(dt, float(jnp.linalg.norm(psi))))
+        Hd = np.asarray(H.to_dense())
+        ref = scipy.linalg.expm(-1j * dt * Hd) @ np.asarray(psi)
+        assert np.max(np.abs(out - ref)) < 1e-10
+
+    def test_adaptive_stops_early(self, ho):
+        H, psi = ho
+        res = lanczos_prop(H, psi, 40, 0.025, tol=1e-10, adaptive=True)
+        assert res.n_steps < 40
+        assert res.residual < 1e-10
+
+
+class TestCaLanczosProp:
+    @pytest.mark.parametrize("basis", [Basis.MONOMIAL, Basis.NEWTON])
+    def test_single_step_oracle(self, ho, basis):
+        H, psi = ho
+        dt = 0.025
+        res = ca_lanczos_prop(H, psi, s=6, m=4, dt=dt, basis=basis)
+        assert res.n_steps == 24
+        out = np.asarray(res.apply_exp(dt, float(jnp.linalg.norm(psi))))
+        Hd = np.asarray(H.to_dense())
+        ref = scipy.linalg.expm(-1j * dt * Hd) @ np.asarray(psi)
+        # The monomial basis loses ~log10(||H||^s) digits to conditioning
+        # (the reason the reference defaults to newton, runLanczos.m:96).
+        tol = 1e-6 if basis == Basis.MONOMIAL else 1e-9
+        assert np.max(np.abs(out - ref)) < tol
+
+    def test_eigest_skips_bootstrap(self, ho):
+        H, psi = ho
+        eigest = np.linspace(0.5, 40.0, 12)  # rough spectral estimates
+        res = ca_lanczos_prop(H, psi, s=6, m=4, dt=0.025, eigest=eigest)
+        out = np.asarray(res.apply_exp(0.025, float(jnp.linalg.norm(psi))))
+        Hd = np.asarray(H.to_dense())
+        ref = scipy.linalg.expm(-1j * 0.025 * Hd) @ np.asarray(psi)
+        assert np.max(np.abs(out - ref)) < 1e-9
+
+
+class TestPropagateLoop:
+    """Multi-step propagation: the runLanczos.m experiment at reduced size
+    (20 steps instead of 200; N=128)."""
+
+    @pytest.mark.parametrize(
+        "method,basis",
+        [("lanczos", Basis.NEWTON), ("ca", Basis.NEWTON), ("ca", Basis.MONOMIAL)],
+    )
+    def test_vs_expm(self, ho, method, basis):
+        H, psi = ho
+        dt, n_steps = 0.025, 20
+        out = np.asarray(
+            propagate(H, psi, dt, n_steps, krylov_dim=24, method=method, s=6, basis=basis)
+        )
+        Hd = np.asarray(H.to_dense())
+        ref = scipy.linalg.expm(-1j * dt * n_steps * Hd) @ np.asarray(psi)
+        # runLanczos.m error metric: max |psi_ref - psi| (runLanczos.m:211-213)
+        assert np.max(np.abs(out - ref)) < 1e-8
+
+    def test_norm_conserved(self, ho):
+        H, psi = ho
+        out = propagate(H, psi, 0.025, 10, krylov_dim=24, method="ca", s=6)
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(out)), float(jnp.linalg.norm(psi)), rtol=1e-10
+        )
