@@ -12,6 +12,13 @@ from ca_lanczos_tpu.solvers.propagators import (
     propagate,
     PropResult,
 )
+from ca_lanczos_tpu.solvers.sstep import sstep_lanczos, sstep_lanczos_prop, SstepResult
+from ca_lanczos_tpu.solvers.arnoldi import arnoldi
+from ca_lanczos_tpu.solvers.implicitly_restarted import (
+    impl_restarted_ca_lanczos,
+    IRLResult,
+    qrstep,
+)
 from ca_lanczos_tpu.solvers.restarted import (
     restarted_lanczos,
     restarted_ca_lanczos,
@@ -33,4 +40,11 @@ __all__ = [
     "ca_lanczos_prop",
     "propagate",
     "PropResult",
+    "sstep_lanczos",
+    "sstep_lanczos_prop",
+    "SstepResult",
+    "arnoldi",
+    "impl_restarted_ca_lanczos",
+    "IRLResult",
+    "qrstep",
 ]
