@@ -23,8 +23,21 @@ import numpy as np
 from jax import lax
 
 
-@partial(jax.jit, static_argnames=("s", "reps"))
-def _powers_chain(A, q, s, reps):
+@partial(jax.jit, static_argnames=("s", "reps", "use_pallas"))
+def _powers_chain(A, q, s, reps, use_pallas=True):
+    if use_pallas:
+        from ca_lanczos_tpu.ops.pallas_spmv import _dia_power_step
+
+        coefs = jnp.zeros(2, q.dtype)
+
+        def body(i, carry):
+            vp, v = carry
+            w = _dia_power_step(A.data, v, vp, coefs, A.offsets)
+            return (v, w)
+
+        _, v = lax.fori_loop(0, reps * s, body, (jnp.zeros_like(q), q))
+        return jnp.sum(v)
+
     from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial
 
     def body(i, v):
@@ -54,15 +67,22 @@ def main():
     q = q / jnp.linalg.norm(q)
 
     reps_lo, reps_hi = 2, 12
+    # Prefer the Pallas DIA kernel; fall back to the XLA path if Mosaic
+    # is unavailable on this backend.
+    use_pallas = True
+    try:
+        float(_powers_chain(A, q, s, reps_lo, use_pallas=True))
+    except Exception:
+        use_pallas = False
     # Warm up / compile both variants.
-    float(_powers_chain(A, q, s, reps_lo))
-    float(_powers_chain(A, q, s, reps_hi))
+    float(_powers_chain(A, q, s, reps_lo, use_pallas=use_pallas))
+    float(_powers_chain(A, q, s, reps_hi, use_pallas=use_pallas))
 
     def timed(reps, trials=3):
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(_powers_chain(A, q, s, reps))
+            float(_powers_chain(A, q, s, reps, use_pallas=use_pallas))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -4,6 +4,7 @@ from ca_lanczos_tpu.ops.matrix_powers import (
     matrix_powers_monomial,
     matrix_powers_newton,
 )
+from ca_lanczos_tpu.ops.pallas_spmv import matrix_powers_dia_pallas, pick_tile
 from ca_lanczos_tpu.ops.qr import tsqr, cholqr
 from ca_lanczos_tpu.ops.orth import normalize, project, project_and_normalize
 
@@ -16,6 +17,8 @@ __all__ = [
     "matrix_powers",
     "matrix_powers_monomial",
     "matrix_powers_newton",
+    "matrix_powers_dia_pallas",
+    "pick_tile",
     "tsqr",
     "cholqr",
     "normalize",

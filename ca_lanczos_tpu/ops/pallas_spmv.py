@@ -1,0 +1,160 @@
+"""Pallas TPU kernel for the banded (DIA) matrix-powers step.
+
+The XLA lowering of the shifted-slice DIA SpMV (ops.spmv._dia_matvec)
+materializes the padded vector and runs one fused pass per diagonal,
+costing several HBM round trips per element.  This kernel performs the
+whole step in ONE pass per row tile:
+
+    y[i] = sum_d data[d, i] * x[i + off_d]  -  dcoef * x[i]  -  scoef * v_prev[i]
+
+* matrix data is streamed tile-by-tile through VMEM via BlockSpec;
+* the vector tile plus its (static) halo is DMA'd from HBM into VMEM
+  scratch, so every shifted read is a VMEM slice — no padded-array
+  materialization, no re-reads;
+* the Newton shift (dcoef) and the modified-Newton conjugate-pair
+  correction (scoef * v_prev, reference matrix_powers_newton.m:30-47)
+  fuse into the same pass (zero coefficients give the monomial basis).
+
+Traffic per row per step: ndiags*4 B (data) + ~4 B (x) + 4 B (y) —
+the HBM speed-of-light for this operator class.  One kernel launch per
+power step; the s-step chain is unrolled under one jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+
+def _dia_step_kernel(
+    coef_ref,  # SMEM (2,): [dcoef, scoef]
+    data_ref,  # VMEM (ndiags, T) tile
+    vprev_ref,  # VMEM (T,) tile
+    xpad_ref,  # ANY/HBM (n + 2W,) full padded vector
+    out_ref,  # VMEM (T,) tile
+    scratch,  # VMEM (T + 2W,) halo'd vector tile
+    sem,
+    *,
+    offsets: Tuple[int, ...],
+    T: int,
+    W: int,
+):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        xpad_ref.at[pl.ds(i * T, T + 2 * W)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros((T,), out_ref.dtype)
+    for d, off in enumerate(offsets):
+        acc = acc + data_ref[d, :] * scratch[W + off : W + off + T]
+    dcoef = coef_ref[0]
+    scoef = coef_ref[1]
+    out_ref[:] = acc - dcoef * scratch[W : W + T] - scoef * vprev_ref[:]
+
+
+def pick_tile(n: int, tile: int = 65536) -> int:
+    """Largest divisor of n that is <= tile and a multiple of the Mosaic
+    1-D f32 tiling unit (1024); 0 if none exists (caller falls back to
+    the XLA path)."""
+    if n % 1024 != 0:
+        return 0
+    t = min(tile, n)
+    t -= t % 1024
+    while t >= 1024 and n % t != 0:
+        t -= 1024
+    return t if t >= 1024 else 0
+
+
+@partial(jax.jit, static_argnames=("offsets", "tile", "interpret"))
+def _dia_power_step(
+    data: jax.Array,  # (ndiags, n)
+    x: jax.Array,  # (n,)
+    v_prev: jax.Array,  # (n,)
+    coefs: jax.Array,  # (2,) [dcoef, scoef]
+    offsets: Tuple[int, ...],
+    tile: int = 65536,
+    interpret: bool = False,
+) -> jax.Array:
+    n = x.shape[0]
+    W = max(max(abs(o) for o in offsets), 1)
+    # Mosaic tiles 1-D f32 memrefs in chunks of 1024; DMA slice shapes
+    # must be multiples of that, so round the halo up accordingly.
+    W = ((W + 1023) // 1024) * 1024
+    T = min(tile, n)
+    assert n % T == 0, f"n={n} must be a multiple of the tile {T}"
+    grid = (n // T,)
+
+    xpad = jnp.pad(x, (W, W))
+    kernel = partial(_dia_step_kernel, offsets=offsets, T=T, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs
+            pl.BlockSpec((data.shape[0], T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # xpad stays in HBM
+        ],
+        out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * W,), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(coefs, data, v_prev, xpad)
+
+
+def matrix_powers_dia_pallas(
+    A: DiaMatrix,
+    q: jax.Array,
+    s: int,
+    diag=None,
+    sub=None,
+    tile: int = 65536,
+    interpret: bool = False,
+) -> jax.Array:
+    """[q, P_1(A)q, ..., P_s(A)q] via the Pallas step kernel.
+
+    diag/sub are the Newton three-term coefficients (None = monomial).
+    Returns (n, s+1) like ops.matrix_powers.matrix_powers_monomial.
+    Falls back to the XLA path when n does not admit an aligned tile.
+    """
+    n = q.shape[0]
+    t = pick_tile(n, tile)
+    if t == 0:
+        from ca_lanczos_tpu.ops.matrix_powers import _newton_scan
+
+        z = jnp.zeros(s, q.dtype)
+        dj = z if diag is None else jnp.asarray(np.asarray(diag), q.dtype)
+        sj = z if sub is None else jnp.asarray(np.asarray(sub), q.dtype)
+        return _newton_scan(A, q, s, dj, sj)
+    tile = t
+    dtype = q.dtype
+    if diag is None:
+        diag = np.zeros(s)
+    if sub is None:
+        sub = np.zeros(s)
+    diag = np.asarray(diag, np.float64)
+    sub = np.asarray(sub, np.float64)
+
+    cols = [q]
+    v_prev = jnp.zeros_like(q)
+    v = q
+    for k in range(s):
+        coefs = jnp.asarray([diag[k], sub[k]], dtype)
+        w = _dia_power_step(
+            A.data, v, v_prev, coefs, A.offsets, tile=tile, interpret=interpret
+        )
+        cols.append(w)
+        v_prev, v = v, w
+    return jnp.stack(cols, axis=1)
