@@ -1,0 +1,17 @@
+from ca_lanczos_tpu.harness.records import RunRecord, write_records, read_records
+from ca_lanczos_tpu.harness.matrix_info import matrix_info
+from ca_lanczos_tpu.harness.experiments import (
+    run_propagation_experiment,
+    run_restart_sweep,
+    run_convergence_experiment,
+)
+
+__all__ = [
+    "RunRecord",
+    "write_records",
+    "read_records",
+    "matrix_info",
+    "run_propagation_experiment",
+    "run_restart_sweep",
+    "run_convergence_experiment",
+]

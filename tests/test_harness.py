@@ -1,0 +1,125 @@
+"""Harness-layer tests: Matrix Market IO (native + fallback), run
+records, matrix info, and the experiment drivers at reduced size."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ca_lanczos_tpu.harness import (
+    matrix_info,
+    read_records,
+    run_convergence_experiment,
+    run_propagation_experiment,
+    run_restart_sweep,
+    write_records,
+)
+from ca_lanczos_tpu.ops.spmv import DiaMatrix, EllMatrix
+from ca_lanczos_tpu.utils.matrices import diag_spectrum, laplacian_1d
+from ca_lanczos_tpu.utils.mmio import _load_mtx_python, load_mtx, load_operator, save_mtx
+
+
+class TestMmio:
+    @pytest.fixture
+    def mtx_file(self, tmp_path):
+        rng = np.random.default_rng(0)
+        a = sp.random(50, 50, density=0.1, random_state=rng.integers(1 << 30))
+        a = a + a.T  # symmetric values, stored general
+        path = str(tmp_path / "t.mtx")
+        save_mtx(path, a)
+        return path, a.toarray()
+
+    def test_roundtrip_native(self, mtx_file):
+        path, dense = mtx_file
+        ri, ci, vi, shape = load_mtx(path)
+        got = sp.coo_matrix((vi, (ri, ci)), shape=shape).toarray()
+        np.testing.assert_allclose(got, dense, atol=1e-15)
+
+    def test_native_matches_python(self, mtx_file):
+        path, _ = mtx_file
+        ri, ci, vi, shape = load_mtx(path)
+        rp, cp, vp, shapep = _load_mtx_python(path)
+        a = sp.coo_matrix((vi, (ri, ci)), shape=shape).toarray()
+        b = sp.coo_matrix((vp, (rp, cp)), shape=shapep).toarray()
+        np.testing.assert_array_equal(a, b)
+
+    def test_symmetric_storage_expanded(self, tmp_path):
+        a = np.array([[2.0, 1.0, 0.0], [1.0, 3.0, 0.5], [0.0, 0.5, 4.0]])
+        path = str(tmp_path / "sym.mtx")
+        save_mtx(path, sp.coo_matrix(a), symmetric=True)
+        ri, ci, vi, shape = load_mtx(path)
+        got = sp.coo_matrix((vi, (ri, ci)), shape=shape).toarray()
+        np.testing.assert_allclose(got, a)
+
+    def test_load_operator_formats(self, tmp_path):
+        # Banded -> DIA
+        tri = sp.diags([[-1.0] * 39, [2.0] * 40, [-1.0] * 39], [-1, 0, 1])
+        p1 = str(tmp_path / "band.mtx")
+        save_mtx(p1, tri)
+        A = load_operator(p1)
+        assert isinstance(A, DiaMatrix)
+        np.testing.assert_allclose(np.asarray(A.to_dense()), tri.toarray(), atol=1e-15)
+        # Scattered -> ELL
+        rng = np.random.default_rng(1)
+        scat = sp.random(60, 60, density=0.3, random_state=7)
+        p2 = str(tmp_path / "scat.mtx")
+        save_mtx(p2, scat)
+        B = load_operator(p2)
+        assert isinstance(B, EllMatrix)
+        np.testing.assert_allclose(np.asarray(B.to_dense()), scat.toarray(), atol=1e-15)
+
+
+class TestRecords:
+    def test_roundtrip(self, tmp_path):
+        from ca_lanczos_tpu.harness.records import RunRecord
+
+        recs = [
+            RunRecord(matrix="m1", solver="x", s=4, max_eig_err=1e-9, extra={"foo": 1}),
+            RunRecord(matrix="m2", solver="y", converged=True),
+        ]
+        path = str(tmp_path / "r.jsonl")
+        write_records(path, recs)
+        back = read_records(path)
+        assert back[0]["matrix"] == "m1" and back[0]["foo"] == 1
+        assert back[1]["converged"] is True
+        assert "s" not in back[1]  # None fields dropped
+
+
+class TestMatrixInfo:
+    def test_diag(self):
+        A = diag_spectrum(100, 1.0, 10.0)
+        info = matrix_info(A, "diag100")
+        assert info["n"] == 100
+        np.testing.assert_allclose(info["eig_max"], 10.0)
+        np.testing.assert_allclose(info["eig_min"], 1.0)
+        np.testing.assert_allclose(info["cond"], 10.0)
+        np.testing.assert_allclose(info["normest"], 10.0, rtol=1e-3)
+
+
+class TestExperiments:
+    def test_propagation_small(self):
+        recs = run_propagation_experiment(n=64, n_steps=5, krylov_dim=12, s=3)
+        assert len(recs) == 3
+        for r in recs:
+            assert r.extra["max_abs_err"] < 1e-7
+            assert r.wall_s > 0
+
+    def test_restart_sweep_small(self):
+        mats = {"diag200": diag_spectrum(200, 1.0, 50.0)}
+        oracles = {"diag200": np.linspace(1.0, 50.0, 200)}
+        recs = run_restart_sweep(
+            mats, s_values=(4,), orths=("local",), max_lanczos=24, n_wanted=4,
+            oracles=oracles,
+        )
+        assert len(recs) == 1
+        assert recs[0].converged
+        assert recs[0].max_eig_err < 1e-5
+
+    def test_convergence_traces(self):
+        A = diag_spectrum(300, 1.0, 100.0)
+        rec, rnorm, orth = run_convergence_experiment(A, "diag300", n_iters=40, s=4)
+        assert rnorm.shape[0] == 10  # 40/4 outer iterations
+        assert orth.shape == (10,)
+        assert rec.wall_s > 0
