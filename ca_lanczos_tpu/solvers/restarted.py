@@ -376,13 +376,21 @@ def restarted_ca_lanczos(
     r: jax.Array,
     max_lanczos: int,
     config: LanczosConfig = LanczosConfig(),
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ) -> RestartedResult:
     """Explicitly-restarted CA-Lanczos — the reference's flagship driver
     (restarted_ca_lanczos.m:4-202).
 
     max_lanczos is the Krylov budget per restart cycle; each cycle runs
     floor(max_lanczos / s) CA blocks (restarted_ca_lanczos.m:89).
+
+    checkpoint_path: if given, the full restart state is serialized at
+    every restart boundary (utils.checkpoint); resume_from continues an
+    interrupted run from such a file.
     """
+    from ca_lanczos_tpu.utils.checkpoint import RestartCheckpoint
+
     s = config.s
     basis = Basis(config.basis)
     orth = Orth(config.orth)
@@ -393,17 +401,31 @@ def restarted_ca_lanczos(
 
     q = r / jnp.linalg.norm(r)
     dtype = q.dtype
-    Bk = build_basis_matrix(A, q, s, basis, bootstrap_orth=Orth.LOCAL)
 
     Q_conv: Optional[jax.Array] = None
     conv_eigs: List[float] = []
     conv_rnorms: List[float] = []
     orth_err: List[float] = []
     rnorm_rows: List[np.ndarray] = []
-
     nconv = 0
     n_restarts = 0
-    restart = True
+
+    if resume_from is not None:
+        ck = RestartCheckpoint.load(resume_from)
+        n_restarts = ck.n_restarts
+        nconv = ck.nconv
+        conv_eigs = list(ck.conv_eigs)
+        conv_rnorms = list(ck.conv_rnorms)
+        orth_err = list(ck.orth_err)
+        rnorm_rows = list(ck.rnorm_rows)
+        Q_conv = jnp.asarray(ck.Q_conv, dtype) if ck.Q_conv is not None else None
+        q = jnp.asarray(ck.q, dtype)
+        Bk = ck.Bk
+        rng.bit_generator.state = ck.rng_state
+    else:
+        Bk = build_basis_matrix(A, q, s, basis, bootstrap_orth=Orth.LOCAL)
+
+    restart = nconv < config.n_wanted
     iters = max_lanczos // s
     if iters == 0:
         raise ValueError(f"max_lanczos={max_lanczos} < s={s}")
@@ -442,6 +464,20 @@ def restarted_ca_lanczos(
         restart = nconv < config.n_wanted
         if restart:
             q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k, config.restart_strategy, rng)
+
+        if checkpoint_path is not None:
+            RestartCheckpoint(
+                n_restarts=n_restarts,
+                nconv=nconv,
+                conv_eigs=conv_eigs,
+                conv_rnorms=conv_rnorms,
+                orth_err=orth_err,
+                rnorm_rows=rnorm_rows,
+                Q_conv=np.asarray(Q_conv) if Q_conv is not None else None,
+                q=np.asarray(q),
+                Bk=np.asarray(Bk),
+                rng_state=rng.bit_generator.state,
+            ).save(checkpoint_path)
 
     return _finalize(
         conv_eigs, conv_rnorms, Q_conv, n_restarts, rnorm_rows, orth_err, config.n_wanted, not restart

@@ -1,0 +1,145 @@
+"""Kernel profiling and roofline audit.
+
+The reference only collects wall-clock (cputime / tic-toc,
+test_ca_lanczos.m:26-42, runLanczos.m:66-131).  The north star requires a
+per-kernel roofline audit (nnz/s, bytes/flop) — this module provides:
+
+* ``roofline_audit`` — analytic traffic/flop model for the matrix-powers
+  step on a DIA operator + a measured throughput -> fraction-of-peak.
+* ``measure_powers_throughput`` — honest device timing of the s-step
+  kernel: chained work inside one jit (lax.fori_loop), scalar readback to
+  defeat async dispatch, two-point latency cancellation (the axon relay
+  carries ~30 ms per call and block_until_ready does not fence there).
+* ``trace`` — context manager around jax.profiler for TensorBoard traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+# HBM bandwidth per chip, bytes/s (TPU v5e ~819 GB/s; override per target).
+DEFAULT_HBM_BW = 819e9
+
+
+@dataclasses.dataclass
+class RooflineReport:
+    nnz: int
+    bytes_per_step: int
+    flops_per_step: int
+    arithmetic_intensity: float  # flop / byte
+    sol_nnz_per_s: float  # HBM speed-of-light
+    measured_nnz_per_s: Optional[float] = None
+    fraction_of_peak: Optional[float] = None
+
+    def __str__(self) -> str:
+        lines = [
+            f"nnz/step            : {self.nnz:,}",
+            f"bytes/step          : {self.bytes_per_step:,}",
+            f"flops/step          : {self.flops_per_step:,}",
+            f"arith intensity     : {self.arithmetic_intensity:.3f} flop/B (HBM-bound)",
+            f"speed of light      : {self.sol_nnz_per_s / 1e9:.1f} Gnnz/s",
+        ]
+        if self.measured_nnz_per_s is not None:
+            lines.append(f"measured            : {self.measured_nnz_per_s / 1e9:.1f} Gnnz/s")
+            lines.append(f"fraction of peak    : {100 * self.fraction_of_peak:.1f}%")
+        return "\n".join(lines)
+
+
+def roofline_audit(
+    A: DiaMatrix,
+    measured_nnz_per_s: Optional[float] = None,
+    hbm_bw: float = DEFAULT_HBM_BW,
+) -> RooflineReport:
+    """Traffic model of one DIA matrix-powers step: read all diagonals +
+    the vector, write the result; 2 flops per stored element."""
+    itemsize = jnp.dtype(A.dtype).itemsize
+    n = A.n
+    ndiags = A.data.shape[0]
+    nnz = n * ndiags  # stored elements (incl. structural zeros at edges)
+    bytes_per_step = (ndiags * n + 2 * n) * itemsize  # data + x + y
+    flops = 2 * nnz + 4 * n  # fma per element + shift/correction terms
+    sol = hbm_bw / bytes_per_step * nnz
+    rep = RooflineReport(
+        nnz=nnz,
+        bytes_per_step=bytes_per_step,
+        flops_per_step=flops,
+        arithmetic_intensity=flops / bytes_per_step,
+        sol_nnz_per_s=sol,
+    )
+    if measured_nnz_per_s is not None:
+        rep.measured_nnz_per_s = measured_nnz_per_s
+        rep.fraction_of_peak = measured_nnz_per_s / sol
+    return rep
+
+
+@partial(jax.jit, static_argnames=("s", "reps", "use_pallas"))
+def _chain(A: DiaMatrix, q: jax.Array, s: int, reps: int, use_pallas: bool):
+    if use_pallas:
+        from ca_lanczos_tpu.ops.pallas_spmv import _dia_power_step
+
+        coefs = jnp.zeros(2, q.dtype)
+
+        def body(i, carry):
+            vp, v = carry
+            return (v, _dia_power_step(A.data, v, vp, coefs, A.offsets))
+
+        _, v = lax.fori_loop(0, reps * s, body, (jnp.zeros_like(q), q))
+        return jnp.sum(v)
+
+    from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial
+
+    def body(i, v):
+        return matrix_powers_monomial(A, v, s)[:, s]
+
+    return jnp.sum(lax.fori_loop(0, reps, body, q))
+
+
+def measure_powers_throughput(
+    A: DiaMatrix,
+    s: int = 8,
+    reps_lo: int = 2,
+    reps_hi: int = 12,
+    trials: int = 3,
+    use_pallas: bool = True,
+) -> float:
+    """Device-true nnz/s of the matrix-powers chain (see module doc)."""
+    n = A.n
+    q = jnp.asarray(np.random.default_rng(0).standard_normal(n), A.dtype)
+    try:
+        float(_chain(A, q, s, reps_lo, use_pallas))
+    except Exception:
+        use_pallas = False
+    float(_chain(A, q, s, reps_lo, use_pallas))
+    float(_chain(A, q, s, reps_hi, use_pallas))
+
+    def timed(reps):
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(_chain(A, q, s, reps, use_pallas))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = timed(reps_hi) - timed(reps_lo)
+    return A.n * A.data.shape[0] * s * (reps_hi - reps_lo) / dt
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace for TensorBoard; wrap the region of interest."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
