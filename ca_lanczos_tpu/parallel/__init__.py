@@ -9,6 +9,8 @@ from ca_lanczos_tpu.parallel.dist_orth import (
 )
 from ca_lanczos_tpu.parallel.step import dist_first_block, dist_ca_block, newton_coeffs
 from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos, DistCaLanczosResult
+from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+from ca_lanczos_tpu.parallel.runtime import initialize_multihost, scaling_sweep
 
 __all__ = [
     "make_mesh",
@@ -28,4 +30,7 @@ __all__ = [
     "newton_coeffs",
     "dist_ca_lanczos",
     "DistCaLanczosResult",
+    "dist_restarted_ca_lanczos",
+    "initialize_multihost",
+    "scaling_sweep",
 ]

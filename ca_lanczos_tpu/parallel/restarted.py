@@ -1,0 +1,231 @@
+"""Distributed explicitly-restarted CA-Lanczos over a ('rows',) mesh.
+
+The flagship driver (restarted_ca_lanczos.m) with all large-array state
+row-sharded: the inner CA blocks run as ONE jitted mesh step each
+(halo-exchange matrix powers + psum block CGS against the previous block
+AND the locked converged basis + slot-psum TSQR), Ritz locking and
+restart control remain O((st)^2) host math.
+
+TPU-first twist vs the host driver: the locked basis ``Q_conv`` is kept
+at a FIXED padded width (n_wanted columns, zero-filled beyond nconv) so
+the jitted step compiles once and is reused across all restarts —
+projecting against zero columns is a natural no-op (their Gram rows are
+zero), so no masking or recompilation is needed as eigenpairs lock.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec
+
+from ca_lanczos_tpu.config import Basis, LanczosConfig, RestartStrategy
+from ca_lanczos_tpu.ops.spmv import DiaMatrix, normest
+from ca_lanczos_tpu.parallel.dist_orth import local_project, local_tsqr
+from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
+from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.step import newton_coeffs
+from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
+from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
+from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_converged
+
+
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def _dist_first_block_locked(
+    A: DistDia, q, Qconv, diag, sub, s: int, mesh: Mesh
+):
+    """First CA block of a restart cycle: powers -> TSQR -> lock against
+    Q_conv (restarted_ca_lanczos.m:311-319)."""
+
+    def body(data_block, x_local, Qc_local, dg, sb):
+        V = _powers_local(
+            data_block[0], x_local, dg, sb,
+            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
+        )
+        Qb, R = local_tsqr(V)
+        Qb, _ = local_project(Qc_local, Qb, passes=2)
+        # Renormalize after the projection pass (projectAndNormalize).
+        Qb, _ = local_tsqr(Qb)
+        return Qb, R
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
+            PartitionSpec(), PartitionSpec(),
+        ),
+        out_specs=(PartitionSpec(ROWS), PartitionSpec()),
+    )(A.data, q, Qconv, diag, sub)
+
+
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def _dist_ca_block_locked(
+    A: DistDia, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh
+):
+    """CA block k>1 with locking: project the new block against the
+    previous s+1 columns AND the padded converged basis
+    (restarted_ca_lanczos.m:324)."""
+
+    def body(data_block, Qp_local, Qc_local, dg, sb):
+        q_local = Qp_local[:, -1]
+        V = _powers_local(
+            data_block[0], q_local, dg, sb,
+            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
+        )
+        X = V[:, 1:]
+        Y, Rkk = local_project(Qp_local, X, passes=2)
+        Y, _ = local_project(Qc_local, Y, passes=1)
+        Q_new, R = local_tsqr(Y)
+        return Q_new, Rkk, R
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
+            PartitionSpec(), PartitionSpec(),
+        ),
+        out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+    )(A.data, Q_prev, Qconv, diag, sub)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _dist_ritz_vector(Q_blocks, w, mesh: Mesh):
+    """x = [blocks] @ w on the mesh (row-sharded GEMV)."""
+
+    def body(Qb_local, w_rep):
+        return Qb_local @ w_rep
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PartitionSpec(ROWS), PartitionSpec()),
+        out_specs=PartitionSpec(ROWS),
+    )(Q_blocks, w)
+
+
+def dist_restarted_ca_lanczos(
+    A: DiaMatrix,
+    r,
+    max_lanczos: int,
+    mesh: Mesh,
+    config: LanczosConfig = LanczosConfig(),
+) -> RestartedResult:
+    """Row-sharded restarted CA-Lanczos (flagship, multi-chip).
+
+    Matches solvers.restarted.restarted_ca_lanczos with orth=LOCAL, with
+    the block CGS always two passes (parallel.dist_orth).  The basis of
+    each cycle lives as a (n_pad, s*iters) sharded array assembled from
+    the per-block step outputs.
+    """
+    s = config.s
+    basis = Basis(config.basis)
+    norm_A = normest(A)
+    tol = config.tol * norm_A
+    rng = np.random.default_rng(config.seed)
+
+    r_np = np.asarray(r, np.float64)
+    q_host = r_np / np.linalg.norm(r_np)
+    if basis == Basis.MONOMIAL:
+        Bk = monomial_basis_matrix(s)
+    else:
+        Bk = build_basis_matrix(A, jnp.asarray(q_host), s, basis)
+    diag_np, sub_np = newton_coeffs(Bk)
+
+    Adist = DistDia.from_dia(A, mesh, s_max=s)
+    n, n_pad = A.n, Adist.n_shards * Adist.n_local
+    q = Adist.shard_vector(q_host, mesh)
+    dtype = q.dtype
+    diag = jnp.asarray(diag_np, dtype)
+    sub = jnp.asarray(sub_np, dtype)
+
+    iters = max_lanczos // s
+    if iters == 0:
+        raise ValueError(f"max_lanczos={max_lanczos} < s={s}")
+    m = s * iters
+
+    # Fixed-width padded locked basis (see module doc).
+    Qconv = Adist.shard_vector(np.zeros((n, config.n_wanted)), mesh)
+
+    conv_eigs: List[float] = []
+    conv_rnorms: List[float] = []
+    orth_err: List[float] = []
+    rnorm_rows: List[np.ndarray] = []
+    nconv = 0
+    n_restarts = 0
+    restart = True
+
+    while restart and n_restarts < config.max_restarts:
+        n_restarts += 1
+        b = np.zeros(iters)
+        T: Optional[np.ndarray] = None
+        blocks: List[jax.Array] = []
+
+        Qb, Rk = _dist_first_block_locked(Adist, q, Qconv, diag, sub, s, mesh)
+        blocks.append(Qb)
+        T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
+        for k in range(2, iters + 1):
+            Q_new, Rkk, R = _dist_ca_block_locked(
+                Adist, blocks[-1], Qconv, diag, sub, s, mesh
+            )
+            Tk, b[k - 1], _ = block_T(
+                np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s
+            )
+            T = extend_T(T, Tk, b[k - 2], b[k - 1], s)
+            blocks.append(jnp.concatenate([blocks[-1][:, -1:], Q_new], axis=1))
+
+        # Basis of this cycle (sharded): block 0 cols 0..s-1, later blocks'
+        # new s columns each.
+        Q_cycle = jnp.concatenate(
+            [blocks[0][:, :s]] + [B[:, 1 : s + 1] for B in blocks[1:]], axis=1
+        )[:, :m]
+
+        d, Vp = np.linalg.eigh(T[:m, :m])
+        beta_m = T[m, m - 1]
+        ritz_norms = beta_m * np.abs(Vp[m - 1, :])
+        k_new, d, Vp, ritz_norms = _lock_converged(d, Vp, ritz_norms, tol)
+        k_new = min(k_new, config.n_wanted - nconv)
+
+        for i in range(k_new):
+            x = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, i], dtype), mesh)
+            Qconv = Qconv.at[:, nconv + i].set(x)
+            conv_eigs.append(float(d[i]))
+            conv_rnorms.append(float(ritz_norms[i]))
+        rnorm_rows.append(
+            np.asarray(conv_rnorms + [np.nan] * (config.n_wanted - len(conv_rnorms)))[
+                : config.n_wanted
+            ]
+        )
+        nconv += k_new
+
+        restart = nconv < config.n_wanted
+        if restart:
+            # Start vector from the chosen non-converged Ritz vector
+            # (restarted_ca_lanczos.m:177-180), computed on the mesh.
+            strategy = RestartStrategy(config.restart_strategy)
+            cand = d[k_new:]
+            if len(cand) == 0:
+                idx = m - 1
+            elif strategy == RestartStrategy.SMALLEST:
+                idx = k_new + int(np.argmin(cand))
+            elif strategy == RestartStrategy.CLOSEST_CONV:
+                idx = k_new + int(np.argmin(ritz_norms[k_new:]))
+            elif strategy == RestartStrategy.RANDOM:
+                idx = k_new + int(rng.integers(0, len(cand)))
+            else:
+                idx = k_new + int(np.argmax(cand))
+            q = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, idx], dtype), mesh)
+            nrm = float(jnp.linalg.norm(q))
+            q = q / nrm
+
+    Q_conv_final = Qconv[:n, :nconv] if nconv else None
+    return _finalize(
+        conv_eigs, conv_rnorms, Q_conv_final, n_restarts, rnorm_rows, [],
+        config.n_wanted, not restart,
+    )

@@ -159,3 +159,32 @@ class TestDistCaLanczos:
         Q = res.Q
         G = Q.T @ Q
         np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=1e-8)
+
+
+class TestDistRestarted:
+    def test_flagship_parity(self, mesh):
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        r = np.ones(n)
+        cfg = LanczosConfig(s=4, basis=Basis.NEWTON, orth=Orth.LOCAL, n_wanted=6, tol=1e-8)
+        res = dist_restarted_ca_lanczos(A, r, 32, mesh, cfg)
+        assert res.converged
+        exact = np.linspace(1, 100, n)[::-1][:6]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
+        # Locked Ritz vectors are orthonormal and satisfy the residual tol.
+        Q = np.asarray(res.Q_conv)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(Q.shape[1]), atol=1e-8)
+
+
+class TestScalingSweep:
+    def test_weak_scaling_plumbing(self):
+        from ca_lanczos_tpu.parallel.runtime import scaling_sweep
+
+        recs = scaling_sweep((1, 2, 4), rows_per_device=4096, s=4, reps=2)
+        assert [r["devices"] for r in recs] == [1, 2, 4]
+        for r in recs:
+            assert r["nnz_per_s"] > 0
+        assert recs[0]["weak_efficiency"] == 1.0
