@@ -1,0 +1,159 @@
+"""Row-sharded ELL operator with halo exchange for general sparsity.
+
+Generalizes parallel.distributed.DistDia beyond banded structure: rows
+are partitioned in contiguous blocks; each shard stores its ELL rows
+PLUS the matrix rows of the s-hop ghost region, with column indices
+rebased to the local padded window [start - H, end + H).  The ghost
+depth H is s * b where b = max |col - row| is the *effective bandwidth*
+of the (reordered) matrix — the graph-partition-agnostic contiguous-block
+design of SURVEY.md section 7 ("hard parts"); matrices with unbounded
+bandwidth should be bandwidth-reduced (e.g. RCM) before sharding.
+
+The matrix-powers kernel pays one ppermute halo pair per s local
+gather-SpMVs, exactly like the DIA path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.tree_util import register_dataclass
+
+from ca_lanczos_tpu.ops.spmv import EllMatrix
+from ca_lanczos_tpu.parallel.distributed import _halo_exchange
+from ca_lanczos_tpu.parallel.mesh import ROWS
+
+
+@register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DistEll:
+    """Row-sharded ELL operator with an s-deep matrix halo.
+
+    vals/cols: (P, n_local + 2*halo, k) per-shard padded ELL rows; cols
+    are LOCAL indices into the padded vector window (zero-valued padding
+    entries point at index 0).
+    """
+
+    vals: jax.Array
+    cols: jax.Array
+    halo: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_shards(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def n_local(self) -> int:
+        return self.vals.shape[1] - 2 * self.halo
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @staticmethod
+    def from_ell(A: EllMatrix, mesh: Mesh, s_max: int) -> "DistEll":
+        P_ = mesh.devices.size
+        vals = np.asarray(A.vals)
+        cols = np.asarray(A.cols)
+        n, kk = vals.shape
+        # Effective bandwidth over structural nonzeros.
+        rows = np.arange(n)[:, None]
+        bw = int(np.max(np.abs(np.where(vals != 0, cols - rows, 0)))) if n else 0
+        bw = max(bw, 1)
+        n_local = -(-n // P_)
+        n_pad = n_local * P_
+        halo = s_max * bw
+        if halo >= n_local:
+            raise ValueError(
+                f"halo {halo} (s_max={s_max} x bandwidth {bw}) >= rows/shard "
+                f"{n_local}: reduce bandwidth (e.g. RCM reorder) or lower s"
+            )
+        gv = np.zeros((n_pad + 2 * halo, kk), vals.dtype)
+        gc = np.zeros((n_pad + 2 * halo, kk), np.int64)
+        gv[halo : halo + n] = vals
+        gc[halo : halo + n] = cols
+        sv, sc = [], []
+        for p in range(P_):
+            lo = p * n_local  # global row of padded-window start (row lo - halo)
+            v = gv[lo : lo + n_local + 2 * halo]
+            c = gc[lo : lo + n_local + 2 * halo].copy()
+            # Rebase global columns to the local window [lo - halo, ...).
+            c = c - (lo - halo)
+            # Structural zeros and (for edge shards) columns outside the
+            # window are masked to value 0 / index 0.
+            valid = (v != 0) & (c >= 0) & (c < n_local + 2 * halo)
+            c = np.where(valid, c, 0)
+            v = np.where(valid, v, 0)
+            sv.append(v)
+            sc.append(c)
+        sharding = NamedSharding(mesh, PartitionSpec(ROWS))
+        return DistEll(
+            vals=jax.device_put(jnp.asarray(np.stack(sv)), sharding),
+            cols=jax.device_put(jnp.asarray(np.stack(sc), jnp.int32), sharding),
+            halo=halo,
+            n=n,
+        )
+
+    def shard_vector(self, x, mesh: Mesh) -> jax.Array:
+        x = np.asarray(x)
+        n_pad = self.n_shards * self.n_local
+        xp = np.zeros((n_pad,) + x.shape[1:], x.dtype)
+        xp[: self.n] = x
+        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
+
+
+def _ell_powers_local(
+    vals, cols, x_local, diag, sub, halo: int, n_shards: int, s: int
+):
+    """One halo exchange + s local gather-SpMV recurrence steps."""
+    xp = _halo_exchange(x_local, halo, n_shards)
+
+    def matvec(v):
+        return jnp.sum(vals * jnp.take(v, cols, axis=0), axis=1)
+
+    def step(carry, coeffs):
+        v_km1, v_k = carry
+        d, sb = coeffs
+        w = matvec(v_k) - d * v_k - sb * v_km1
+        return (v_k, w), w
+
+    zero = jnp.zeros_like(xp)
+    _, ws = lax.scan(step, (zero, xp), (diag[:s], sub[:s]))
+    n_local = x_local.shape[0]
+    center = ws[:, halo : halo + n_local]
+    return jnp.concatenate([x_local[None, :], center], axis=0).T
+
+
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def dist_ell_matrix_powers(
+    A: DistEll, x: jax.Array, s: int, diag: jax.Array, sub: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """Distributed matrix powers for general ELL sparsity."""
+
+    def body(v_block, c_block, x_local, dg, sb):
+        return _ell_powers_local(
+            v_block[0], c_block[0], x_local, dg, sb,
+            halo=A.halo, n_shards=A.n_shards, s=s,
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
+            PartitionSpec(), PartitionSpec(),
+        ),
+        out_specs=PartitionSpec(ROWS),
+    )(A.vals, A.cols, x, diag, sub)

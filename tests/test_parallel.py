@@ -188,3 +188,43 @@ class TestScalingSweep:
         for r in recs:
             assert r["nnz_per_s"] > 0
         assert recs[0]["weak_efficiency"] == 1.0
+
+
+class TestDistEll:
+    @pytest.mark.parametrize("s", [1, 2, 4])
+    def test_matches_single_chip(self, mesh, s):
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+        from ca_lanczos_tpu.parallel.dist_ell import DistEll, dist_ell_matrix_powers
+
+        nx, ny = 8, 64  # bandwidth 8 -> halo s*8 <= 32 < 64 rows/shard
+        A = laplacian_2d(nx, ny)
+        Aell = EllMatrix.from_dense(np.asarray(A.to_dense()))
+        n = nx * ny
+        Adist = DistEll.from_ell(Aell, mesh, s_max=s)
+        x = np.random.default_rng(5).standard_normal(n)
+        xs = Adist.shard_vector(x, mesh)
+        z = jnp.zeros(s)
+        V = np.asarray(dist_ell_matrix_powers(Adist, xs, s, z, z, mesh))[:n]
+        V_ref = np.asarray(matrix_powers(Aell, jnp.asarray(x), s, None, Basis.MONOMIAL))
+        np.testing.assert_allclose(V, V_ref, rtol=1e-11, atol=1e-9)
+
+    def test_newton_coeffs(self, mesh):
+        from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_from_B
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+        from ca_lanczos_tpu.parallel.dist_ell import DistEll, dist_ell_matrix_powers
+
+        nx, ny = 8, 64
+        A = laplacian_2d(nx, ny)
+        Aell = EllMatrix.from_dense(np.asarray(A.to_dense()))
+        n = nx * ny
+        s = 4
+        q = jnp.asarray(np.random.default_rng(6).standard_normal(n))
+        Bk = build_basis_matrix(Aell, q / jnp.linalg.norm(q), s, Basis.NEWTON)
+        diag, sub = newton_coeffs(Bk)
+        Adist = DistEll.from_ell(Aell, mesh, s_max=s)
+        xs = Adist.shard_vector(np.asarray(q), mesh)
+        V = np.asarray(
+            dist_ell_matrix_powers(Adist, xs, s, jnp.asarray(diag), jnp.asarray(sub), mesh)
+        )[:n]
+        V_ref = np.asarray(matrix_powers_from_B(Aell, q, Bk))
+        np.testing.assert_allclose(V, V_ref, rtol=1e-11, atol=1e-9)
