@@ -1,0 +1,141 @@
+"""Command-line harness: ``python -m ca_lanczos_tpu <command>``.
+
+The reference's L4 layer is interactive MATLAB scripts; this CLI exposes
+the same experiments as commands writing structured JSONL records.
+
+Commands:
+  propagation  — runLanczos.m experiment (std vs CA propagators + oracle)
+  sweep        — restarted CA-Lanczos (s, orth) sweep over a matrix set
+  info         — corpus metadata (get_matrix_info.m analogue)
+  scaling      — weak-scaling sweep of the distributed matrix-powers kernel
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--out", default=None, help="JSONL output path (default stdout)")
+
+
+def _emit(records, out):
+    lines = [r.to_json() if hasattr(r, "to_json") else json.dumps(r) for r in records]
+    if out:
+        with open(out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {len(lines)} records to {out}")
+    else:
+        print("\n".join(lines))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ca_lanczos_tpu")
+    ap.add_argument(
+        "--platform",
+        default="cpu",
+        choices=["cpu", "tpu", "default"],
+        help="JAX platform; cpu is the float64/complex-safe default "
+        "(complex dtypes hang on the axon TPU relay), 'default' keeps "
+        "the environment's choice",
+    )
+    ap.add_argument("--x64", action="store_true", default=True, help="enable float64")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("propagation", help="harmonic-oscillator propagation experiment")
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--dt", type=float, default=0.025)
+    p.add_argument("--krylov", type=int, default=24)
+    p.add_argument("--s", type=int, default=6)
+    p.add_argument("--no-oracle", action="store_true")
+    _add_common(p)
+
+    p = sub.add_parser("sweep", help="restarted CA-Lanczos parameter sweep")
+    p.add_argument("--mtx", nargs="*", default=[], help=".mtx files (default: synthetic diagonals)")
+    p.add_argument("--s", type=int, nargs="*", default=[1, 2, 4, 6, 8, 10])
+    p.add_argument("--orth", nargs="*", default=["local", "full", "periodic", "selective"])
+    p.add_argument("--max-lanczos", type=int, default=60)
+    p.add_argument("--n-wanted", type=int, default=10)
+    _add_common(p)
+
+    p = sub.add_parser("info", help="matrix metadata")
+    p.add_argument("--mtx", nargs="*", default=[])
+    _add_common(p)
+
+    p = sub.add_parser("scaling", help="weak-scaling sweep on the local mesh")
+    p.add_argument("--devices", type=int, nargs="*", default=None)
+    p.add_argument("--rows-per-device", type=int, default=1 << 18)
+    p.add_argument("--s", type=int, default=8)
+    _add_common(p)
+
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    if args.cmd == "propagation":
+        from ca_lanczos_tpu.harness import run_propagation_experiment
+
+        recs = run_propagation_experiment(
+            n=args.n, dt=args.dt, n_steps=args.steps, krylov_dim=args.krylov,
+            s=args.s, oracle=not args.no_oracle,
+        )
+        _emit(recs, args.out)
+
+    elif args.cmd == "sweep":
+        import numpy as np
+
+        from ca_lanczos_tpu.harness import run_restart_sweep
+        from ca_lanczos_tpu.utils.matrices import diag_spectrum
+        from ca_lanczos_tpu.utils.mmio import load_operator
+
+        if args.mtx:
+            mats = {path: load_operator(path) for path in args.mtx}
+            oracles = None
+        else:
+            mats = {
+                "diag_1e2": diag_spectrum(1000, 1.0, 1e2),
+                "diag_1e4": diag_spectrum(1000, 1.0, 1e4),
+            }
+            oracles = {
+                "diag_1e2": np.linspace(1.0, 1e2, 1000),
+                "diag_1e4": np.linspace(1.0, 1e4, 1000),
+            }
+        recs = run_restart_sweep(
+            mats, s_values=args.s, orths=args.orth,
+            max_lanczos=args.max_lanczos, n_wanted=args.n_wanted, oracles=oracles,
+        )
+        _emit(recs, args.out)
+
+    elif args.cmd == "info":
+        from ca_lanczos_tpu.harness import matrix_info
+        from ca_lanczos_tpu.utils.matrices import diag_spectrum
+        from ca_lanczos_tpu.utils.mmio import load_operator
+
+        if args.mtx:
+            recs = [matrix_info(load_operator(p2), p2) for p2 in args.mtx]
+        else:
+            recs = [matrix_info(diag_spectrum(1000, 1.0, 1e2), "diag_1e2")]
+        _emit(recs, args.out)
+
+    elif args.cmd == "scaling":
+        import jax
+
+        from ca_lanczos_tpu.parallel.runtime import scaling_sweep
+
+        counts = args.devices or [1, len(jax.devices())]
+        recs = scaling_sweep(counts, rows_per_device=args.rows_per_device, s=args.s)
+        _emit(recs, args.out)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
