@@ -228,3 +228,42 @@ class TestDistEll:
         )[:n]
         V_ref = np.asarray(matrix_powers_from_B(Aell, q, Bk))
         np.testing.assert_allclose(V, V_ref, rtol=1e-11, atol=1e-9)
+
+
+class TestDeterminism:
+    """SURVEY section 5: deterministic-collective and cross-device
+    consistency checks standing in for race detection."""
+
+    def test_dist_block_step_bitwise_deterministic(self, mesh):
+        from ca_lanczos_tpu.parallel import dist_first_block
+        from ca_lanczos_tpu.utils.debug import check_deterministic
+
+        s = 4
+        n = 256
+        A = laplacian_1d(n)
+        Adist = DistDia.from_dia(A, mesh, s_max=s)
+        q = Adist.shard_vector(np.ones(n), mesh)
+        z = jnp.zeros(s)
+        assert check_deterministic(
+            lambda: dist_first_block(Adist, q, z, z, s, mesh), reps=3
+        )
+
+    def test_replicated_R_consistent_across_devices(self, mesh):
+        from ca_lanczos_tpu.parallel import dist_first_block
+        from ca_lanczos_tpu.utils.debug import cross_device_consistency
+
+        s = 4
+        n = 256
+        A = laplacian_1d(n)
+        Adist = DistDia.from_dia(A, mesh, s_max=s)
+        q = Adist.shard_vector(np.ones(n), mesh)
+        z = jnp.zeros(s)
+        _, R = dist_first_block(Adist, q, z, z, s, mesh)
+        assert cross_device_consistency(R) == 0.0
+
+    def test_assert_finite(self):
+        from ca_lanczos_tpu.utils.debug import assert_finite
+
+        assert_finite({"a": jnp.ones(3)})
+        with pytest.raises(FloatingPointError):
+            assert_finite(jnp.asarray([1.0, np.nan]))
