@@ -1,4 +1,5 @@
 from ca_lanczos_tpu.ops.spmv import DiaMatrix, EllMatrix, DenseMatrix, spmv, normest
+from ca_lanczos_tpu.ops.bsr import BsrMatrix
 from ca_lanczos_tpu.ops.matrix_powers import (
     matrix_powers,
     matrix_powers_monomial,
@@ -12,6 +13,7 @@ __all__ = [
     "DiaMatrix",
     "EllMatrix",
     "DenseMatrix",
+    "BsrMatrix",
     "spmv",
     "normest",
     "matrix_powers",

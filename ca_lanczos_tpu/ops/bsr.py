@@ -1,0 +1,106 @@
+"""BSR (block sparse row) operator: dense (bm, bn) tiles on the MXU.
+
+The north-star scaling config runs s-step CA-Lanczos on a >=10M-row BSR
+matrix (BASELINE.json configs[4]).  BSR is the production format for
+FEM/multiphysics operators whose sparsity comes in dense node blocks: the
+SpMV becomes a batched (kb) small-matmul contraction — MXU work instead
+of the ELL path's scalar gathers.
+
+Layout: ``vals[i, j]`` is the dense (bm, bn) tile of block-row i at
+block-column ``cols[i, j]``; padding tiles are all-zero with an in-range
+block column.  Static (nb, kb, bm, bn) shapes keep XLA tiling happy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import register_dataclass
+
+
+@register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BsrMatrix:
+    vals: jax.Array  # (nb, kb, bm, bn)
+    cols: jax.Array  # (nb, kb) int32 block-column indices
+
+    @property
+    def block_shape(self) -> Tuple[int, int]:
+        return (self.vals.shape[2], self.vals.shape[3])
+
+    @property
+    def n(self) -> int:
+        return self.vals.shape[0] * self.vals.shape[2]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)  # square operators only
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self) -> int:
+        nb, kb, bm, bn = self.vals.shape
+        return nb * kb * bm * bn
+
+    def exact_nnz(self) -> int:
+        return int(jnp.sum(self.vals != 0))
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        nb, kb, bm, bn = self.vals.shape
+        if x.ndim == 1:
+            xb = x.reshape(-1, bn)[self.cols]  # (nb, kb, bn)
+            y = jnp.einsum("ikab,ikb->ia", self.vals, xb)
+            return y.reshape(nb * bm)
+        m = x.shape[1]
+        xb = x.reshape(-1, bn, m)[self.cols]  # (nb, kb, bn, m)
+        y = jnp.einsum("ikab,ikbm->iam", self.vals, xb)
+        return y.reshape(nb * bm, m)
+
+    def to_dense(self) -> jax.Array:
+        nb, kb, bm, bn = self.vals.shape
+        out = jnp.zeros((nb * bm, nb * bn), self.dtype)
+        for j in range(kb):
+            rr = jnp.arange(nb)[:, None, None] * bm + jnp.arange(bm)[None, :, None]
+            cc = self.cols[:, j][:, None, None] * bn + jnp.arange(bn)[None, None, :]
+            rr = jnp.broadcast_to(rr, (nb, bm, bn))
+            cc = jnp.broadcast_to(cc, (nb, bm, bn))
+            out = out.at[rr, cc].add(self.vals[:, j])
+        return out
+
+    @staticmethod
+    def from_scipy(a, block_size: int = 8) -> "BsrMatrix":
+        """Convert any scipy.sparse matrix; rows/cols padded to a multiple
+        of block_size."""
+        import scipy.sparse as sp
+
+        n = a.shape[0]
+        npad = -(-n // block_size) * block_size
+        if npad != n:
+            a = sp.bmat(
+                [[a, None], [None, sp.eye(npad - n) * 0.0]], format="csr"
+            )
+        bsr = sp.bsr_matrix(a, blocksize=(block_size, block_size))
+        bsr.sort_indices()
+        nb = bsr.shape[0] // block_size
+        counts = np.diff(bsr.indptr)
+        kb = max(1, int(counts.max()))
+        vals = np.zeros((nb, kb, block_size, block_size), bsr.dtype)
+        cols = np.zeros((nb, kb), np.int32)
+        for i in range(nb):
+            lo, hi = bsr.indptr[i], bsr.indptr[i + 1]
+            vals[i, : hi - lo] = bsr.data[lo:hi]
+            cols[i, : hi - lo] = bsr.indices[lo:hi]
+        return BsrMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
+
+    @staticmethod
+    def from_dense(a: np.ndarray, block_size: int = 8) -> "BsrMatrix":
+        import scipy.sparse as sp
+
+        return BsrMatrix.from_scipy(sp.csr_matrix(np.asarray(a)), block_size)

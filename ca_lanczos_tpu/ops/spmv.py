@@ -224,6 +224,8 @@ class DenseMatrix:
         return self.a
 
 
+# BsrMatrix (ops.bsr) also satisfies this protocol; kept out of the Union
+# to avoid an import cycle — Operator is duck-typed (matvec/shape/dtype/nnz).
 Operator = Union[DiaMatrix, EllMatrix, DenseMatrix]
 
 
