@@ -78,3 +78,22 @@ class TestRestartedCaLanczos:
         res = restarted_ca_lanczos(A, r, max_lanczos=40, config=cfg)
         assert res.converged
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-7)
+
+
+class TestCanonicalConfig:
+    def test_reference_restart_diagonal(self):
+        """The reference's canonical restart experiment
+        (test_restart_diagonal_matrices.m:8-28): N=5000,
+        diag(linspace(1,1e4,N)), maxvecs=60, 10 wanted eigs, full orth,
+        tol=1e-8*normest(A); converged eigenvalues must match the exact
+        top of the spectrum."""
+        n = 5000
+        A = diag_spectrum(n, 1.0, 1e4)
+        r = jnp.asarray(np.random.default_rng(0).random(n))
+        cfg = LanczosConfig(s=6, basis=Basis.NEWTON, orth=Orth.FULL, n_wanted=10, tol=1e-8)
+        res = restarted_ca_lanczos(A, r, 60, cfg)
+        assert res.converged
+        exact = np.linspace(1.0, 1e4, n)[::-1][:10]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, atol=1e-7)
+        # Residuals satisfy the scaled tolerance (tol * normest ~ 1e-4).
+        assert np.max(res.conv_rnorms) < 1e-4
