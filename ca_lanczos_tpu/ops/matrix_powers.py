@@ -50,7 +50,8 @@ def matrix_powers_monomial(A: Operator, q: jax.Array, s: int) -> jax.Array:
         w = spmv(A, v)
         return w, w
 
-    _, ws = lax.scan(step, q, None, length=s)
+    with jax.named_scope("matrix_powers_monomial"):
+        _, ws = lax.scan(step, q, None, length=s)
     return jnp.concatenate([q[None, :], ws], axis=0).T
 
 
@@ -65,7 +66,8 @@ def _newton_scan(A: Operator, q: jax.Array, s: int, diag: jax.Array, sub: jax.Ar
         return (v_k, w), w
 
     zero = jnp.zeros_like(q)
-    _, ws = lax.scan(step, (zero, q), (diag[:s], sub[:s]))
+    with jax.named_scope("matrix_powers_newton"):
+        _, ws = lax.scan(step, (zero, q), (diag[:s], sub[:s]))
     return jnp.concatenate([q[None, :], ws], axis=0).T
 
 

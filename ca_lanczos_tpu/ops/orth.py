@@ -44,8 +44,9 @@ DEFAULT_ORTH_PARAMS = OrthParams()
 @jax.jit
 def _proj_block(Q: jax.Array, X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """One CGS block step: R = Q^H X; X <- X - Q R."""
-    R = Q.conj().T @ X
-    return X - Q @ R, R
+    with jax.named_scope("block_cgs"):
+        R = Q.conj().T @ X
+        return X - Q @ R, R
 
 
 @jax.jit

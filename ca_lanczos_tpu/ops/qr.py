@@ -28,8 +28,9 @@ def _sign_fix(Q: jax.Array, R: jax.Array) -> Tuple[jax.Array, jax.Array]:
 @jax.jit
 def tsqr(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Thin QR of X (n, m), n >= m, with diag(R) >= 0."""
-    Q, R = jnp.linalg.qr(X, mode="reduced")
-    return _sign_fix(Q, R)
+    with jax.named_scope("tsqr"):
+        Q, R = jnp.linalg.qr(X, mode="reduced")
+        return _sign_fix(Q, R)
 
 
 @jax.jit

@@ -137,9 +137,10 @@ def _halo_exchange(x_local: jax.Array, halo: int, n_shards: int) -> jax.Array:
     rows beyond the boundary are zero)."""
     fwd = [(i, i + 1) for i in range(n_shards - 1)]
     bwd = [(i + 1, i) for i in range(n_shards - 1)]
-    left = lax.ppermute(x_local[-halo:], ROWS, perm=fwd)
-    right = lax.ppermute(x_local[:halo], ROWS, perm=bwd)
-    return jnp.concatenate([left, x_local, right])
+    with jax.named_scope("halo_exchange"):
+        left = lax.ppermute(x_local[-halo:], ROWS, perm=fwd)
+        right = lax.ppermute(x_local[:halo], ROWS, perm=bwd)
+        return jnp.concatenate([left, x_local, right])
 
 
 def _powers_local(
