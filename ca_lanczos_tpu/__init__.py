@@ -18,7 +18,7 @@ Architecture (TPU-first, not a MATLAB port):
   R factors via an all-gather tree — see ``ca_lanczos_tpu.parallel``.
 """
 
-from ca_lanczos_tpu.config import Basis, Orth, LejaVariant, RestartStrategy
+from ca_lanczos_tpu.config import Basis, Orth, LejaVariant, RestartStrategy, QrMethod, OrthParams, LanczosConfig
 from ca_lanczos_tpu.ops.spmv import DiaMatrix, EllMatrix, DenseMatrix, spmv, normest
 from ca_lanczos_tpu.ops.matrix_powers import (
     matrix_powers_monomial,
@@ -35,6 +35,9 @@ __all__ = [
     "Orth",
     "LejaVariant",
     "RestartStrategy",
+    "QrMethod",
+    "OrthParams",
+    "LanczosConfig",
     "DiaMatrix",
     "EllMatrix",
     "DenseMatrix",

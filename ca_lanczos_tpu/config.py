@@ -54,6 +54,20 @@ class RestartStrategy(str, enum.Enum):
     RANDOM = "random"
 
 
+class QrMethod(str, enum.Enum):
+    """Normalizer backend for the tall-skinny QR.
+
+    TSQR (Householder via XLA) is the parity default; CHOLQR2 (two
+    Cholesky-QR passes, pure Gram matmuls on the MXU) is the TPU
+    production choice — XLA's Householder QR of tall-skinny operands is
+    minutes-slow on TPU, while CholQR2 is two GEMMs + a replicated small
+    Cholesky with equivalent orthogonality for well-conditioned blocks.
+    """
+
+    TSQR = "tsqr"
+    CHOLQR2 = "cholqr2"
+
+
 @dataclasses.dataclass(frozen=True)
 class OrthParams:
     """Block-orthogonalization tolerances.
@@ -66,11 +80,13 @@ class OrthParams:
         second-pass trigger at project.m:44-46, which fires when *no*
         column lost more than half its norm (the conventional BCGS2
         criterion inverted).  If False, the conventional criterion is used.
+    qr_method: normalizer backend (see QrMethod).
     """
 
     reorth_tol: float = 0.5
     rank_tol: float = 1.0e-8
     reference_second_pass: bool = True
+    qr_method: QrMethod = QrMethod.TSQR
 
 
 @dataclasses.dataclass(frozen=True)

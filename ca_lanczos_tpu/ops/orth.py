@@ -35,10 +35,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ca_lanczos_tpu.config import OrthParams
-from ca_lanczos_tpu.ops.qr import tsqr
+from ca_lanczos_tpu.config import OrthParams, QrMethod
+from ca_lanczos_tpu.ops.qr import cholqr2, tsqr
 
 DEFAULT_ORTH_PARAMS = OrthParams()
+
+
+def _qr(X: jax.Array, params: OrthParams):
+    if QrMethod(params.qr_method) == QrMethod.CHOLQR2:
+        return cholqr2(X)
+    return tsqr(X)
 
 
 @jax.jit
@@ -138,7 +144,7 @@ def normalize(
     """
     X2, was_vec = _as_2d(X)
     m = X2.shape[1]
-    Q, R = tsqr(X2)
+    Q, R = _qr(X2, params)
     R_np = np.asarray(R)
     U, S, Wh = np.linalg.svd(R_np)
     abs_tol = params.rank_tol * (S[0] if S.size else 0.0)
@@ -160,7 +166,7 @@ def normalize(
     full_rank_cols = Q[:, :rank]
     blocks = [full_rank_cols] + [b for b in Q_against if b is not None and b.size > 0]
     rnd, _ = project(blocks, rnd)
-    rnd_q, _ = tsqr(rnd)
+    rnd_q, _ = _qr(rnd, params)
     Q = Q.at[:, rank:].set(rnd_q)
     if was_vec:
         Q = Q[:, 0]

@@ -3,11 +3,17 @@
 * ``tsqr`` — thin QR with the sign convention diag(R) >= 0
   (reference: tsqr.m:7-12).  Single-device version; the distributed
   TSQR (local QR + gathered R-stack reduction) lives in
-  ``ca_lanczos_tpu.parallel``.
+  ``ca_lanczos_tpu.parallel``.  Numerically the most robust normalizer
+  but XLA's Householder QR of tall-skinny operands is extremely slow on
+  TPU — use CholQR2 there (config.QrMethod).
 * ``cholqr`` — Cholesky QR (reference: cholqr.m:3-9).  One Gram matmul +
   replicated small Cholesky + triangular solve; the cheapest
   communication pattern on a mesh and the fastest single-chip path when
   the block is well-conditioned.
+* ``cholqr2`` — two Cholesky-QR passes with an escalating diagonal shift
+  (shifted CholQR, Fukaya et al.) applied only when the Cholesky breaks
+  down, so well-conditioned blocks keep machine-level orthogonality and
+  rank-deficient blocks degrade gracefully instead of producing NaNs.
 """
 
 from __future__ import annotations
@@ -33,11 +39,28 @@ def tsqr(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return _sign_fix(Q, R)
 
 
+def _chol_safe(G: jax.Array) -> jax.Array:
+    """Lower Cholesky of a PSD Gram matrix with escalating diagonal shifts
+    on breakdown: 0 -> few-ulp (shifted CholQR) -> 1% of trace.  All three
+    factorizations are m x m (trivial cost); the first finite one wins, so
+    healthy inputs are untouched."""
+    m = G.shape[0]
+    eps = jnp.finfo(jnp.real(G).dtype).eps
+    tr = jnp.trace(jnp.real(G)).astype(G.dtype)
+    eye = jnp.eye(m, dtype=G.dtype)
+    L0 = jnp.linalg.cholesky(G)
+    L1 = jnp.linalg.cholesky(G + (11.0 * (m + 1) * eps * tr) * eye)
+    L2 = jnp.linalg.cholesky(G + (0.01 * tr + eps) * eye)
+    bad0 = jnp.any(jnp.isnan(L0))
+    bad1 = jnp.any(jnp.isnan(L1))
+    return jnp.where(bad0, jnp.where(bad1, L2, L1), L0)
+
+
 @jax.jit
 def cholqr(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Cholesky QR: G = X^H X, R = chol(G) (upper), Q = X R^{-1}."""
     G = X.conj().T @ X
-    L = jnp.linalg.cholesky(G)  # lower
+    L = _chol_safe(G)  # lower
     R = L.conj().T
     # Q = X R^{-1}  <=>  R^T Q^T = X^T (no conjugation: (QR)^T = R^T Q^T)
     Qt = jax.scipy.linalg.solve_triangular(R.T, X.T, lower=True)
@@ -46,11 +69,13 @@ def cholqr(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 @jax.jit
 def cholqr2(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """CholQR2: two passes of Cholesky QR for improved orthogonality.
+    """CholQR2: two safe Cholesky-QR passes.
 
-    Not in the reference; provided as the high-throughput TPU
-    orthogonalizer (Gram matmuls ride the MXU, no Householder
-    sequential dependency).
+    Not in the reference; the high-throughput TPU orthogonalizer (Gram
+    matmuls ride the MXU, no Householder sequential dependency).  Valid
+    to machine orthogonality for cond(X) < ~eps^{-1/2}; beyond that the
+    escalating shifts keep the result finite and the drivers' rank
+    checks / conditional reorthogonalization take over.
     """
     Q1, R1 = cholqr(X)
     Q2, R2 = cholqr(Q1)

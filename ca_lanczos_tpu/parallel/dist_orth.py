@@ -65,10 +65,30 @@ def local_tsqr(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def local_cholqr(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """CholQR across the rows axis (cholqr.m:3-9): G = psum(X^T X),
     R = chol(G), Q = X R^{-1}.  Call inside shard_map."""
+    from ca_lanczos_tpu.ops.qr import _chol_safe
+
     G = lax.psum(X_local.T @ X_local, ROWS)
-    R = jnp.linalg.cholesky(G, upper=True)
+    R = _chol_safe(G).conj().T
     Q = lax.linalg.triangular_solve(R, X_local, left_side=False, lower=False)
     return Q, R
+
+
+def local_cholqr2(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Two distributed CholQR passes — the TPU-production normalizer
+    (XLA's Householder QR of tall-skinny shards is minutes-slow on TPU;
+    see config.QrMethod).  Valid for cond(X) < ~eps^{-1/2}."""
+    Q1, R1 = local_cholqr(X_local)
+    Q2, R2 = local_cholqr(Q1)
+    return Q2, R2 @ R1
+
+
+def local_qr(X_local: jax.Array, qr_method: str = "tsqr"):
+    """Dispatch on config.QrMethod value."""
+    from ca_lanczos_tpu.config import QrMethod
+
+    if QrMethod(qr_method) == QrMethod.CHOLQR2:
+        return local_cholqr2(X_local)
+    return local_tsqr(X_local)
 
 
 def local_gram(Q_local: jax.Array, X_local: jax.Array) -> jax.Array:

@@ -55,6 +55,7 @@ def dist_ca_lanczos(
     mesh: Mesh,
     basis: Basis = Basis.MONOMIAL,
     Bk: Optional[np.ndarray] = None,
+    qr_method: str = "tsqr",
 ) -> DistCaLanczosResult:
     """Row-sharded CA-Lanczos over ``mesh`` (local orthogonalization).
 
@@ -82,12 +83,12 @@ def dist_ca_lanczos(
     b = np.zeros(t)
     T: Optional[np.ndarray] = None
 
-    Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh)
+    Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh, qr_method)
     Q_blocks.append(Qb)
     T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
 
     for k in range(2, t + 1):
-        Q_new, Rkk, R = dist_ca_block(Adist, Q_blocks[-1], diag, sub, s, mesh)
+        Q_new, Rkk, R = dist_ca_block(Adist, Q_blocks[-1], diag, sub, s, mesh, qr_method)
         Tk, b[k - 1], _ = block_T(
             np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s
         )

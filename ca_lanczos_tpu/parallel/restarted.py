@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec
 
 from ca_lanczos_tpu.config import Basis, LanczosConfig, RestartStrategy
 from ca_lanczos_tpu.ops.spmv import DiaMatrix, normest
-from ca_lanczos_tpu.parallel.dist_orth import local_project, local_tsqr
+from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr, local_tsqr
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
 from ca_lanczos_tpu.parallel.mesh import ROWS
 from ca_lanczos_tpu.parallel.step import newton_coeffs
@@ -35,9 +35,9 @@ from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis
 from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_converged
 
 
-@partial(jax.jit, static_argnames=("s", "mesh"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def _dist_first_block_locked(
-    A: DistDia, q, Qconv, diag, sub, s: int, mesh: Mesh
+    A: DistDia, q, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
 ):
     """First CA block of a restart cycle: powers -> TSQR -> lock against
     Q_conv (restarted_ca_lanczos.m:311-319)."""
@@ -47,10 +47,10 @@ def _dist_first_block_locked(
             data_block[0], x_local, dg, sb,
             offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
         )
-        Qb, R = local_tsqr(V)
+        Qb, R = local_qr(V, qr_method)
         Qb, _ = local_project(Qc_local, Qb, passes=2)
         # Renormalize after the projection pass (projectAndNormalize).
-        Qb, _ = local_tsqr(Qb)
+        Qb, _ = local_qr(Qb, qr_method)
         return Qb, R
 
     return jax.shard_map(
@@ -64,9 +64,9 @@ def _dist_first_block_locked(
     )(A.data, q, Qconv, diag, sub)
 
 
-@partial(jax.jit, static_argnames=("s", "mesh"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def _dist_ca_block_locked(
-    A: DistDia, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh
+    A: DistDia, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
 ):
     """CA block k>1 with locking: project the new block against the
     previous s+1 columns AND the padded converged basis
@@ -81,7 +81,7 @@ def _dist_ca_block_locked(
         X = V[:, 1:]
         Y, Rkk = local_project(Qp_local, X, passes=2)
         Y, _ = local_project(Qc_local, Y, passes=1)
-        Q_new, R = local_tsqr(Y)
+        Q_new, R = local_qr(Y, qr_method)
         return Q_new, Rkk, R
 
     return jax.shard_map(
@@ -167,12 +167,13 @@ def dist_restarted_ca_lanczos(
         T: Optional[np.ndarray] = None
         blocks: List[jax.Array] = []
 
-        Qb, Rk = _dist_first_block_locked(Adist, q, Qconv, diag, sub, s, mesh)
+        qr_m = str(config.orth_params.qr_method.value)
+        Qb, Rk = _dist_first_block_locked(Adist, q, Qconv, diag, sub, s, mesh, qr_m)
         blocks.append(Qb)
         T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
         for k in range(2, iters + 1):
             Q_new, Rkk, R = _dist_ca_block_locked(
-                Adist, blocks[-1], Qconv, diag, sub, s, mesh
+                Adist, blocks[-1], Qconv, diag, sub, s, mesh, qr_m
             )
             Tk, b[k - 1], _ = block_T(
                 np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-from ca_lanczos_tpu.parallel.dist_orth import local_project, local_tsqr
+from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr, local_tsqr
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
 from ca_lanczos_tpu.parallel.mesh import ROWS
 
@@ -39,9 +39,10 @@ def newton_coeffs(Bk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return diag, sup
 
 
-@partial(jax.jit, static_argnames=("s", "mesh"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def dist_first_block(
-    A: DistDia, q: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh
+    A: DistDia, q: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
+    qr_method: str = "tsqr",
 ):
     """First CA block: V = powers(q); [Q, R] = TSQR(V)
     (ca_lanczos.m:176-182).  Returns (Q (n, s+1) sharded, R (s+1, s+1))."""
@@ -51,7 +52,7 @@ def dist_first_block(
             data_block[0], x_local, dg, sb,
             offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
         )
-        Q, R = local_tsqr(V)
+        Q, R = local_qr(V, qr_method)
         return Q, R
 
     return jax.shard_map(
@@ -62,9 +63,10 @@ def dist_first_block(
     )(A.data, q, diag, sub)
 
 
-@partial(jax.jit, static_argnames=("s", "mesh"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def dist_ca_block(
-    A: DistDia, Q_prev: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh
+    A: DistDia, Q_prev: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
+    qr_method: str = "tsqr",
 ):
     """One CA block step k>1 (ca_lanczos.m:185-214 device portion).
 
@@ -83,7 +85,7 @@ def dist_ca_block(
         )
         X = V[:, 1:]
         Y, Rkk = local_project(Qp_local, X, passes=2)
-        Q_new, R = local_tsqr(Y)
+        Q_new, R = local_qr(Y, qr_method)
         return Q_new, Rkk, R
 
     return jax.shard_map(

@@ -267,3 +267,20 @@ class TestDeterminism:
         assert_finite({"a": jnp.ones(3)})
         with pytest.raises(FloatingPointError):
             assert_finite(jnp.asarray([1.0, np.nan]))
+
+
+class TestDistCholqr2Path:
+    def test_dist_driver_cholqr2_parity(self, mesh):
+        """The TPU-production QR backend (cholqr2) matches TSQR Ritz
+        values on a well-conditioned Newton-basis run."""
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        r = jnp.ones((n,), jnp.float64)
+        s, steps = 4, 32
+        q = r / jnp.linalg.norm(r)
+        Bk = build_basis_matrix(A, q, s, Basis.NEWTON)
+        res_t = dist_ca_lanczos(A, r, s, steps, mesh, basis=Basis.NEWTON, Bk=Bk, qr_method="tsqr")
+        res_c = dist_ca_lanczos(A, r, s, steps, mesh, basis=Basis.NEWTON, Bk=Bk, qr_method="cholqr2")
+        d_t = np.sort(np.linalg.eigvalsh(res_t.T))
+        d_c = np.sort(np.linalg.eigvalsh(res_c.T))
+        np.testing.assert_allclose(d_c, d_t, rtol=1e-9, atol=1e-9)
