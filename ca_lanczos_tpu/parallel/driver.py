@@ -19,9 +19,10 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ca_lanczos_tpu.config import Basis
-from ca_lanczos_tpu.ops.spmv import DiaMatrix
+from ca_lanczos_tpu.ops.spmv import DiaMatrix, EllMatrix
 from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
 from ca_lanczos_tpu.solvers.ca_lanczos import monomial_basis_matrix
+from ca_lanczos_tpu.parallel.dist_ell import DistEll
 from ca_lanczos_tpu.parallel.distributed import DistDia
 from ca_lanczos_tpu.parallel.step import dist_ca_block, dist_first_block, newton_coeffs
 
@@ -48,7 +49,7 @@ class DistCaLanczosResult:
 
 
 def dist_ca_lanczos(
-    A: DiaMatrix,
+    A,
     r,
     s: int,
     total_steps: int,
@@ -60,8 +61,9 @@ def dist_ca_lanczos(
     """Row-sharded CA-Lanczos over ``mesh`` (local orthogonalization).
 
     Semantics mirror solvers.ca_lanczos with orth=LOCAL, except the block
-    CGS always runs two passes (see parallel.dist_orth).  For the Newton
-    basis pass a precomputed ``Bk`` (e.g. from
+    CGS always runs two passes (see parallel.dist_orth).  A may be a
+    DiaMatrix (banded) or EllMatrix (general bounded-bandwidth sparsity);
+    for the Newton basis pass a precomputed ``Bk`` (e.g. from
     solvers.ca_lanczos.build_basis_matrix on the host operator).
     """
     basis = Basis(basis)
@@ -72,7 +74,10 @@ def dist_ca_lanczos(
         Bk = monomial_basis_matrix(s)
     diag_np, sub_np = newton_coeffs(Bk)
 
-    Adist = DistDia.from_dia(A, mesh, s_max=s)
+    if isinstance(A, EllMatrix):
+        Adist = DistEll.from_ell(A, mesh, s_max=s)
+    else:
+        Adist = DistDia.from_dia(A, mesh, s_max=s)
     r = np.asarray(r)
     q = Adist.shard_vector(r / np.linalg.norm(r), mesh)
     dtype = q.dtype

@@ -22,8 +22,31 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
 from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr, local_tsqr
+from ca_lanczos_tpu.parallel.dist_ell import DistEll, _ell_powers_local
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
 from ca_lanczos_tpu.parallel.mesh import ROWS
+
+
+def _local_powers_fn(A, s: int):
+    """Uniform (operand_blocks..., x_local, diag, sub) -> (n_local, s+1)
+    powers closure for DistDia or DistEll shards, plus the operand arrays
+    to thread through shard_map."""
+    if isinstance(A, DistEll):
+        def body_ell(v_block, c_block, x_local, dg, sb):
+            return _ell_powers_local(
+                v_block[0], c_block[0], x_local, dg, sb,
+                halo=A.halo, n_shards=A.n_shards, s=s,
+            )
+
+        return body_ell, (A.vals, A.cols)
+
+    def body_dia(data_block, x_local, dg, sb):
+        return _powers_local(
+            data_block[0], x_local, dg, sb,
+            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
+        )
+
+    return body_dia, (A.data,)
 
 
 def newton_coeffs(Bk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -41,31 +64,31 @@ def newton_coeffs(Bk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 @partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def dist_first_block(
-    A: DistDia, q: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
+    A, q: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
     qr_method: str = "tsqr",
 ):
     """First CA block: V = powers(q); [Q, R] = TSQR(V)
-    (ca_lanczos.m:176-182).  Returns (Q (n, s+1) sharded, R (s+1, s+1))."""
+    (ca_lanczos.m:176-182).  A is a DistDia or DistEll; returns
+    (Q (n, s+1) sharded, R (s+1, s+1))."""
+    powers, operands = _local_powers_fn(A, s)
 
-    def body(data_block, x_local, dg, sb):
-        V = _powers_local(
-            data_block[0], x_local, dg, sb,
-            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
-        )
+    def body(*args):
+        *op_blocks, x_local, dg, sb = args
+        V = powers(*op_blocks, x_local, dg, sb)
         Q, R = local_qr(V, qr_method)
         return Q, R
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec()),
-    )(A.data, q, diag, sub)
+    )(*operands, q, diag, sub)
 
 
 @partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def dist_ca_block(
-    A: DistDia, Q_prev: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
+    A, Q_prev: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
     qr_method: str = "tsqr",
 ):
     """One CA block step k>1 (ca_lanczos.m:185-214 device portion).
@@ -77,12 +100,12 @@ def dist_ca_block(
     inputs of the Tk recurrence (solvers._block.block_T).
     """
 
-    def body(data_block, Qp_local, dg, sb):
+    powers, operands = _local_powers_fn(A, s)
+
+    def body(*args):
+        *op_blocks, Qp_local, dg, sb = args
         q_local = Qp_local[:, -1]
-        V = _powers_local(
-            data_block[0], q_local, dg, sb,
-            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
-        )
+        V = powers(*op_blocks, q_local, dg, sb)
         X = V[:, 1:]
         Y, Rkk = local_project(Qp_local, X, passes=2)
         Q_new, R = local_qr(Y, qr_method)
@@ -91,6 +114,6 @@ def dist_ca_block(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
-    )(A.data, Q_prev, diag, sub)
+    )(*operands, Q_prev, diag, sub)

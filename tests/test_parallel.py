@@ -284,3 +284,22 @@ class TestDistCholqr2Path:
         d_t = np.sort(np.linalg.eigvalsh(res_t.T))
         d_c = np.sort(np.linalg.eigvalsh(res_c.T))
         np.testing.assert_allclose(d_c, d_t, rtol=1e-9, atol=1e-9)
+
+
+class TestDistEllDriver:
+    def test_ell_driver_parity(self, mesh):
+        """dist_ca_lanczos on a general ELL operator matches the
+        single-chip driver."""
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+
+        nx, ny = 8, 64
+        Ad = laplacian_2d(nx, ny)
+        A = EllMatrix.from_dense(np.asarray(Ad.to_dense()))
+        n = nx * ny
+        r = jnp.ones((n,), jnp.float64)
+        s, steps = 4, 24
+        res_d = dist_ca_lanczos(A, r, s, steps, mesh, basis=Basis.MONOMIAL)
+        res_1 = ca_lanczos(A, r, s, steps, basis=Basis.MONOMIAL, orth=Orth.LOCAL)
+        d_dist = np.sort(np.linalg.eigvalsh(res_d.T))
+        d_one = np.sort(np.linalg.eigvalsh(res_1.T))
+        np.testing.assert_allclose(d_dist, d_one, rtol=1e-8, atol=1e-8)
