@@ -11,6 +11,9 @@ from ca_lanczos_tpu.solvers.propagators import (
     ca_lanczos_prop,
     propagate,
     PropResult,
+    lanczos_prop_split,
+    propagate_split,
+    SplitPropResult,
 )
 from ca_lanczos_tpu.solvers.sstep import sstep_lanczos, sstep_lanczos_prop, SstepResult
 from ca_lanczos_tpu.solvers.arnoldi import arnoldi
@@ -40,6 +43,9 @@ __all__ = [
     "ca_lanczos_prop",
     "propagate",
     "PropResult",
+    "lanczos_prop_split",
+    "propagate_split",
+    "SplitPropResult",
     "sstep_lanczos",
     "sstep_lanczos_prop",
     "SstepResult",

@@ -253,3 +253,119 @@ def propagate(
             raise ValueError(f"unknown method {method}")
         psi = res.apply_exp(dt, nrm)
     return psi
+
+
+# ---------------------------------------------------------------------------
+# Real/imag-split path: complex wavefunction as an (n, 2) real multivector.
+#
+# TPU backends without a (working) complex lowering run the whole Krylov
+# recurrence in real arithmetic: the Hamiltonian is real symmetric, so
+# spmv(H, psi_ri) on the stacked [re, im] columns IS the complex SpMV, and
+# the Lanczos coefficients are real.  Only the final exp(-i dt T) e1
+# coefficients are complex — applied as a 2x2 real rotation per column.
+# ---------------------------------------------------------------------------
+
+
+def _to_split(psi) -> jax.Array:
+    """(n,) complex -> (n, 2) real [re, im]."""
+    psi = jnp.asarray(psi)
+    if psi.ndim == 2:
+        return psi
+    return jnp.stack([jnp.real(psi), jnp.imag(psi)], axis=1)
+
+
+def _from_split(psi_ri: jax.Array) -> np.ndarray:
+    p = np.asarray(psi_ri)
+    return p[:, 0] + 1j * p[:, 1]
+
+
+@jax.jit
+def _prop_step_split(H: Operator, qj: jax.Array, qjm1: jax.Array, beta_prev: jax.Array):
+    """One Lanczos step on the (n, 2) split representation: alpha =
+    Re <q, r> = sum(q_re r_re + q_im r_im); the Im part vanishes for
+    Hermitian H and is dropped (it is roundoff noise)."""
+    r = spmv(H, qj) - beta_prev * qjm1
+    alpha = jnp.sum(qj * r)
+    r = r - alpha * qj
+    beta = jnp.sqrt(jnp.sum(r * r))
+    return r / beta, alpha, beta
+
+
+@dataclasses.dataclass
+class SplitPropResult:
+    """Krylov factorization with the basis in split (n, 2, m) layout."""
+
+    T: np.ndarray
+    Q: jax.Array  # (n, 2, m)
+    n_steps: int
+    residual: float
+
+    def apply_exp(self, dt: float, nrm: float) -> jax.Array:
+        """psi(t+dt) in (n, 2) split layout."""
+        m = self.T.shape[0]
+        E = _expm_tridiag(self.T, dt)
+        c = E[:m, 0] * nrm
+        cr = jnp.asarray(np.real(c), self.Q.dtype)
+        ci = jnp.asarray(np.imag(c), self.Q.dtype)
+        Qre, Qim = self.Q[:, 0, :], self.Q[:, 1, :]
+        out_re = Qre @ cr - Qim @ ci
+        out_im = Qre @ ci + Qim @ cr
+        return jnp.stack([out_re, out_im], axis=1)
+
+
+def lanczos_prop_split(
+    H: Operator,
+    r0,
+    maxiter: int,
+    dt: float,
+    tol: float = 1.0e-10,
+    adaptive: bool = False,
+) -> SplitPropResult:
+    """lanczos_prop on the split representation — numerically identical
+    to the complex path for real symmetric H (lanczos_prop.m:15-61), but
+    runs entirely in real arithmetic (TPU-safe)."""
+    psi = _to_split(r0)
+    n = psi.shape[0]
+    nrm = float(jnp.sqrt(jnp.sum(psi * psi)))
+    q = psi / nrm
+
+    Q = jnp.zeros((n, 2, maxiter + 1), q.dtype).at[:, :, 0].set(q)
+    alpha = np.zeros(maxiter)
+    beta = np.zeros(maxiter)
+    residual = np.inf
+    j = 0
+    for j in range(1, maxiter + 1):
+        qj = Q[:, :, j - 1]
+        qjm1 = Q[:, :, j - 2] if j > 1 else jnp.zeros_like(qj)
+        bprev = jnp.asarray(beta[j - 2] if j > 1 else 0.0, q.dtype)
+        qn, a, b = _prop_step_split(H, qj, qjm1, bprev)
+        alpha[j - 1] = float(a)
+        beta[j - 1] = float(b)
+        Q = Q.at[:, :, j].set(qn)
+        if j >= 3:
+            T = _tridiag(alpha[:j], beta[:j])
+            E = _expm_tridiag(T, dt)
+            residual = abs(dt * beta[j - 1] * E[j - 1, 0] * nrm)
+            if residual < tol and adaptive:
+                break
+
+    T = _tridiag(alpha[:j], beta[:j])
+    return SplitPropResult(T=T, Q=Q[:, :, :j], n_steps=j, residual=float(residual))
+
+
+def propagate_split(
+    H: Operator,
+    psi0,
+    dt: float,
+    n_steps: int,
+    krylov_dim: int = 24,
+    tol: float = 1.0e-10,
+    adaptive: bool = False,
+) -> np.ndarray:
+    """Split-representation time loop; returns the final complex psi."""
+    psi = _to_split(psi0)
+    for _ in range(n_steps):
+        nrm = float(jnp.sqrt(jnp.sum(psi * psi)))
+        res = lanczos_prop_split(H, psi, krylov_dim, dt, tol, adaptive)
+        psi = res.apply_exp(dt, nrm)
+    return _from_split(psi)

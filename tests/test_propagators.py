@@ -86,3 +86,36 @@ class TestPropagateLoop:
         np.testing.assert_allclose(
             float(jnp.linalg.norm(out)), float(jnp.linalg.norm(psi)), rtol=1e-10
         )
+
+
+class TestSplitPath:
+    """Real/imag-split propagation (the TPU-safe path) must match the
+    complex path to roundoff."""
+
+    def test_matches_complex(self, ho):
+        """Early-step T entries agree to roundoff (once the Krylov space
+        converges, eps-level reduction-order differences diverge the
+        trajectories — both stay accurate, see the oracle test)."""
+        from ca_lanczos_tpu.solvers.propagators import lanczos_prop_split
+
+        H, psi = ho
+        dt = 0.025
+        res_c = lanczos_prop(H, psi, 20, dt)
+        res_s = lanczos_prop_split(H, psi, 20, dt)
+        np.testing.assert_allclose(res_s.T[:8, :8], res_c.T[:8, :8], atol=1e-10)
+        out_c = np.asarray(res_c.apply_exp(dt, float(jnp.linalg.norm(psi))))
+        out_s = np.asarray(res_s.apply_exp(dt, float(jnp.linalg.norm(psi))))
+        out_s = out_s[:, 0] + 1j * out_s[:, 1]
+        np.testing.assert_allclose(out_s, out_c, atol=1e-10)
+
+    def test_propagate_split_vs_expm(self, ho):
+        import scipy.linalg
+
+        from ca_lanczos_tpu.solvers.propagators import propagate_split
+
+        H, psi = ho
+        dt, n_steps = 0.025, 10
+        out = propagate_split(H, psi, dt, n_steps, krylov_dim=24)
+        Hd = np.asarray(H.to_dense())
+        ref = scipy.linalg.expm(-1j * dt * n_steps * Hd) @ np.asarray(psi)
+        assert np.max(np.abs(out - ref)) < 1e-9
