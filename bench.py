@@ -14,10 +14,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 from functools import partial
 
 import jax
+
+# Persistent compilation cache: first-compile of the kernels through the
+# remote compile helper costs minutes; cached reruns take seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
