@@ -143,3 +143,76 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@partial(jax.jit, static_argnames=("s", "blocks", "use_pallas"))
+def _ca_chain(A: DiaMatrix, Q0: jax.Array, s: int, blocks: int, use_pallas: bool):
+    """``blocks`` fully-fused CA iterations: matrix powers from the carry
+    block's last column, two-pass CGS against the carry, CholQR2 — the
+    production serving step (all on device, no host syncs)."""
+    from ca_lanczos_tpu.ops.qr import cholqr2
+
+    if use_pallas:
+        from ca_lanczos_tpu.ops.pallas_spmv import _dia_power_step
+
+        coefs = jnp.zeros(2, Q0.dtype)
+
+        def powers(q):
+            cols = [q]
+            vp = jnp.zeros_like(q)
+            v = q
+            for _ in range(s):
+                w = _dia_power_step(A.data, v, vp, coefs, A.offsets)
+                cols.append(w)
+                vp, v = v, w
+            return jnp.stack(cols, axis=1)
+    else:
+        from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial
+
+        def powers(q):
+            return matrix_powers_monomial(A, q, s)
+
+    def body(i, Qp):
+        V = powers(Qp[:, -1])
+        X = V[:, 1:]
+        for _ in range(2):
+            X = X - Qp @ (Qp.T @ X)
+        Qn, _ = cholqr2(X)
+        return jnp.concatenate([Qp[:, -1:], Qn], axis=1)
+
+    Qp = lax.fori_loop(0, blocks, body, Q0)
+    return jnp.sum(Qp[:, -1])
+
+
+def measure_ca_iteration_throughput(
+    A: DiaMatrix,
+    s: int = 8,
+    blocks_lo: int = 2,
+    blocks_hi: int = 10,
+    trials: int = 3,
+    use_pallas: bool = True,
+) -> float:
+    """CA-Lanczos iterations/second (one iteration = s SpMVs + block orth),
+    fully fused on device with latency-cancelled timing — the
+    'iters/sec vs s' north-star metric (BASELINE.md)."""
+    n = A.n
+    rng = np.random.default_rng(0)
+    Q0, _ = np.linalg.qr(rng.standard_normal((n, s + 1)))
+    Q0 = jnp.asarray(Q0, A.dtype)
+    try:
+        float(_ca_chain(A, Q0, s, blocks_lo, use_pallas))
+    except Exception:
+        use_pallas = False
+    float(_ca_chain(A, Q0, s, blocks_lo, use_pallas))
+    float(_ca_chain(A, Q0, s, blocks_hi, use_pallas))
+
+    def timed(blocks):
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(_ca_chain(A, Q0, s, blocks, use_pallas))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = timed(blocks_hi) - timed(blocks_lo)
+    return (blocks_hi - blocks_lo) / dt

@@ -66,3 +66,10 @@ class TestRoofline:
         A = laplacian_1d(2048, dtype=jnp.float32)
         rate = measure_powers_throughput(A, s=2, reps_lo=1, reps_hi=3, trials=1)
         assert rate > 0
+
+    def test_ca_iteration_throughput_runs(self):
+        from ca_lanczos_tpu.utils.profiling import measure_ca_iteration_throughput
+
+        A = laplacian_1d(2048, dtype=jnp.float32)
+        rate = measure_ca_iteration_throughput(A, s=2, blocks_lo=1, blocks_hi=3, trials=1)
+        assert rate > 0
