@@ -131,7 +131,10 @@ def measure_powers_throughput(
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    dt = timed(reps_hi) - timed(reps_lo)
+    t_hi, t_lo = timed(reps_hi), timed(reps_lo)
+    dt = t_hi - t_lo
+    if dt <= 0:  # timing noise beat the latency-cancellation margin
+        return A.n * A.data.shape[0] * s * reps_hi / t_hi
     return A.n * A.data.shape[0] * s * (reps_hi - reps_lo) / dt
 
 
@@ -214,5 +217,8 @@ def measure_ca_iteration_throughput(
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    dt = timed(blocks_hi) - timed(blocks_lo)
+    t_hi, t_lo = timed(blocks_hi), timed(blocks_lo)
+    dt = t_hi - t_lo
+    if dt <= 0:  # timing noise beat the latency-cancellation margin
+        return blocks_hi / t_hi
     return (blocks_hi - blocks_lo) / dt
