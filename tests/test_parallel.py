@@ -303,3 +303,20 @@ class TestDistEllDriver:
         d_dist = np.sort(np.linalg.eigvalsh(res_d.T))
         d_one = np.sort(np.linalg.eigvalsh(res_1.T))
         np.testing.assert_allclose(d_dist, d_one, rtol=1e-8, atol=1e-8)
+
+
+class TestDistRestartedCholqr2:
+    def test_flagship_cholqr2(self, mesh):
+        from ca_lanczos_tpu.config import LanczosConfig, OrthParams, QrMethod
+        from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        cfg = LanczosConfig(
+            s=4, basis=Basis.NEWTON, n_wanted=6, tol=1e-8,
+            orth_params=OrthParams(qr_method=QrMethod.CHOLQR2),
+        )
+        res = dist_restarted_ca_lanczos(A, np.ones(n), 32, mesh, cfg)
+        assert res.converged
+        exact = np.linspace(1, 100, n)[::-1][:6]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
