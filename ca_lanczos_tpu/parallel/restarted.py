@@ -95,6 +95,31 @@ def _dist_ca_block_locked(
     )(A.data, Q_prev, Qconv, diag, sub)
 
 
+@partial(jax.jit, static_argnames=("mesh", "qr_method"))
+def _dist_reorth(Qhist, X, mesh: Mesh, qr_method: str = "tsqr"):
+    """Re-orthogonalize X against the zero-padded cycle history (two CGS
+    passes + renormalize) — the device step behind the distributed FULL
+    and PERIODIC modes.  Unwritten (zero) history columns project as
+    no-ops, so the step keeps one static shape for the whole cycle.
+
+    Mirrors the reference's extra projectAndNormalize whose R factors are
+    discarded (restarted_ca_lanczos.m:333, :544): T keeps the first-pass
+    factors; the cleanup only restores orthogonality.
+    """
+
+    def body(Qh_local, X_local):
+        Y, _ = local_project(Qh_local, X_local, passes=2)
+        Q, _ = local_qr(Y, qr_method)
+        return Q
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS)),
+        out_specs=PartitionSpec(ROWS),
+    )(Qhist, X)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def _dist_ritz_vector(Q_blocks, w, mesh: Mesh):
     """x = [blocks] @ w on the mesh (row-sharded GEMV)."""
@@ -119,13 +144,26 @@ def dist_restarted_ca_lanczos(
 ) -> RestartedResult:
     """Row-sharded restarted CA-Lanczos (flagship, multi-chip).
 
-    Matches solvers.restarted.restarted_ca_lanczos with orth=LOCAL, with
-    the block CGS always two passes (parallel.dist_orth).  The basis of
-    each cycle lives as a (n_pad, s*iters) sharded array assembled from
-    the per-block step outputs.
+    Matches solvers.restarted.restarted_ca_lanczos, with the block CGS
+    always two passes (parallel.dist_orth).  Supported orth modes:
+    LOCAL (default), FULL (every block re-orthogonalized against the
+    zero-padded cycle history — one static-shape jitted step), and
+    PERIODIC (host omega recurrence triggers the same history reorth,
+    restarted_ca_lanczos.m:531-546).  The basis of each cycle lives as a
+    (n_pad, s*iters) sharded array assembled from the per-block step
+    outputs.
     """
+    from ca_lanczos_tpu.config import Orth
+    from ca_lanczos_tpu.utils.diagnostics import OmegaRecurrence
+
     s = config.s
     basis = Basis(config.basis)
+    orth = Orth(config.orth)
+    if orth == Orth.SELECTIVE:
+        raise NotImplementedError(
+            "distributed selective orth is not implemented; use the "
+            "single-chip driver (ROADMAP.md)"
+        )
     norm_A = normest(A)
     tol = config.tol * norm_A
     rng = np.random.default_rng(config.seed)
@@ -161,16 +199,31 @@ def dist_restarted_ca_lanczos(
     n_restarts = 0
     restart = True
 
+    _EPS = float(np.finfo(np.float64).eps)
+
     while restart and n_restarts < config.max_restarts:
         n_restarts += 1
         b = np.zeros(iters)
         T: Optional[np.ndarray] = None
         blocks: List[jax.Array] = []
 
+        # Zero-padded cycle history for FULL/PERIODIC reorth; slot j holds
+        # basis column j (m+1 columns incl. the trailing one), written
+        # after each block's own orth step so a block never projects
+        # against itself.
+        Qhist = (
+            Adist.shard_vector(np.zeros((n, m + 1)), mesh)
+            if orth in (Orth.FULL, Orth.PERIODIC)
+            else None
+        )
+        omega = OmegaRecurrence(norm_A) if orth == Orth.PERIODIC else None
+
         qr_m = str(config.orth_params.qr_method.value)
         Qb, Rk = _dist_first_block_locked(Adist, q, Qconv, diag, sub, s, mesh, qr_m)
         blocks.append(Qb)
         T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
+        if Qhist is not None:
+            Qhist = Qhist.at[:, : s + 1].set(Qb)
         for k in range(2, iters + 1):
             Q_new, Rkk, R = _dist_ca_block_locked(
                 Adist, blocks[-1], Qconv, diag, sub, s, mesh, qr_m
@@ -179,6 +232,22 @@ def dist_restarted_ca_lanczos(
                 np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s
             )
             T = extend_T(T, Tk, b[k - 2], b[k - 1], s)
+
+            if orth == Orth.FULL:
+                # Cleanup pass against everything before the previous
+                # block (restarted_ca_lanczos.m:328-333 'fro' mode).
+                Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_m)
+            elif orth == Orth.PERIODIC:
+                alpha_d = np.diagonal(T[: s * k, : s * k]).copy()
+                beta_d = np.diagonal(T[: s * k + 1, : s * k], -1).copy()
+                omega.update(alpha_d, beta_d)
+                if omega.max_error_block(s) >= np.sqrt(_EPS / (k * s)):
+                    Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_m)
+                    omega.reset_block(s)
+
+            if Qhist is not None:
+                lo = (k - 1) * s + 1
+                Qhist = Qhist.at[:, lo : lo + s].set(Q_new)
             blocks.append(jnp.concatenate([blocks[-1][:, -1:], Q_new], axis=1))
 
         # Basis of this cycle (sharded): block 0 cols 0..s-1, later blocks'

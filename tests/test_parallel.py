@@ -320,3 +320,20 @@ class TestDistRestartedCholqr2:
         assert res.converged
         exact = np.linspace(1, 100, n)[::-1][:6]
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
+
+
+class TestDistRestartedOrthModes:
+    @pytest.mark.parametrize("orth", [Orth.FULL, Orth.PERIODIC])
+    def test_flagship_orth_modes(self, mesh, orth):
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        cfg = LanczosConfig(s=4, basis=Basis.NEWTON, orth=orth, n_wanted=6, tol=1e-8)
+        res = dist_restarted_ca_lanczos(A, np.ones(n), 32, mesh, cfg)
+        assert res.converged
+        exact = np.linspace(1, 100, n)[::-1][:6]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
+        Q = np.asarray(res.Q_conv)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(Q.shape[1]), atol=1e-9)
