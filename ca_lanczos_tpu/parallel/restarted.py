@@ -145,13 +145,15 @@ def dist_restarted_ca_lanczos(
     """Row-sharded restarted CA-Lanczos (flagship, multi-chip).
 
     Matches solvers.restarted.restarted_ca_lanczos, with the block CGS
-    always two passes (parallel.dist_orth).  Supported orth modes:
-    LOCAL (default), FULL (every block re-orthogonalized against the
-    zero-padded cycle history — one static-shape jitted step), and
-    PERIODIC (host omega recurrence triggers the same history reorth,
-    restarted_ca_lanczos.m:531-546).  The basis of each cycle lives as a
-    (n_pad, s*iters) sharded array assembled from the per-block step
-    outputs.
+    always two passes (parallel.dist_orth).  Orth modes:
+    LOCAL (default); FULL (every block re-orthogonalized against the
+    zero-padded cycle history — one static-shape jitted step); PERIODIC
+    (host omega recurrence triggers the same history reorth,
+    restarted_ca_lanczos.m:531-546); SELECTIVE (converged Ritz vectors
+    tracked in a fixed-width padded basis that rides along with Q_conv in
+    the block projection, restarted_ca_lanczos.m:436-454).  The basis of
+    each cycle lives as a (n_pad, s*iters) sharded array assembled from
+    the per-block step outputs.
     """
     from ca_lanczos_tpu.config import Orth
     from ca_lanczos_tpu.utils.diagnostics import OmegaRecurrence
@@ -159,11 +161,6 @@ def dist_restarted_ca_lanczos(
     s = config.s
     basis = Basis(config.basis)
     orth = Orth(config.orth)
-    if orth == Orth.SELECTIVE:
-        raise NotImplementedError(
-            "distributed selective orth is not implemented; use the "
-            "single-chip driver (ROADMAP.md)"
-        )
     norm_A = normest(A)
     tol = config.tol * norm_A
     rng = np.random.default_rng(config.seed)
@@ -207,26 +204,43 @@ def dist_restarted_ca_lanczos(
         T: Optional[np.ndarray] = None
         blocks: List[jax.Array] = []
 
-        # Zero-padded cycle history for FULL/PERIODIC reorth; slot j holds
-        # basis column j (m+1 columns incl. the trailing one), written
-        # after each block's own orth step so a block never projects
-        # against itself.
+        # Zero-padded cycle history for FULL/PERIODIC reorth and for the
+        # SELECTIVE Ritz-vector GEMM; slot j holds basis column j (m+1
+        # columns incl. the trailing one), written after each block's own
+        # orth step so a block never projects against itself.
         Qhist = (
             Adist.shard_vector(np.zeros((n, m + 1)), mesh)
-            if orth in (Orth.FULL, Orth.PERIODIC)
+            if orth in (Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE)
             else None
         )
         omega = OmegaRecurrence(norm_A) if orth == Orth.PERIODIC else None
+        # Selective: converged-Ritz basis at fixed padded width, appended
+        # to Q_conv in the block projections (zero columns = no-ops).
+        r_cap = config.n_wanted + 4
+        QRpad = (
+            Adist.shard_vector(np.zeros((n, r_cap)), mesh)
+            if orth == Orth.SELECTIVE
+            else None
+        )
+        nritz = 0
+        norm_sqrt_eps = norm_A * np.sqrt(_EPS)
+
+        def _proj_basis(Qc):
+            if QRpad is None:
+                return Qc
+            return jnp.concatenate([Qc, QRpad], axis=1)
 
         qr_m = str(config.orth_params.qr_method.value)
-        Qb, Rk = _dist_first_block_locked(Adist, q, Qconv, diag, sub, s, mesh, qr_m)
+        Qb, Rk = _dist_first_block_locked(
+            Adist, q, _proj_basis(Qconv), diag, sub, s, mesh, qr_m
+        )
         blocks.append(Qb)
         T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
         if Qhist is not None:
             Qhist = Qhist.at[:, : s + 1].set(Qb)
         for k in range(2, iters + 1):
             Q_new, Rkk, R = _dist_ca_block_locked(
-                Adist, blocks[-1], Qconv, diag, sub, s, mesh, qr_m
+                Adist, blocks[-1], _proj_basis(Qconv), diag, sub, s, mesh, qr_m
             )
             Tk, b[k - 1], _ = block_T(
                 np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s
@@ -249,6 +263,25 @@ def dist_restarted_ca_lanczos(
                 lo = (k - 1) * s + 1
                 Qhist = Qhist.at[:, lo : lo + s].set(Q_new)
             blocks.append(jnp.concatenate([blocks[-1][:, -1:], Q_new], axis=1))
+
+            if orth == Orth.SELECTIVE:
+                # Ritz tracking (restarted_ca_lanczos.m:436-454): when new
+                # pairs converge, rebuild the Ritz basis from the padded
+                # history (orthonormal Q x orthonormal eigvecs stays
+                # orthonormal, so no renormalization pass is needed).
+                sk = s * k
+                d_k, Vp_k = np.linalg.eigh(T[:sk, :sk])
+                conv = [
+                    i for i in range(sk)
+                    if b[k - 1] * abs(Vp_k[sk - 1, i]) < norm_sqrt_eps
+                ][:r_cap]
+                if len(conv) > nritz:
+                    nritz = len(conv)
+                    for j, i in enumerate(conv):
+                        w = np.zeros(m + 1)
+                        w[:sk] = Vp_k[:, i]
+                        y = _dist_ritz_vector(Qhist, jnp.asarray(w, dtype), mesh)
+                        QRpad = QRpad.at[:, j].set(y)
 
         # Basis of this cycle (sharded): block 0 cols 0..s-1, later blocks'
         # new s columns each.

@@ -323,7 +323,7 @@ class TestDistRestartedCholqr2:
 
 
 class TestDistRestartedOrthModes:
-    @pytest.mark.parametrize("orth", [Orth.FULL, Orth.PERIODIC])
+    @pytest.mark.parametrize("orth", [Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE])
     def test_flagship_orth_modes(self, mesh, orth):
         from ca_lanczos_tpu.config import LanczosConfig
         from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
