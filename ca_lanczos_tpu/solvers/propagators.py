@@ -369,3 +369,110 @@ def propagate_split(
         res = lanczos_prop_split(H, psi, krylov_dim, dt, tol, adaptive)
         psi = res.apply_exp(dt, nrm)
     return _from_split(psi)
+
+
+@jax.jit
+def _split_powers(H: Operator, q: jax.Array, diag: jax.Array, sub: jax.Array) -> jax.Array:
+    """Matrix powers of a split vector q (n, 2): the real Hamiltonian acts
+    on re/im columns independently, so one multivector recurrence covers
+    the complex chain.  Returns (n, 2, s+1)."""
+    s = diag.shape[0]
+
+    def step(carry, coeffs):
+        v_km1, v_k = carry
+        d, sb = coeffs
+        w = spmv(H, v_k) - d * v_k - sb * v_km1
+        return (v_k, w), w
+
+    from jax import lax
+
+    zero = jnp.zeros_like(q)
+    _, ws = lax.scan(step, (zero, q), (diag, sub))
+    return jnp.concatenate([q[None], ws], axis=0).transpose(1, 2, 0)
+
+
+def ca_lanczos_prop_split(
+    A: Operator,
+    r0,
+    s: int,
+    m: int,
+    dt: float,
+    tol: float = 1.0e-10,
+    basis: Basis = Basis.NEWTON,
+    eigest: Optional[np.ndarray] = None,
+    adaptive: bool = False,
+) -> SplitPropResult:
+    """ca_lanczos_prop on the real/imag-split representation (TPU-safe).
+
+    Identical block structure (ca_lanczos_prop.m:49-129) with the block
+    orthogonalization decomposed into real Gram/update kernels
+    (ops.csplit); the Newton shifts are real (nonmodified Leja of the
+    real Ritz estimates, ca_lanczos_prop.m:40), so the recurrence
+    coefficients stay real.
+    """
+    from ca_lanczos_tpu.ops.csplit import split_cholqr, split_project
+    from ca_lanczos_tpu.solvers.propagators import _to_split
+
+    basis = Basis(basis)
+    psi = _to_split(r0)
+    n = psi.shape[0]
+    nrm = float(jnp.sqrt(jnp.sum(psi * psi)))
+    q = psi / nrm
+    dtype = q.dtype
+
+    if basis == Basis.MONOMIAL:
+        Bk = monomial_basis_matrix(s)
+    else:
+        if eigest is None:
+            boot = lanczos(A, q[:, 0] + 0.0, 2 * s, Orth.LOCAL)
+            basis_eigs = np.linalg.eigvalsh(boot.T)
+        else:
+            basis_eigs = np.asarray(eigest)
+        shifts = leja(np.real(basis_eigs), LejaVariant.NONMODIFIED)
+        Bk = newton_basis_matrix(shifts, s, modified=False)
+    diag_np = np.real(np.diagonal(Bk))[:s].copy()
+    sub_np = np.zeros(s)
+    if s > 1:
+        sub_np[1:] = np.real(np.diagonal(Bk, 1))[: s - 1]
+    diag = jnp.asarray(diag_np, dtype)
+    sub = jnp.asarray(sub_np, dtype)
+
+    blocks: List[jax.Array] = []  # each (n, 2, s+1)
+    b = np.zeros(m)
+    T: Optional[np.ndarray] = None
+    residual = np.inf
+    k = 0
+
+    while k < m:
+        k += 1
+        if k > 1:
+            q = blocks[-1][:, :, s]
+
+        V = _split_powers(A, q, diag, sub)
+
+        if k == 1:
+            Qb, Rk = split_cholqr(V)
+            blocks.append(Qb)
+            T, b[0] = first_block_T(Rk, Bk, s)
+        else:
+            Y, Rkk = split_project(blocks[-1], V[:, :, 1 : s + 1], passes=1)
+            Qn, R = split_cholqr(Y)
+            Tk, b[k - 1], _ = block_T(Rkk, R, Bk, b[k - 2], s)
+            T = extend_T(T, Tk, b[k - 2], b[k - 1], s)
+            blocks.append(
+                jnp.concatenate([blocks[-1][:, :, s : s + 1], Qn], axis=2)
+            )
+
+        Tsq = np.real(T[: k * s, : k * s])
+        E = _expm_tridiag(Tsq, dt)
+        residual = abs(dt * b[k - 1] * E[k * s - 1, 0] * nrm)
+        if residual < tol and k * s >= 3 and adaptive:
+            break
+
+    cols = [blocks[0]]
+    for Bq in blocks[1:]:
+        cols.append(Bq[:, :, 1 : s + 1])
+    Q = jnp.concatenate(cols, axis=2)[:, :, : k * s]
+    return SplitPropResult(
+        T=np.real(T[: k * s, : k * s]), Q=Q, n_steps=k * s, residual=float(residual)
+    )

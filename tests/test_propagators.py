@@ -119,3 +119,26 @@ class TestSplitPath:
         Hd = np.asarray(H.to_dense())
         ref = scipy.linalg.expm(-1j * dt * n_steps * Hd) @ np.asarray(psi)
         assert np.max(np.abs(out - ref)) < 1e-9
+
+    def test_ca_split_vs_oracle(self, ho):
+        import scipy.linalg
+
+        from ca_lanczos_tpu.solvers.propagators import ca_lanczos_prop_split
+
+        H, psi = ho
+        dt = 0.025
+        res = ca_lanczos_prop_split(H, psi, s=6, m=4, dt=dt)
+        assert res.n_steps == 24
+        out = np.asarray(res.apply_exp(dt, float(jnp.linalg.norm(psi))))
+        out = out[:, 0] + 1j * out[:, 1]
+        Hd = np.asarray(H.to_dense())
+        ref = scipy.linalg.expm(-1j * dt * Hd) @ np.asarray(psi)
+        assert np.max(np.abs(out - ref)) < 1e-9
+
+    def test_ca_split_residual_adaptive(self, ho):
+        from ca_lanczos_tpu.solvers.propagators import ca_lanczos_prop_split
+
+        H, psi = ho
+        res = ca_lanczos_prop_split(H, psi, s=6, m=6, dt=0.025, tol=1e-10, adaptive=True)
+        assert res.n_steps < 36
+        assert res.residual < 1e-10
