@@ -109,3 +109,9 @@ class LanczosConfig:
     leja_variant: LejaVariant = LejaVariant.REAL
     orth_params: OrthParams = OrthParams()
     seed: int = 0
+    # Verify each candidate pair's TRUE residual (one SpMV) before locking.
+    # The reference trusts the beta*|y(end)| estimate, which goes spuriously
+    # tiny once the recurrence breaks down past in-cycle convergence —
+    # invisible in f64, fatal in f32.  Disable to reproduce reference
+    # behavior exactly.
+    verify_locked: bool = True

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec
 from ca_lanczos_tpu.config import Basis, LanczosConfig, RestartStrategy
 from ca_lanczos_tpu.ops.spmv import DiaMatrix, normest
 from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr, local_tsqr
-from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
+from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local, dist_spmv
 from ca_lanczos_tpu.parallel.mesh import ROWS
 from ca_lanczos_tpu.parallel.step import newton_coeffs
 from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
@@ -292,14 +292,31 @@ def dist_restarted_ca_lanczos(
         d, Vp = np.linalg.eigh(T[:m, :m])
         beta_m = T[m, m - 1]
         ritz_norms = beta_m * np.abs(Vp[m - 1, :])
-        k_new, d, Vp, ritz_norms = _lock_converged(d, Vp, ritz_norms, tol)
-        k_new = min(k_new, config.n_wanted - nconv)
+        k_new, d, Vp, ritz_norms = _lock_converged(
+            d, Vp, ritz_norms, tol, lam_bound=1.05 * norm_A
+        )
+        # The fixed-width Qconv can only hold n_wanted pairs: when more
+        # converge in one cycle, keep the LARGEST (the reference locks all
+        # and trims to the largest at the end, restarted_ca_lanczos.m:183-189).
+        if k_new > config.n_wanted - nconv:
+            order = np.argsort(d[:k_new])[::-1]
+            keep = np.concatenate([order, np.arange(k_new, len(d))])
+            d, Vp, ritz_norms = d[keep], Vp[:, keep], ritz_norms[keep]
+            k_new = config.n_wanted - nconv
 
+        # Loose true-residual sanity check before locking (see
+        # solvers.restarted for the rationale and threshold).
+        verified = 0
         for i in range(k_new):
             x = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, i], dtype), mesh)
-            Qconv = Qconv.at[:, nconv + i].set(x)
+            true_abs = float(jnp.linalg.norm(dist_spmv(Adist, x, mesh) - float(d[i]) * x))
+            if config.verify_locked and true_abs > 0.01 * norm_A:
+                continue
+            Qconv = Qconv.at[:, nconv + verified].set(x)
             conv_eigs.append(float(d[i]))
             conv_rnorms.append(float(ritz_norms[i]))
+            verified += 1
+        k_new = verified
         rnorm_rows.append(
             np.asarray(conv_rnorms + [np.nan] * (config.n_wanted - len(conv_rnorms)))[
                 : config.n_wanted

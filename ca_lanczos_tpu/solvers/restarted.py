@@ -92,11 +92,20 @@ def _generate_start_vector(
     return q / jnp.linalg.norm(q)
 
 
-def _lock_converged(d, Vp, ritz_norms, tol):
+def _lock_converged(d, Vp, ritz_norms, tol, lam_bound=None):
     """Stable partition: converged Ritz indices first, preserving the
-    reference's swap-to-front semantics (restarted_ca_lanczos.m:119-132)."""
-    conv = [i for i in range(len(d)) if ritz_norms[i] < tol]
-    nonconv = [i for i in range(len(d)) if ritz_norms[i] >= tol]
+    reference's swap-to-front semantics (restarted_ca_lanczos.m:119-132).
+
+    lam_bound: when given, Ritz values with |d| > lam_bound are never
+    locked — values outside the spectral interval are numerical artifacts
+    of basis breakdown (their residual ESTIMATE can be spuriously tiny),
+    a guard the reference lacks but low-precision runs need."""
+    def ok(i):
+        if ritz_norms[i] >= tol:
+            return False
+        return lam_bound is None or abs(d[i]) <= lam_bound
+    conv = [i for i in range(len(d)) if ok(i)]
+    nonconv = [i for i in range(len(d)) if not ok(i)]
     order = conv + nonconv
     return len(conv), d[order], Vp[:, order], ritz_norms[order]
 
@@ -314,7 +323,11 @@ def _ca_inner(
 
         if k == 1:
             # normalize, then lock against Q_conv; T from the normalize R
-            # only (restarted_ca_lanczos.m:311-319).
+            # only (restarted_ca_lanczos.m:311-319).  NOTE: null-space
+            # randomization is deliberately NOT enabled here — the Tk
+            # recurrence consumes these R factors, and randomized columns
+            # no longer satisfy V = Q R (spurious locks are instead
+            # filtered by the true-residual check at lock time).
             Qb, Rk, _ = normalize(V, params=params)
             if conv_blocks:
                 res = project_and_normalize(conv_blocks, Qb, reorth=True, params=params)
@@ -439,27 +452,44 @@ def restarted_ca_lanczos(
         beta_m = T_ext[m, m - 1]
         ritz_norms = beta_m * np.abs(Vp[m - 1, :])  # restarted_ca_lanczos.m:110-116
 
-        k, d, Vp, ritz_norms = _lock_converged(d, Vp, ritz_norms, tol)
+        k, d, Vp, ritz_norms = _lock_converged(
+            d, Vp, ritz_norms, tol, lam_bound=1.05 * norm_A
+        )
 
         Qblocks = [Q_conv, Q_new] if Q_conv is not None else [Q_new]
         orth_err.append(orth_error_fro(jnp.concatenate(Qblocks, axis=1)))
 
+        # Sanity-check each candidate's TRUE residual before locking: past
+        # in-cycle convergence the recurrence breaks down, T decouples, and
+        # the beta*|y(end)| estimate goes spuriously tiny for garbage pairs.
+        # The threshold is deliberately loose (1% of ||A||): local-orth
+        # Lanczos legitimately locks pairs whose vector residual exceeds
+        # the value-level estimate by the orthogonality drift (the
+        # reference accepts those too); only catastrophic lies — values
+        # outside/at the wrong end of the spectrum riding a fake-zero
+        # estimate — are rejected.  One SpMV per candidate.
         row = np.full(config.n_wanted, np.nan)
+        verified = 0
         for i in range(k):
             x = Q_new @ jnp.asarray(Vp[:, i], dtype)
+            true_abs = float(jnp.linalg.norm(spmv(A, x) - float(d[i]) * x))
+            if config.verify_locked and true_abs > 0.01 * norm_A:
+                continue  # estimate lied; leave the pair unlocked
             conv_eigs.append(float(d[i]))
             conv_rnorms.append(float(ritz_norms[i]))
-            if nconv + i < config.n_wanted:
-                row[nconv + i] = _relative_residual(A, x, float(d[i]))
+            if nconv + verified < config.n_wanted:
+                row[nconv + verified] = _relative_residual(A, x, float(d[i]))
             Q_conv = x[:, None] if Q_conv is None else jnp.concatenate([Q_conv, x[:, None]], axis=1)
+            verified += 1
         # Non-converged leaders fill the rest of the diagnostics row
         # (restarted_ca_lanczos.m:154-159).
         nc_order = np.argsort(d[k:])[::-1]
-        for j, i in enumerate(nc_order[: max(0, config.n_wanted - nconv - k)]):
+        for j, i in enumerate(nc_order[: max(0, config.n_wanted - nconv - verified)]):
             x = Q_new @ jnp.asarray(Vp[:, k + i], dtype)
-            row[nconv + k + j] = _relative_residual(A, x, float(d[k + i]))
+            row[nconv + verified + j] = _relative_residual(A, x, float(d[k + i]))
         rnorm_rows.append(row)
 
+        k = verified
         nconv += k
         restart = nconv < config.n_wanted
         if restart:
