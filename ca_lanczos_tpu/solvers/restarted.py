@@ -206,11 +206,14 @@ def restarted_lanczos(
     restart_strategy: RestartStrategy = RestartStrategy.LARGEST,
     params: OrthParams = OrthParams(),
     seed: int = 0,
+    verify_locked: bool = True,
 ) -> RestartedResult:
     """Thick-restart standard Lanczos (restarted_lanczos.m:6-149).
 
     tol is scaled by normest(A) (restarted_lanczos.m:31-35); each restart
     runs ``max_lanczos - nconv`` steps (restarted_lanczos.m:69).
+    verify_locked: loose true-residual sanity check at lock time (see
+    restarted_ca_lanczos).
     """
     orth = Orth(orth)
     norm_A = normest(A)
@@ -244,11 +247,18 @@ def restarted_lanczos(
         Qblocks = [Q_conv, Q_new] if Q_conv is not None else [Q_new]
         orth_err.append(orth_error_fro(jnp.concatenate(Qblocks, axis=1)))
 
+        verified = 0
         for i in range(k):
             x = Q_new @ jnp.asarray(Vp[:, i], dtype)
+            if verify_locked:
+                true_abs = float(jnp.linalg.norm(spmv(A, x) - float(d[i]) * x))
+                if true_abs > 0.01 * norm_A:
+                    continue
             conv_eigs.append(float(d[i]))
             conv_rnorms.append(float(ritz_norms[i]))
             Q_conv = x[:, None] if Q_conv is None else jnp.concatenate([Q_conv, x[:, None]], axis=1)
+            verified += 1
+        k = verified
         nconv += k
         rnorm_rows.append(np.asarray(conv_rnorms + [np.nan] * (n_wanted - len(conv_rnorms)))[:n_wanted])
 
