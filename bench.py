@@ -35,16 +35,18 @@ from jax import lax
 @partial(jax.jit, static_argnames=("s", "reps", "use_pallas"))
 def _powers_chain(A, q, s, reps, use_pallas=True):
     if use_pallas:
-        from ca_lanczos_tpu.ops.pallas_spmv import _dia_power_step
+        from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused, dia_flat_padded
 
-        coefs = jnp.zeros(2, q.dtype)
+        wmax = max(abs(o) for o in A.offsets)
+        W = ((s * wmax + 1023) // 1024) * 1024
+        dflat = dia_flat_padded(A, W)  # hoisted out of the loop by XLA
+        coefs = jnp.zeros((s, 2), q.dtype)
 
-        def body(i, carry):
-            vp, v = carry
-            w = _dia_power_step(A.data, v, vp, coefs, A.offsets)
-            return (v, w)
+        def body(i, v):
+            V = _dia_powers_fused(dflat, v, coefs, A.offsets, s)
+            return V[s - 1]
 
-        _, v = lax.fori_loop(0, reps * s, body, (jnp.zeros_like(q), q))
+        v = lax.fori_loop(0, reps, body, q)
         return jnp.sum(v)
 
     from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial

@@ -152,10 +152,10 @@ def matrix_powers(A: Operator, q: jax.Array, s: int, Bk: Optional[np.ndarray], b
     operator/dtype/backend combinations use the fused XLA scan.
     """
     if _pallas_eligible(A, q):
-        from ca_lanczos_tpu.ops.pallas_spmv import matrix_powers_dia_pallas
+        from ca_lanczos_tpu.ops.pallas_spmv import matrix_powers_dia_fused
 
         if basis == Basis.MONOMIAL:
-            return matrix_powers_dia_pallas(A, q, s)
+            return matrix_powers_dia_fused(A, q, s)
         elif basis == Basis.NEWTON:
             B = np.asarray(Bk)
             diag = np.diagonal(B)[:s].copy()
@@ -163,7 +163,7 @@ def matrix_powers(A: Operator, q: jax.Array, s: int, Bk: Optional[np.ndarray], b
             if s > 1:
                 sub[1:] = np.diagonal(B, 1)[: s - 1]
             if not np.iscomplexobj(diag):
-                return matrix_powers_dia_pallas(A, q, s, diag, sub)
+                return matrix_powers_dia_fused(A, q, s, diag, sub)
             # complex shifts fall through to the XLA path
 
     if basis == Basis.MONOMIAL:

