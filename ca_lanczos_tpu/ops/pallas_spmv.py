@@ -191,7 +191,15 @@ def _dia_powers_fused(
     tile: int = 65536,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns (s, n): the s recurrence vectors (excluding x itself)."""
+    """Returns (s, n): the s recurrence vectors (excluding x itself).
+
+    Double-buffered: tile i+1's matrix/vector windows stream in while
+    tile i computes (two scratch sets selected by pl.when — Mosaic cannot
+    slice scratch along an unaligned leading dim, so the buffers are
+    separate refs and the compute body is instantiated per slot).
+    Measured 337 Gnnz/s on v5e for 9 diagonals f32 (vs 192 serial-DMA,
+    103 per-step, 14.9 XLA).
+    """
     n = x.shape[0]
     nd = len(offsets)
     wmax = max(max(abs(o) for o in offsets), 1)
@@ -202,37 +210,71 @@ def _dia_powers_fused(
     L = T + 2 * W
     NP = n + 2 * W
 
-    def kernel(coef_ref, dflat_ref, xpad_ref, out_ref, dscr, xscr, sems):
+    def kernel(coef_ref, dflat_ref, xpad_ref, out_ref, d0, x0, d1, x1, sems):
         i = pl.program_id(0)
-        for d in range(nd):
+        num = pl.num_programs(0)
+        slot = i % 2
+        nxt = (i + 1) % 2
+
+        def start(dscr, xscr, sl, tile_idx):
+            for d in range(nd):
+                pltpu.make_async_copy(
+                    dflat_ref.at[pl.ds(d * NP + tile_idx * T, L)],
+                    dscr.at[pl.ds(d * L, L)],
+                    sems.at[sl, d],
+                ).start()
             pltpu.make_async_copy(
-                dflat_ref.at[pl.ds(d * NP + i * T, L)],
-                dscr.at[pl.ds(d * L, L)],
-                sems.at[d],
+                xpad_ref.at[pl.ds(tile_idx * T, L)], xscr, sems.at[sl, nd]
             ).start()
-        x_dma = pltpu.make_async_copy(xpad_ref.at[pl.ds(i * T, L)], xscr, sems.at[nd])
-        x_dma.start()
-        for d in range(nd):
+
+        def wait(dscr, xscr, sl, tile_idx):
+            for d in range(nd):
+                pltpu.make_async_copy(
+                    dflat_ref.at[pl.ds(d * NP + tile_idx * T, L)],
+                    dscr.at[pl.ds(d * L, L)],
+                    sems.at[sl, d],
+                ).wait()
             pltpu.make_async_copy(
-                dflat_ref.at[pl.ds(d * NP + i * T, L)],
-                dscr.at[pl.ds(d * L, L)],
-                sems.at[d],
+                xpad_ref.at[pl.ds(tile_idx * T, L)], xscr, sems.at[sl, nd]
             ).wait()
-        x_dma.wait()
-        xcur = xscr[:]
-        prev = jnp.zeros_like(xcur)
 
-        def shifted(v, off):
-            vp = jnp.pad(v, (wmax, wmax))
-            return jax.lax.slice_in_dim(vp, wmax + off, wmax + off + L, axis=0)
+        @pl.when(i == 0)
+        def _():
+            start(d0, x0, 0, 0)
 
-        for j in range(s):
-            acc = jnp.zeros((L,), xcur.dtype)
-            for d, off in enumerate(offsets):
-                acc = acc + dscr[pl.ds(d * L, L)] * shifted(xcur, off)
-            w_new = acc - coef_ref[j, 0] * xcur - coef_ref[j, 1] * prev
-            out_ref[j, :] = w_new[W : W + T]
-            prev, xcur = xcur, w_new
+        @pl.when((i + 1 < num) & (nxt == 0))
+        def _():
+            start(d0, x0, 0, i + 1)
+
+        @pl.when((i + 1 < num) & (nxt == 1))
+        def _():
+            start(d1, x1, 1, i + 1)
+
+        def compute(dscr, xscr):
+            xcur = xscr[:]
+            prev = jnp.zeros_like(xcur)
+
+            def shifted(v, off):
+                vp = jnp.pad(v, (wmax, wmax))
+                return jax.lax.slice_in_dim(vp, wmax + off, wmax + off + L, axis=0)
+
+            for j in range(s):
+                acc = jnp.zeros((L,), xcur.dtype)
+                for d, off in enumerate(offsets):
+                    acc = acc + dscr[pl.ds(d * L, L)] * shifted(xcur, off)
+                w_new = acc - coef_ref[j, 0] * xcur - coef_ref[j, 1] * prev
+                out_ref[j, :] = w_new[W : W + T]
+                prev, xcur = xcur, w_new
+
+        @pl.when(slot == 0)
+        def _():
+            wait(d0, x0, 0, i)
+            compute(d0, x0)
+
+        @pl.when(slot == 1)
+        def _():
+            wait(d1, x1, 1, i)
+            compute(d1, x1)
 
     xpad = jnp.pad(x, (W, W))
     return pl.pallas_call(
@@ -248,7 +290,9 @@ def _dia_powers_fused(
         scratch_shapes=[
             pltpu.VMEM((nd * L,), x.dtype),
             pltpu.VMEM((L,), x.dtype),
-            pltpu.SemaphoreType.DMA((nd + 1,)),
+            pltpu.VMEM((nd * L,), x.dtype),
+            pltpu.VMEM((L,), x.dtype),
+            pltpu.SemaphoreType.DMA((2, nd + 1)),
         ],
         interpret=interpret,
     )(coefs, dflat, xpad)
@@ -272,9 +316,14 @@ def matrix_powers_dia_fused(
     aligned tile or the tile halo would not fit.
     """
     n = q.shape[0]
+    nd = A.data.shape[0]
     wmax = max(max(abs(o) for o in A.offsets), 1)
     W = ((s * wmax + 1023) // 1024) * 1024
+    # Two scratch sets + the pipelined output block must fit VMEM (~16MB).
+    itemsize = jnp.dtype(q.dtype).itemsize
     t = pick_tile(n, tile)
+    while t > 0 and (2 * (nd + 1) * (t + 2 * W) + 2 * s * t) * itemsize > 13 * 2**20:
+        t = pick_tile(n, t // 2)
     if t == 0 or W >= t:
         return matrix_powers_dia_pallas(A, q, s, diag, sub, tile=tile, interpret=interpret)
     coefs = np.zeros((s, 2))
