@@ -156,19 +156,16 @@ def _ca_chain(A: DiaMatrix, Q0: jax.Array, s: int, blocks: int, use_pallas: bool
     from ca_lanczos_tpu.ops.qr import cholqr2
 
     if use_pallas:
-        from ca_lanczos_tpu.ops.pallas_spmv import _dia_power_step
+        from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused, dia_flat_padded
 
-        coefs = jnp.zeros(2, Q0.dtype)
+        wmax = max(abs(o) for o in A.offsets)
+        W = ((s * wmax + 1023) // 1024) * 1024
+        dflat = dia_flat_padded(A, W)  # loop-invariant, hoisted by XLA
+        coefs = jnp.zeros((s, 2), Q0.dtype)
 
         def powers(q):
-            cols = [q]
-            vp = jnp.zeros_like(q)
-            v = q
-            for _ in range(s):
-                w = _dia_power_step(A.data, v, vp, coefs, A.offsets)
-                cols.append(w)
-                vp, v = v, w
-            return jnp.stack(cols, axis=1)
+            V = _dia_powers_fused(dflat, q, coefs, A.offsets, s)
+            return jnp.concatenate([q[:, None], V.T], axis=1)
     else:
         from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial
 
