@@ -57,6 +57,25 @@ def _basis_update(P: jax.Array, Vk: jax.Array, t: jax.Array) -> jax.Array:
     return P - Vk @ t
 
 
+class _LocalOps:
+    """Default single-array device kernels for the s-step recurrence."""
+
+    def __init__(self, H: Operator):
+        self.H = H
+
+    def powers(self, p1, s):
+        return matrix_powers_monomial(self.H, p1, s)
+
+    def dots(self, P):
+        return _dots_2s(P)
+
+    def next_p1(self, Vk, Vkm1, Es, Gs):
+        return _next_p1(self.H, Vk, Vkm1, Es, Gs)
+
+    def basis_update(self, P, Vk, t):
+        return _basis_update(P, Vk, t)
+
+
 @dataclasses.dataclass
 class SstepResult:
     T: np.ndarray  # (s*m, s*m) block tridiagonal
@@ -64,13 +83,19 @@ class SstepResult:
     residual: float = np.nan
 
 
-def _sstep_core(H: Operator, r0: jax.Array, s: int, m: int):
+def _sstep_core(H: Operator, r0: jax.Array, s: int, m: int, ops=None):
     """Shared recurrence of sStepLanczos/sstep_lanczos_prop.
 
     Returns (V_blocks [m blocks of (n, s)], E, F, G block lists, last P).
     Block lists are indexed 0..m-1 matching the T assembly
     (sstep_lanczos.m:165-172).
+
+    ``ops`` injects the device kernels (powers / dots / next_p1 /
+    basis_update) so the distributed driver (parallel.dist_sstep) reuses
+    this exact host recurrence over row-sharded operands.
     """
+    if ops is None:
+        ops = _LocalOps(H)
     nrm = float(jnp.linalg.norm(r0))
     p1 = r0 / nrm
 
@@ -82,10 +107,10 @@ def _sstep_core(H: Operator, r0: jax.Array, s: int, m: int):
     Vb: List[jax.Array] = []
 
     # First monomial block P = [p1, H p1, ..., H^s p1] (sstep_lanczos.m:43-45).
-    P = matrix_powers_monomial(H, p1, s)
+    P = ops.powers(p1, s)
     Vb.append(P[:, :s])
 
-    dotP = np.asarray(_dots_2s(P), np.float64)
+    dotP = np.asarray(ops.dots(P), np.float64)
 
     # v1av1(i,j) = dotP(i+j-s) when positive (sstep_lanczos.m:59-65); 1-based.
     v1av1 = np.zeros((s, s))
@@ -137,15 +162,15 @@ def _sstep_core(H: Operator, r0: jax.Array, s: int, m: int):
         Vkm1 = Vb[-2] if len(Vb) >= 2 else jnp.zeros_like(Vb[-1])
         Es_col = jnp.asarray(E[k - 1][:, s - 1] if k > 2 else np.zeros(s), P.dtype)
         Gs_col = jnp.asarray(G[k][:, s - 1], P.dtype)
-        p_next = _next_p1(H, Vb[-1], Vkm1, Es_col, Gs_col)
+        p_next = ops.next_p1(Vb[-1], Vkm1, Es_col, Gs_col)
         F[k][0, s - 1] = 1.0
 
         if k == m + 1:
             return Vb, E, F, G, p_next, nrm
 
         # New powers block and dot products (sstep_lanczos.m:118-128).
-        P = matrix_powers_monomial(H, p_next, s)
-        dotP = np.asarray(_dots_2s(P), np.float64)
+        P = ops.powers(p_next, s)
+        dotP = np.asarray(ops.dots(P), np.float64)
 
         # v1av1 update (sstep_lanczos.m:132-142).  NOTE: deliberately
         # in-place and order-dependent like the reference — entries with
@@ -171,7 +196,7 @@ def _sstep_core(H: Operator, r0: jax.Array, s: int, m: int):
 
         # Basis update (sstep_lanczos.m:156-160): column 1 is p_next.
         t_j = jnp.asarray(t, P.dtype)
-        Vn = _basis_update(P[:, :s], Vb[-1], t_j)
+        Vn = ops.basis_update(P[:, :s], Vb[-1], t_j)
         Vn = Vn.at[:, 0].set(p_next)
         Vb.append(Vn)
 

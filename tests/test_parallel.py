@@ -337,3 +337,20 @@ class TestDistRestartedOrthModes:
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
         Q = np.asarray(res.Q_conv)
         np.testing.assert_allclose(Q.T @ Q, np.eye(Q.shape[1]), atol=1e-9)
+
+
+class TestDistSstep:
+    @pytest.mark.parametrize("s,m", [(2, 4), (4, 3)])
+    def test_matches_single_chip(self, mesh, s, m):
+        from ca_lanczos_tpu.parallel.dist_sstep import dist_sstep_lanczos
+        from ca_lanczos_tpu.solvers.sstep import sstep_lanczos
+
+        n = 256
+        A = laplacian_1d(n)
+        r = np.random.default_rng(7).standard_normal(n)
+        res_d = dist_sstep_lanczos(A, r, s, m, mesh)
+        res_1 = sstep_lanczos(A, jnp.asarray(r), s, m)
+        np.testing.assert_allclose(res_d.T, res_1.T, rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(res_d.Q), np.asarray(res_1.Q), rtol=1e-10, atol=1e-10
+        )
