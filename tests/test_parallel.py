@@ -354,3 +354,18 @@ class TestDistSstep:
         np.testing.assert_allclose(
             np.asarray(res_d.Q), np.asarray(res_1.Q), rtol=1e-10, atol=1e-10
         )
+
+
+class TestDistIRL:
+    @pytest.mark.parametrize("basis", [Basis.MONOMIAL, Basis.NEWTON])
+    def test_diagonal(self, mesh, basis):
+        from ca_lanczos_tpu.parallel.dist_irl import dist_impl_restarted_ca_lanczos
+
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        res = dist_impl_restarted_ca_lanczos(
+            A, np.ones(n), 40, mesh, n_wanted=6, s=4, basis=basis, tol=1e-8
+        )
+        assert res.converged
+        exact = np.linspace(1, 100, n)[::-1][:6]
+        np.testing.assert_allclose(res.eigs, exact, rtol=1e-8)
