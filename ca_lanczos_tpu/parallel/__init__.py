@@ -8,7 +8,7 @@ from ca_lanczos_tpu.parallel.dist_orth import (
     local_norm,
 )
 from ca_lanczos_tpu.parallel.step import dist_first_block, dist_ca_block, newton_coeffs
-from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos, DistCaLanczosResult
+from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos, dist_lanczos, DistCaLanczosResult
 from ca_lanczos_tpu.parallel.dist_ell import DistEll, dist_ell_matrix_powers
 from ca_lanczos_tpu.parallel.dist_irl import dist_impl_restarted_ca_lanczos
 from ca_lanczos_tpu.parallel.dist_sstep import dist_sstep_lanczos
@@ -32,6 +32,7 @@ __all__ = [
     "dist_ca_block",
     "newton_coeffs",
     "dist_ca_lanczos",
+    "dist_lanczos",
     "DistCaLanczosResult",
     "DistEll",
     "dist_ell_matrix_powers",

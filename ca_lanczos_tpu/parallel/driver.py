@@ -102,3 +102,36 @@ def dist_ca_lanczos(
         Q_blocks.append(jnp.concatenate([Q_blocks[-1][:, -1:], Q_new], axis=1))
 
     return DistCaLanczosResult(T=T[: s * t, : s * t], Q_blocks=Q_blocks, beta=b, n=A.n)
+
+
+def dist_lanczos(A: DiaMatrix, r, maxiter: int, mesh: Mesh):
+    """Distributed standard Lanczos (baseline the CA drivers amortize:
+    ONE halo exchange + global dot reductions PER STEP vs one per s
+    steps, lanczos.m:85-134).  Local orthogonalization only; returns
+    (T (maxiter, maxiter) host, Q (n, maxiter) sharded)."""
+    from ca_lanczos_tpu.parallel.distributed import dist_spmv
+
+    Adist = DistDia.from_dia(A, mesh, s_max=1)
+    n_pad = Adist.n_shards * Adist.n_local
+    r_np = np.asarray(r, np.float64)
+    q = Adist.shard_vector(r_np / np.linalg.norm(r_np), mesh)
+    dtype = q.dtype
+
+    Q = jnp.zeros((n_pad, maxiter + 1), dtype)
+    Q = Q.at[:, 0].set(q)
+    alpha = np.zeros(maxiter)
+    beta = np.zeros(maxiter)
+    for j in range(1, maxiter + 1):
+        w = dist_spmv(Adist, Q[:, j - 1], mesh)
+        if j > 1:
+            w = w - jnp.asarray(beta[j - 2], dtype) * Q[:, j - 2]
+        a = float(jnp.vdot(Q[:, j - 1], w))  # GSPMD: local partials + psum
+        w = w - a * Q[:, j - 1]
+        b = float(jnp.linalg.norm(w))
+        alpha[j - 1], beta[j - 1] = a, b
+        Q = Q.at[:, j].set(w / b)
+
+    T = np.diag(alpha)
+    if maxiter > 1:
+        T += np.diag(beta[: maxiter - 1], 1) + np.diag(beta[: maxiter - 1], -1)
+    return T, Q[: A.n, :maxiter]

@@ -369,3 +369,16 @@ class TestDistIRL:
         assert res.converged
         exact = np.linspace(1, 100, n)[::-1][:6]
         np.testing.assert_allclose(res.eigs, exact, rtol=1e-8)
+
+
+class TestDistLanczos:
+    def test_matches_single_chip(self, mesh):
+        from ca_lanczos_tpu.parallel import dist_lanczos
+        from ca_lanczos_tpu.solvers.lanczos import lanczos as lanczos_1
+
+        n = 256
+        A = laplacian_1d(n)
+        r = np.random.default_rng(11).standard_normal(n)
+        T_d, Q_d = dist_lanczos(A, r, 20, mesh)
+        res = lanczos_1(A, jnp.asarray(r), 20, orth="local")
+        np.testing.assert_allclose(T_d, res.T, rtol=1e-10, atol=1e-12)
