@@ -123,3 +123,64 @@ class TestExperiments:
         assert rnorm.shape[0] == 10  # 40/4 outer iterations
         assert orth.shape == (10,)
         assert rec.wall_s > 0
+
+
+class TestRcmReorder:
+    def test_bandwidth_shrinks_and_spectrum_preserved(self):
+        import scipy.sparse as sp
+
+        from ca_lanczos_tpu.utils.reorder import rcm_reorder
+
+        # A banded matrix scrambled by a random permutation: RCM should
+        # recover a narrow band.
+        rng = np.random.default_rng(0)
+        n = 120
+        band = sp.diags(
+            [rng.standard_normal(n - 2), rng.standard_normal(n) + 4, rng.standard_normal(n - 2)],
+            [-2, 0, 2],
+        ).tocsr()
+        band = (band + band.T) / 2
+        p = rng.permutation(n)
+        scr = band[p][:, p]
+        ro = rcm_reorder(scr)
+        assert ro.bandwidth_after < ro.bandwidth_before
+        d_orig = np.sort(np.linalg.eigvalsh(band.toarray()))
+        d_reord = np.sort(np.linalg.eigvalsh(np.asarray(ro.A.to_dense())))
+        np.testing.assert_allclose(d_reord, d_orig, atol=1e-10)
+
+    def test_restore_roundtrip(self):
+        import scipy.sparse as sp
+
+        from ca_lanczos_tpu.utils.reorder import rcm_reorder
+
+        rng = np.random.default_rng(1)
+        a = sp.random(50, 50, density=0.1, random_state=3)
+        a = a + a.T + 10 * sp.eye(50)
+        ro = rcm_reorder(a)
+        x = rng.standard_normal(50)
+        np.testing.assert_allclose(ro.restore(ro.apply(x)), x)
+
+    def test_solver_on_reordered(self):
+        """End-to-end: scrambled banded SPD matrix -> RCM -> restarted
+        driver on the DIA operator -> correct eigenvalues."""
+        import scipy.sparse as sp
+
+        from ca_lanczos_tpu.config import Basis, LanczosConfig, Orth
+        from ca_lanczos_tpu.solvers.restarted import restarted_ca_lanczos
+        from ca_lanczos_tpu.utils.reorder import rcm_reorder
+
+        rng = np.random.default_rng(2)
+        n = 300
+        band = sp.diags(
+            [np.full(n - 1, -1.0), np.linspace(4, 40, n), np.full(n - 1, -1.0)], [-1, 0, 1]
+        ).tocsr()
+        p = rng.permutation(n)
+        scr = band[p][:, p]
+        ro = rcm_reorder(scr)
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        assert isinstance(ro.A, DiaMatrix)
+        cfg = LanczosConfig(s=4, basis=Basis.NEWTON, orth=Orth.FULL, n_wanted=4, tol=1e-9)
+        res = restarted_ca_lanczos(ro.A, jnp.ones(n), 32, cfg)
+        assert res.converged
+        exact = np.sort(np.linalg.eigvalsh(band.toarray()))[::-1][:4]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-7)
