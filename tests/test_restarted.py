@@ -97,3 +97,39 @@ class TestCanonicalConfig:
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, atol=1e-7)
         # Residuals satisfy the scaled tolerance (tol * normest ~ 1e-4).
         assert np.max(res.conv_rnorms) < 1e-4
+
+
+class TestRestartStrategies:
+    """Restart-vector strategies (restarted_ca_lanczos.m:204-248) steer
+    WHICH pairs converge: 'largest' drives the top of the spectrum,
+    'smallest' the bottom; 'closest_conv'/'random' lock whatever
+    converges (all locked values must be genuine eigenvalues)."""
+
+    def _run(self, strategy, max_restarts=60):
+        from ca_lanczos_tpu.config import RestartStrategy
+
+        n = 300
+        A = diag_spectrum(n, 1.0, 60.0)
+        r = jnp.ones((n,), jnp.float64)
+        cfg = LanczosConfig(
+            s=4, basis=Basis.NEWTON, orth=Orth.FULL, n_wanted=4, tol=1e-8,
+            restart_strategy=RestartStrategy(strategy), max_restarts=max_restarts,
+        )
+        return restarted_ca_lanczos(A, r, 32, cfg), np.linspace(1.0, 60.0, n)
+
+    def test_largest(self):
+        res, d = self._run("largest")
+        assert res.converged
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], d[::-1][:4], rtol=1e-7)
+
+    def test_smallest(self):
+        res, d = self._run("smallest")
+        assert res.converged
+        np.testing.assert_allclose(np.sort(res.eigs), d[:4], rtol=1e-7)
+
+    @pytest.mark.parametrize("strategy", ["closest_conv", "random"])
+    def test_locked_values_are_eigenvalues(self, strategy):
+        res, d = self._run(strategy, max_restarts=30)
+        # Whatever locked must match SOME exact eigenvalue closely.
+        for lam in res.eigs:
+            assert np.min(np.abs(d - lam)) < 1e-6 * 60.0
