@@ -13,6 +13,7 @@ from ca_lanczos_tpu.solvers.propagators import (
     PropResult,
     lanczos_prop_split,
     propagate_split,
+    propagate_split_fused,
     SplitPropResult,
 )
 from ca_lanczos_tpu.solvers.sstep import sstep_lanczos, sstep_lanczos_prop, SstepResult
@@ -45,6 +46,7 @@ __all__ = [
     "PropResult",
     "lanczos_prop_split",
     "propagate_split",
+    "propagate_split_fused",
     "SplitPropResult",
     "sstep_lanczos",
     "sstep_lanczos_prop",

@@ -142,3 +142,15 @@ class TestSplitPath:
         res = ca_lanczos_prop_split(H, psi, s=6, m=6, dt=0.025, tol=1e-10, adaptive=True)
         assert res.n_steps < 36
         assert res.residual < 1e-10
+
+    def test_fused_one_call_vs_expm(self, ho):
+        import scipy.linalg
+
+        from ca_lanczos_tpu.solvers.propagators import propagate_split_fused
+
+        H, psi = ho
+        dt, n_steps = 0.025, 20
+        out = propagate_split_fused(H, psi, dt, n_steps, krylov_dim=24)
+        Hd = np.asarray(H.to_dense())
+        ref = scipy.linalg.expm(-1j * dt * n_steps * Hd) @ np.asarray(psi)
+        assert np.max(np.abs(out - ref)) < 1e-12
