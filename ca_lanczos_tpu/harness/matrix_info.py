@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 from ca_lanczos_tpu.ops.spmv import Operator, normest

@@ -22,11 +22,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh
 
 from ca_lanczos_tpu.ops.spmv import DiaMatrix
 from ca_lanczos_tpu.parallel.distributed import DistDia, dist_matrix_powers, dist_spmv
-from ca_lanczos_tpu.parallel.mesh import ROWS
 from ca_lanczos_tpu.solvers.sstep import SstepResult, _assemble_T, _sstep_core
 
 

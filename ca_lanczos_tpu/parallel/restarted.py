@@ -15,7 +15,6 @@ zero), so no masking or recompilation is needed as eigenpairs lock.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import List, Optional
 
@@ -26,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec
 
 from ca_lanczos_tpu.config import Basis, LanczosConfig, RestartStrategy
 from ca_lanczos_tpu.ops.spmv import DiaMatrix, normest
-from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr, local_tsqr
+from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local, dist_spmv
 from ca_lanczos_tpu.parallel.mesh import ROWS
 from ca_lanczos_tpu.parallel.step import newton_coeffs

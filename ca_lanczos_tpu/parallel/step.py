@@ -17,11 +17,10 @@ from functools import partial
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr, local_tsqr
+from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr
 from ca_lanczos_tpu.parallel.dist_ell import DistEll, _ell_powers_local
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
 from ca_lanczos_tpu.parallel.mesh import ROWS

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ca_lanczos_tpu.config import Basis, LejaVariant, Orth
+from ca_lanczos_tpu.config import Basis, Orth
 from ca_lanczos_tpu.ops.matrix_powers import matrix_powers
 from ca_lanczos_tpu.ops.orth import project, project_and_normalize
 from ca_lanczos_tpu.ops.spmv import Operator, normest, spmv

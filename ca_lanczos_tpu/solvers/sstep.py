@@ -17,7 +17,7 @@ are host float64 math.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

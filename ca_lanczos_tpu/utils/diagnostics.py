@@ -8,7 +8,7 @@ roundoff recurrence (Simon's estimate) is O((st)^2) host math.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

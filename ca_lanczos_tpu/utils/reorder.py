@@ -14,7 +14,7 @@ eigenvectors come back through ``Reordering.restore``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp
