@@ -23,6 +23,10 @@ from ca_lanczos_tpu.solvers.implicitly_restarted import (
     IRLResult,
     qrstep,
 )
+from ca_lanczos_tpu.solvers.fused_restarted import (
+    fused_restarted_ca_lanczos,
+    FusedRestartedResult,
+)
 from ca_lanczos_tpu.solvers.restarted import (
     restarted_lanczos,
     restarted_ca_lanczos,
@@ -40,6 +44,8 @@ __all__ = [
     "restarted_lanczos",
     "restarted_ca_lanczos",
     "RestartedResult",
+    "fused_restarted_ca_lanczos",
+    "FusedRestartedResult",
     "lanczos_prop",
     "ca_lanczos_prop",
     "propagate",

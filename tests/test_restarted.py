@@ -133,3 +133,33 @@ class TestRestartStrategies:
         # Whatever locked must match SOME exact eigenvalue closely.
         for lam in res.eigs:
             assert np.min(np.abs(d - lam)) < 1e-6 * 60.0
+
+
+class TestFusedRestarted:
+    def test_one_call_solver_matches_exact(self):
+        from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
+
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        res = fused_restarted_ca_lanczos(
+            A, jnp.ones(n), 32, n_wanted=6, s=4, basis=Basis.NEWTON,
+            tol=1e-8, max_restarts=60,
+        )
+        assert res.converged
+        exact = np.linspace(1.0, 100.0, n)[::-1][:6]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
+        Q = np.asarray(res.Q_conv)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(6), atol=1e-10)
+
+    def test_monomial_basis(self):
+        from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
+
+        n = 300
+        A = diag_spectrum(n, 1.0, 60.0)
+        res = fused_restarted_ca_lanczos(
+            A, jnp.ones(n), 24, n_wanted=4, s=4, basis=Basis.MONOMIAL,
+            tol=1e-8, max_restarts=80,
+        )
+        assert res.converged
+        exact = np.linspace(1.0, 60.0, n)[::-1][:4]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-8)
