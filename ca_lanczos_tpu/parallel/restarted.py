@@ -25,10 +25,20 @@ from jax.sharding import Mesh, PartitionSpec
 
 from ca_lanczos_tpu.config import Basis, LanczosConfig, RestartStrategy
 from ca_lanczos_tpu.ops.spmv import DiaMatrix, normest
+from ca_lanczos_tpu.parallel.dist_ell import DistEll
 from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr
+from ca_lanczos_tpu.parallel.dist_ell import dist_ell_matrix_powers
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local, dist_spmv
+
+
+def _dist_spmv_any(Adist, x, mesh):
+    """One distributed SpMV for DistDia or DistEll shards."""
+    if isinstance(Adist, DistDia):
+        return dist_spmv(Adist, x, mesh)
+    z = jnp.zeros(1, x.dtype)
+    return dist_ell_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
 from ca_lanczos_tpu.parallel.mesh import ROWS
-from ca_lanczos_tpu.parallel.step import newton_coeffs
+from ca_lanczos_tpu.parallel.step import _local_powers_fn, newton_coeffs
 from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
 from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
 from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_converged
@@ -36,16 +46,15 @@ from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_c
 
 @partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def _dist_first_block_locked(
-    A: DistDia, q, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
+    A, q, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
 ):
     """First CA block of a restart cycle: powers -> TSQR -> lock against
-    Q_conv (restarted_ca_lanczos.m:311-319)."""
+    Q_conv (restarted_ca_lanczos.m:311-319).  A: DistDia or DistEll."""
+    powers, operands = _local_powers_fn(A, s)
 
-    def body(data_block, x_local, Qc_local, dg, sb):
-        V = _powers_local(
-            data_block[0], x_local, dg, sb,
-            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
-        )
+    def body(*args):
+        *op_blocks, x_local, Qc_local, dg, sb = args
+        V = powers(*op_blocks, x_local, dg, sb)
         Qb, R = local_qr(V, qr_method)
         Qb, _ = local_project(Qc_local, Qb, passes=2)
         # Renormalize after the projection pass (projectAndNormalize).
@@ -55,28 +64,25 @@ def _dist_first_block_locked(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
-            PartitionSpec(), PartitionSpec(),
-        ),
+        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
+        + (PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec()),
-    )(A.data, q, Qconv, diag, sub)
+    )(*operands, q, Qconv, diag, sub)
 
 
 @partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
 def _dist_ca_block_locked(
-    A: DistDia, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
+    A, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
 ):
     """CA block k>1 with locking: project the new block against the
     previous s+1 columns AND the padded converged basis
-    (restarted_ca_lanczos.m:324)."""
+    (restarted_ca_lanczos.m:324).  A: DistDia or DistEll."""
+    powers, operands = _local_powers_fn(A, s)
 
-    def body(data_block, Qp_local, Qc_local, dg, sb):
+    def body(*args):
+        *op_blocks, Qp_local, Qc_local, dg, sb = args
         q_local = Qp_local[:, -1]
-        V = _powers_local(
-            data_block[0], q_local, dg, sb,
-            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
-        )
+        V = powers(*op_blocks, q_local, dg, sb)
         X = V[:, 1:]
         Y, Rkk = local_project(Qp_local, X, passes=2)
         Y, _ = local_project(Qc_local, Y, passes=1)
@@ -86,12 +92,10 @@ def _dist_ca_block_locked(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
-            PartitionSpec(), PartitionSpec(),
-        ),
+        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
+        + (PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
-    )(A.data, Q_prev, Qconv, diag, sub)
+    )(*operands, Q_prev, Qconv, diag, sub)
 
 
 @partial(jax.jit, static_argnames=("mesh", "qr_method"))
@@ -135,7 +139,7 @@ def _dist_ritz_vector(Q_blocks, w, mesh: Mesh):
 
 
 def dist_restarted_ca_lanczos(
-    A: DiaMatrix,
+    A,
     r,
     max_lanczos: int,
     mesh: Mesh,
@@ -172,7 +176,12 @@ def dist_restarted_ca_lanczos(
         Bk = build_basis_matrix(A, jnp.asarray(q_host), s, basis)
     diag_np, sub_np = newton_coeffs(Bk)
 
-    Adist = DistDia.from_dia(A, mesh, s_max=s)
+    from ca_lanczos_tpu.ops.spmv import EllMatrix
+
+    if isinstance(A, EllMatrix):
+        Adist = DistEll.from_ell(A, mesh, s_max=s)
+    else:
+        Adist = DistDia.from_dia(A, mesh, s_max=s)
     n, n_pad = A.n, Adist.n_shards * Adist.n_local
     q = Adist.shard_vector(q_host, mesh)
     dtype = q.dtype
@@ -308,7 +317,7 @@ def dist_restarted_ca_lanczos(
         verified = 0
         for i in range(k_new):
             x = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, i], dtype), mesh)
-            true_abs = float(jnp.linalg.norm(dist_spmv(Adist, x, mesh) - float(d[i]) * x))
+            true_abs = float(jnp.linalg.norm(_dist_spmv_any(Adist, x, mesh) - float(d[i]) * x))
             if config.verify_locked and true_abs > 0.01 * norm_A:
                 continue
             Qconv = Qconv.at[:, nconv + verified].set(x)

@@ -382,3 +382,25 @@ class TestDistLanczos:
         T_d, Q_d = dist_lanczos(A, r, 20, mesh)
         res = lanczos_1(A, jnp.asarray(r), 20, orth="local")
         np.testing.assert_allclose(T_d, res.T, rtol=1e-10, atol=1e-12)
+
+
+class TestDistRestartedEll:
+    def test_general_sparsity_flagship(self, mesh):
+        """dist_restarted_ca_lanczos on a general ELL operator."""
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+        from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+        nx, ny = 8, 64
+        Ad = laplacian_2d(nx, ny)
+        A = EllMatrix.from_dense(np.asarray(Ad.to_dense()))
+        n = nx * ny
+        iv = np.pi * np.arange(1, nx + 1) / (nx + 1)
+        jv = np.pi * np.arange(1, ny + 1) / (ny + 1)
+        exact = np.sort(
+            np.add.outer(2 - 2 * np.cos(iv), 2 - 2 * np.cos(jv)).ravel()
+        )[::-1][:4]
+        cfg = LanczosConfig(s=4, basis=Basis.NEWTON, orth=Orth.FULL, n_wanted=4, tol=1e-9)
+        res = dist_restarted_ca_lanczos(A, np.ones(n), 32, mesh, cfg)
+        assert res.converged
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-8)
