@@ -163,3 +163,17 @@ class TestFusedRestarted:
         assert res.converged
         exact = np.linspace(1.0, 60.0, n)[::-1][:4]
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-8)
+
+
+class TestEllOperator:
+    def test_flagship_on_ell(self):
+        """The host flagship accepts any Operator format — harmonic
+        oscillator Hamiltonian (ELL with periodic wrap)."""
+        from ca_lanczos_tpu.utils.matrices import harmonic_oscillator
+
+        H, _ = harmonic_oscillator(128)
+        cfg = LanczosConfig(s=4, basis=Basis.NEWTON, orth=Orth.FULL, n_wanted=4, tol=1e-9)
+        res = restarted_ca_lanczos(H, jnp.ones(128, jnp.float64), 32, cfg)
+        assert res.converged
+        exact = np.sort(np.linalg.eigvalsh(np.asarray(H.to_dense())))[::-1][:4]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-8)
