@@ -181,7 +181,20 @@ def dia_flat_padded(A: DiaMatrix, W: int) -> jax.Array:
     return jnp.pad(A.data, ((0, 0), (W, W))).reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("offsets", "s", "tile", "interpret"))
+def fused_tile(n: int, nd: int, W: int, s: int, dtype, tile: int = 65536) -> int:
+    """Largest VMEM-feasible row tile for the fused kernel, or 0 when the
+    shape does not admit one (caller falls back to the per-step/XLA path).
+    Two scratch sets + the pipelined output block must fit VMEM (~16MB)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    t = pick_tile(n, tile)
+    while t > 0 and (2 * (nd + 1) * (t + 2 * W) + 2 * s * t) * itemsize > 13 * 2**20:
+        t = pick_tile(n, t // 2)
+    if t == 0 or W >= t:
+        return 0
+    return t
+
+
+@partial(jax.jit, static_argnames=("offsets", "s", "tile", "interpret", "W"))
 def _dia_powers_fused(
     dflat: jax.Array,  # from dia_flat_padded
     x: jax.Array,  # (n,)
@@ -190,6 +203,7 @@ def _dia_powers_fused(
     s: int,
     tile: int = 65536,
     interpret: bool = False,
+    W: Optional[int] = None,
 ) -> jax.Array:
     """Returns (s, n): the s recurrence vectors (excluding x itself).
 
@@ -199,11 +213,18 @@ def _dia_powers_fused(
     separate refs and the compute body is instantiated per slot).
     Measured 337 Gnnz/s on v5e for 9 diagonals f32 (vs 192 serial-DMA,
     103 per-step, 14.9 XLA).
+
+    ``W`` overrides the halo depth dflat was padded with (dia_flat_padded
+    called with a larger-than-minimal W, e.g. a distributed shard whose
+    flat layout was built once for s_max); it must still satisfy
+    W >= s*max|offset| and be a multiple of 1024.
     """
     n = x.shape[0]
     nd = len(offsets)
     wmax = max(max(abs(o) for o in offsets), 1)
-    W = ((s * wmax + 1023) // 1024) * 1024
+    if W is None:
+        W = ((s * wmax + 1023) // 1024) * 1024
+    assert W >= s * wmax and W % 1024 == 0, f"invalid fused halo W={W}"
     T = min(tile, n)
     assert n % T == 0, f"n={n} must be a multiple of the tile {T}"
     assert dflat.shape[0] == nd * (n + 2 * W), "dflat built with a different W"
@@ -286,7 +307,11 @@ def _dia_powers_fused(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((s, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, n), x.dtype),
+        # vma propagation keeps the kernel usable inside shard_map bodies
+        # (jax>=0.9 check_vma requires out_shape vma there).
+        out_shape=jax.ShapeDtypeStruct(
+            (s, n), x.dtype, vma=getattr(jax.typeof(x), "vma", frozenset())
+        ),
         scratch_shapes=[
             pltpu.VMEM((nd * L,), x.dtype),
             pltpu.VMEM((L,), x.dtype),
@@ -319,12 +344,8 @@ def matrix_powers_dia_fused(
     nd = A.data.shape[0]
     wmax = max(max(abs(o) for o in A.offsets), 1)
     W = ((s * wmax + 1023) // 1024) * 1024
-    # Two scratch sets + the pipelined output block must fit VMEM (~16MB).
-    itemsize = jnp.dtype(q.dtype).itemsize
-    t = pick_tile(n, tile)
-    while t > 0 and (2 * (nd + 1) * (t + 2 * W) + 2 * s * t) * itemsize > 13 * 2**20:
-        t = pick_tile(n, t // 2)
-    if t == 0 or W >= t:
+    t = fused_tile(n, nd, W, s, q.dtype, tile)
+    if t == 0:
         return matrix_powers_dia_pallas(A, q, s, diag, sub, tile=tile, interpret=interpret)
     coefs = np.zeros((s, 2))
     if diag is not None:

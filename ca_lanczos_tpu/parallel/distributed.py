@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,12 +45,24 @@ class DistDia:
         outside [0, n).  Sharded over the leading mesh axis.
     offsets: static diagonal offsets (see ops.spmv.DiaMatrix).
     halo: ghost depth in rows; must be >= s_max * max|offset|.
+
+    When the shard shape admits the fused Pallas s-step kernel
+    (ops.pallas_spmv._dia_powers_fused), ``dflat`` holds the per-shard
+    flat-padded matrix layout (P, ndiags*(m_pad + 2*fused_w)) built once
+    at partition time, so the distributed matrix powers run at the fused
+    kernel's HBM rate instead of the XLA shifted-slice rate
+    (reference hot loop: matrix_powers_monomial.m:6-12).
     """
 
     data: jax.Array
     offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
+    dflat: Optional[jax.Array] = None
+    fused_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    m_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    fused_tile: int = dataclasses.field(default=0, metadata=dict(static=True))
+    fused_interpret: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -79,13 +91,26 @@ class DistDia:
         return self.halo // w if w else 10**9
 
     @staticmethod
-    def from_dia(A: DiaMatrix, mesh: Mesh, s_max: int) -> "DistDia":
+    def from_dia(
+        A: DiaMatrix,
+        mesh: Mesh,
+        s_max: int,
+        fused: Optional[bool] = None,
+        interpret: bool = False,
+    ) -> "DistDia":
         """Partition a DIA operator over ``mesh`` with an s_max-deep halo.
 
         Rows are padded to a multiple of the shard count; padding rows are
         zero (harmless: they contribute nothing and their Krylov entries
         stay zero when the start vector is zero-padded likewise).
+
+        ``fused`` selects the fused Pallas kernel for the local s-step
+        computation (None = auto: on when every mesh device is a TPU and
+        the shard shape admits an aligned tile).  ``interpret`` runs the
+        kernel in Pallas interpret mode (CPU testing).
         """
+        from ca_lanczos_tpu.ops.pallas_spmv import fused_tile
+
         P_ = mesh.devices.size
         data = np.asarray(A.data)
         ndiags, n = data.shape
@@ -107,7 +132,45 @@ class DistDia:
         sharded = jax.device_put(
             jnp.asarray(shards), NamedSharding(mesh, PartitionSpec(ROWS))
         )
-        return DistDia(data=sharded, offsets=A.offsets, halo=halo, n=n)
+        if fused is None:
+            fused = not interpret and all(
+                d.platform == "tpu" for d in mesh.devices.flat
+            )
+        dflat = None
+        W = m_pad = ftile = 0
+        if fused:
+            m = n_local + 2 * halo
+            # Pad to the kernel's sweet-spot tile (65536) when the shard is
+            # big enough so pick_tile lands on it; 1024-unit otherwise.
+            unit = 65536 if m >= 65536 else 1024
+            m_pad = ((m + unit - 1) // unit) * unit
+            W = max(1024, ((s_max * w + 1023) // 1024) * 1024)
+            ftile = fused_tile(m_pad, ndiags, W, s_max, data.dtype)
+            if ftile == 0:
+                fused = False
+                W = m_pad = 0
+            else:
+                # Per-shard flat layout: each diagonal row padded to m_pad
+                # then W on both sides, concatenated (see dia_flat_padded).
+                fshards = np.zeros((P_, ndiags * (m_pad + 2 * W)), data.dtype)
+                for p in range(P_):
+                    padded = np.zeros((ndiags, m_pad + 2 * W), data.dtype)
+                    padded[:, W : W + m] = shards[p]
+                    fshards[p] = padded.reshape(-1)
+                dflat = jax.device_put(
+                    jnp.asarray(fshards), NamedSharding(mesh, PartitionSpec(ROWS))
+                )
+        return DistDia(
+            data=sharded,
+            offsets=A.offsets,
+            halo=halo,
+            n=n,
+            dflat=dflat,
+            fused_w=W,
+            m_pad=m_pad,
+            fused_tile=ftile,
+            fused_interpret=interpret,
+        )
 
     def shard_vector(self, x, mesh: Mesh) -> jax.Array:
         """Zero-pad a global (n,) vector to (P*n_local,) and row-shard it."""
@@ -152,13 +215,47 @@ def _powers_local(
     halo: int,
     n_shards: int,
     s: int,
+    dflat_local: Optional[jax.Array] = None,
+    fused_w: int = 0,
+    m_pad: int = 0,
+    fused_tile: int = 0,
+    fused_interpret: bool = False,
 ) -> jax.Array:
     """One halo exchange + s local three-term-recurrence SpMVs.
 
     Implements V[:,k+1] = A V[:,k] - diag[k] V[:,k] - sub[k] V[:,k-1] on
     the padded vector; returns the owned center (n_local, s+1).
+
+    With ``dflat_local`` (the shard's flat-padded layout from
+    DistDia.from_dia) the s local steps run through the fused Pallas
+    kernel — one matrix HBM read per s steps — instead of the XLA
+    shifted-slice scan.  Tile halos pollute inward by bandwidth per step,
+    but fused_w >= s*w keeps the owned center exact, identical to the
+    single-chip kernel's guarantee.
     """
     xp = _halo_exchange(x_local, halo, n_shards)
+    n_local = x_local.shape[0]
+
+    if dflat_local is not None and s * max(
+        (abs(o) for o in offsets), default=0
+    ) <= fused_w:
+        from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused
+
+        m = xp.shape[0]
+        xpp = jnp.pad(xp, (0, m_pad - m))
+        coefs = jnp.stack([diag[:s], sub[:s]], axis=1).astype(xp.dtype)
+        ws = _dia_powers_fused(
+            dflat_local,
+            xpp,
+            coefs,
+            offsets,
+            s,
+            tile=fused_tile,
+            interpret=fused_interpret,
+            W=fused_w,
+        )  # (s, m_pad)
+        center = ws[:, halo : halo + n_local]
+        return jnp.concatenate([x_local[None, :], center], axis=0).T
 
     def step(carry, coeffs):
         v_km1, v_k = carry
@@ -168,7 +265,6 @@ def _powers_local(
 
     zero = jnp.zeros_like(xp)
     _, ws = lax.scan(step, (zero, xp), (diag[:s], sub[:s]))
-    n_local = x_local.shape[0]
     center = ws[:, halo : halo + n_local]  # (s, n_local)
     return jnp.concatenate([x_local[None, :], center], axis=0).T  # (n_local, s+1)
 
@@ -191,22 +287,30 @@ def dist_matrix_powers(
         halo=A.halo,
         n_shards=A.n_shards,
         s=s,
+        fused_w=A.fused_w,
+        m_pad=A.m_pad,
+        fused_tile=A.fused_tile,
+        fused_interpret=A.fused_interpret,
     )
 
-    def body(data_block, x_local, dg, sb):
-        return inner(data_block[0], x_local, dg, sb)
+    if A.dflat is not None:
+        def body(data_block, dflat_block, x_local, dg, sb):
+            return inner(data_block[0], x_local, dg, sb, dflat_local=dflat_block[0])
+
+        operands = (A.data, A.dflat)
+    else:
+        def body(data_block, x_local, dg, sb):
+            return inner(data_block[0], x_local, dg, sb)
+
+        operands = (A.data,)
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            PartitionSpec(ROWS),
-            PartitionSpec(ROWS),
-            PartitionSpec(),
-            PartitionSpec(),
-        ),
+        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1))
+        + (PartitionSpec(), PartitionSpec()),
         out_specs=PartitionSpec(ROWS),
-    )(A.data, x, diag, sub)
+    )(*operands, x, diag, sub)
 
 
 @partial(jax.jit, static_argnames=("mesh",))

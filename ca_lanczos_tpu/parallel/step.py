@@ -39,11 +39,22 @@ def _local_powers_fn(A, s: int):
 
         return body_ell, (A.vals, A.cols)
 
+    fused_kw = dict(
+        offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
+        fused_w=A.fused_w, m_pad=A.m_pad, fused_tile=A.fused_tile,
+        fused_interpret=A.fused_interpret,
+    )
+    if A.dflat is not None:
+        def body_dia_fused(data_block, dflat_block, x_local, dg, sb):
+            return _powers_local(
+                data_block[0], x_local, dg, sb,
+                dflat_local=dflat_block[0], **fused_kw,
+            )
+
+        return body_dia_fused, (A.data, A.dflat)
+
     def body_dia(data_block, x_local, dg, sb):
-        return _powers_local(
-            data_block[0], x_local, dg, sb,
-            offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
-        )
+        return _powers_local(data_block[0], x_local, dg, sb, **fused_kw)
 
     return body_dia, (A.data,)
 

@@ -83,6 +83,45 @@ class TestDistMatrixPowers:
         V_ref = np.asarray(matrix_powers_from_B(A, q, Bk))
         np.testing.assert_allclose(V, V_ref, rtol=1e-12, atol=1e-10)
 
+    @pytest.mark.parametrize("s", [2, 4])
+    def test_fused_kernel_matches_scan(self, mesh, s):
+        """The fused Pallas path inside the distributed step (interpret
+        mode on the CPU mesh) must agree with the XLA scan path on the
+        owned centers (VERDICT round-1 item 2)."""
+        n = 8 * 1024  # n_local = 1024: admits the fused tile
+        A = laplacian_1d(n)
+        x = np.random.default_rng(7).standard_normal(n)
+        z = jnp.zeros(s)
+
+        A_scan = DistDia.from_dia(A, mesh, s_max=s)
+        assert A_scan.dflat is None
+        xs = A_scan.shard_vector(x, mesh)
+        V_scan = np.asarray(dist_matrix_powers(A_scan, xs, s, z, z, mesh))[:n]
+
+        A_fused = DistDia.from_dia(A, mesh, s_max=s, fused=True, interpret=True)
+        assert A_fused.dflat is not None
+        V_fused = np.asarray(dist_matrix_powers(A_fused, xs, s, z, z, mesh))[:n]
+
+        np.testing.assert_allclose(V_fused, V_scan, rtol=1e-13, atol=1e-13)
+
+    def test_fused_kernel_newton_coeffs(self, mesh):
+        """Fused path with nonzero Newton recurrence coefficients."""
+        n, s = 8 * 1024, 4
+        A = laplacian_1d(n)
+        x = np.random.default_rng(8).standard_normal(n)
+        rng = np.random.default_rng(9)
+        diag = jnp.asarray(rng.standard_normal(s))
+        sub = jnp.asarray(rng.standard_normal(s))
+
+        A_scan = DistDia.from_dia(A, mesh, s_max=s)
+        xs = A_scan.shard_vector(x, mesh)
+        V_scan = np.asarray(dist_matrix_powers(A_scan, xs, s, diag, sub, mesh))[:n]
+
+        A_fused = DistDia.from_dia(A, mesh, s_max=s, fused=True, interpret=True)
+        V_fused = np.asarray(dist_matrix_powers(A_fused, xs, s, diag, sub, mesh))[:n]
+
+        np.testing.assert_allclose(V_fused, V_scan, rtol=1e-13, atol=1e-12)
+
 
 class TestDistOrth:
     def test_tsqr(self, mesh):
