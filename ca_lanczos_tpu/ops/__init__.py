@@ -6,6 +6,7 @@ from ca_lanczos_tpu.ops.matrix_powers import (
     matrix_powers_newton,
 )
 from ca_lanczos_tpu.ops.pallas_spmv import matrix_powers_dia_pallas, pick_tile
+from ca_lanczos_tpu.ops.pell import PellMatrix, matrix_powers_pell, pell_apply
 from ca_lanczos_tpu.ops.qr import tsqr, cholqr
 from ca_lanczos_tpu.ops.orth import normalize, project, project_and_normalize
 
@@ -21,6 +22,9 @@ __all__ = [
     "matrix_powers_newton",
     "matrix_powers_dia_pallas",
     "pick_tile",
+    "PellMatrix",
+    "matrix_powers_pell",
+    "pell_apply",
     "tsqr",
     "cholqr",
     "normalize",

@@ -220,11 +220,15 @@ def _powers_local(
     m_pad: int = 0,
     fused_tile: int = 0,
     fused_interpret: bool = False,
+    transposed: bool = False,
 ) -> jax.Array:
     """One halo exchange + s local three-term-recurrence SpMVs.
 
     Implements V[:,k+1] = A V[:,k] - diag[k] V[:,k] - sub[k] V[:,k-1] on
-    the padded vector; returns the owned center (n_local, s+1).
+    the padded vector; returns the owned center (n_local, s+1), or
+    (s+1, n_local) with ``transposed=True`` — the kernel's natural
+    layout, which avoids materializing a transpose at a shard_map
+    boundary (callers transpose lazily outside).
 
     With ``dflat_local`` (the shard's flat-padded layout from
     DistDia.from_dia) the s local steps run through the fused Pallas
@@ -255,7 +259,8 @@ def _powers_local(
             W=fused_w,
         )  # (s, m_pad)
         center = ws[:, halo : halo + n_local]
-        return jnp.concatenate([x_local[None, :], center], axis=0).T
+        V = jnp.concatenate([x_local[None, :], center], axis=0)
+        return V if transposed else V.T
 
     def step(carry, coeffs):
         v_km1, v_k = carry
@@ -266,7 +271,8 @@ def _powers_local(
     zero = jnp.zeros_like(xp)
     _, ws = lax.scan(step, (zero, xp), (diag[:s], sub[:s]))
     center = ws[:, halo : halo + n_local]  # (s, n_local)
-    return jnp.concatenate([x_local[None, :], center], axis=0).T  # (n_local, s+1)
+    V = jnp.concatenate([x_local[None, :], center], axis=0)
+    return V if transposed else V.T  # (n_local, s+1) by default
 
 
 @partial(jax.jit, static_argnames=("s", "mesh"))
@@ -295,22 +301,29 @@ def dist_matrix_powers(
 
     if A.dflat is not None:
         def body(data_block, dflat_block, x_local, dg, sb):
-            return inner(data_block[0], x_local, dg, sb, dflat_local=dflat_block[0])
+            return inner(
+                data_block[0], x_local, dg, sb,
+                dflat_local=dflat_block[0], transposed=True,
+            )
 
         operands = (A.data, A.dflat)
     else:
         def body(data_block, x_local, dg, sb):
-            return inner(data_block[0], x_local, dg, sb)
+            return inner(data_block[0], x_local, dg, sb, transposed=True)
 
         operands = (A.data,)
 
-    return jax.shard_map(
+    # The body emits (s+1, n_local) — the kernel's natural layout — and the
+    # transpose happens OUTSIDE the shard_map boundary, where XLA can fuse
+    # it into consumers instead of materializing an (n, s+1) copy.
+    V = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1))
         + (PartitionSpec(), PartitionSpec()),
-        out_specs=PartitionSpec(ROWS),
+        out_specs=PartitionSpec(None, ROWS),
     )(*operands, x, diag, sub)
+    return V.T
 
 
 @partial(jax.jit, static_argnames=("mesh",))

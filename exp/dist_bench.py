@@ -113,4 +113,4 @@ def single_chip_materialized():
     print(f"single-chip fused + V materialization: {rate:.1f} Gnnz/s/chip")
 
 
-single_chip_materialized()
+# single_chip_materialized()

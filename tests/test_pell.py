@@ -1,0 +1,123 @@
+"""PELL (pooled-chunk windowed ELL) format: encoder round-trip and
+interpret-mode kernel parity against dense oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ca_lanczos_tpu.ops.pell import PellMatrix, matrix_powers_pell, pell_apply
+
+
+def random_banded(n, bw, nnz_per_row, seed):
+    """Random sparsity with per-row spread <= bw (general, not DIA)."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        lo, hi = max(0, i - bw), min(n, i + bw + 1)
+        k = min(nnz_per_row, hi - lo)
+        cs = rng.choice(np.arange(lo, hi), size=k, replace=False)
+        rows += [i] * k
+        cols += list(cs)
+        vals += list(rng.standard_normal(k))
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+
+class TestEncoder:
+    def test_roundtrip_small(self):
+        a = random_banded(200, 40, 5, 0)
+        A = PellMatrix.from_scipy(a, tile=128, cmax=4)
+        np.testing.assert_allclose(A.to_dense(), a.toarray(), atol=0)
+
+    def test_roundtrip_2d_laplacian(self):
+        nx = 18
+        lap = sp.kron(sp.eye(nx), sp.diags([-1, 2, -1], [-1, 0, 1], (nx, nx))) + sp.kron(
+            sp.diags([-1, 2, -1], [-1, 0, 1], (nx, nx)), sp.eye(nx)
+        )
+        A = PellMatrix.from_scipy(sp.csr_matrix(lap), tile=128, cmax=4)
+        np.testing.assert_allclose(A.to_dense(), lap.toarray(), atol=0)
+
+    def test_cmax_overflow_spills_to_extra_slot_tiles(self):
+        # One row referencing many distinct 128-chunks: must still encode.
+        n = 1500
+        cols = np.arange(0, n, 130)  # one nnz per distinct chunk
+        a = sp.csr_matrix(
+            (np.ones(len(cols)), (np.zeros(len(cols)), cols)), shape=(n, n)
+        )
+        a = a + sp.eye(n)
+        A = PellMatrix.from_scipy(a.tocsr(), tile=256, cmax=2)
+        np.testing.assert_allclose(A.to_dense(), a.toarray(), atol=0)
+
+    def test_span_overflow_raises(self):
+        n = 4096
+        a = sp.eye(n).tolil()
+        a[0, n - 1] = 1.0  # full-width spread in tile 0
+        with pytest.raises(ValueError, match="span overflow"):
+            PellMatrix.from_scipy(a.tocsr(), tile=1024, sw=1024)
+
+
+class TestKernelInterpret:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matvec_matches_dense(self, seed):
+        n = 2000
+        a = random_banded(n, 300, 7, seed)
+        A = PellMatrix.from_scipy(a, tile=1024, cmax=8)
+        x = np.random.default_rng(seed + 10).standard_normal(n)
+        y = np.asarray(pell_apply(A, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+    def test_matvec_asymmetric_scattered(self):
+        n = 1024
+        rng = np.random.default_rng(3)
+        a = sp.random(n, n, density=0.01, random_state=3, format="csr")
+        a = a + sp.eye(n)
+        A = PellMatrix.from_scipy(a.tocsr(), tile=512, cmax=8)
+        x = rng.standard_normal(n)
+        y = np.asarray(pell_apply(A, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+    def test_recurrence_coefficients(self):
+        n = 1200
+        a = random_banded(n, 200, 5, 5)
+        A = PellMatrix.from_scipy(a, tile=1024)
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal(n)
+        vp = rng.standard_normal(n)
+        d, sb = 0.7, -0.3
+        y = np.asarray(
+            pell_apply(A, jnp.asarray(x), jnp.asarray(vp), d, sb, interpret=True)
+        )
+        np.testing.assert_allclose(y, a @ x - d * x - sb * vp, rtol=1e-12, atol=1e-12)
+
+    def test_matrix_powers_monomial(self):
+        n = 1024
+        a = random_banded(n, 100, 5, 7)
+        a = (a + a.T) * 0.05  # keep powers bounded
+        A = PellMatrix.from_scipy(sp.csr_matrix(a), tile=512)
+        x = np.random.default_rng(8).standard_normal(n)
+        s = 4
+        V = np.asarray(matrix_powers_pell(A, jnp.asarray(x), s, interpret=True))
+        ad = a.toarray()
+        expect = np.stack(
+            [np.linalg.matrix_power(ad, k) @ x for k in range(s + 1)], axis=1
+        )
+        np.testing.assert_allclose(V, expect, rtol=1e-10, atol=1e-10)
+
+    def test_matrix_powers_newton_coeffs(self):
+        n = 1024
+        a = random_banded(n, 100, 5, 9)
+        a = (a + a.T) * 0.05
+        A = PellMatrix.from_scipy(sp.csr_matrix(a), tile=512)
+        rng = np.random.default_rng(10)
+        x = rng.standard_normal(n)
+        s = 3
+        diag = rng.standard_normal(s) * 0.1
+        sub = rng.standard_normal(s) * 0.1
+        V = np.asarray(
+            matrix_powers_pell(A, jnp.asarray(x), s, diag, sub, interpret=True)
+        )
+        ad = a.toarray()
+        expect = [x, ad @ x - diag[0] * x]
+        for k in range(1, s):
+            expect.append(ad @ expect[k] - diag[k] * expect[k] - sub[k] * expect[k - 1])
+        np.testing.assert_allclose(V, np.stack(expect, 1), rtol=1e-10, atol=1e-10)
