@@ -71,6 +71,53 @@ class IRLResult:
     n_restarts: int
     conv_rnorms: np.ndarray
     converged: bool
+    n_locked: int = 0
+    n_purged: int = 0
+
+
+def _retridiagonalize(d: np.ndarray, w: np.ndarray):
+    """Reduce the thick-restart arrowhead back to Lanczos form.
+
+    Given the active window in eigencoordinates — A (V Y) = (V Y) diag(d)
+    + r (beta w^T) — produce orthogonal U with U[:, -1] = w/|w| and
+    U^T diag(d) U tridiagonal, so the compressed window is again a valid
+    Lanczos factorization with the residual coupled to the LAST column.
+    This is the role of the reference's Hessred (impl_restarted_ca_
+    lanczos.m:535-556), done as a fully-reorthogonalized dense Lanczos on
+    diag(d) seeded with w (O(ka^2) host work), then column-flipped.
+
+    Returns (U, Ttri) with Ttri = U^T diag(d) U.
+    """
+    ka = len(d)
+    U = np.zeros((ka, ka))
+    alpha = np.zeros(ka)
+    beta = np.zeros(ka)
+    v = w / np.linalg.norm(w)
+    U[:, 0] = v
+    for j in range(ka):
+        r = d * U[:, j]
+        if j > 0:
+            r = r - beta[j - 1] * U[:, j - 1]
+        alpha[j] = U[:, j] @ r
+        r = r - alpha[j] * U[:, j]
+        r = r - U[:, : j + 1] @ (U[:, : j + 1].T @ r)  # full reorth
+        if j + 1 < ka:
+            beta[j] = np.linalg.norm(r)
+            if beta[j] < 1e-14 * max(np.max(np.abs(d)), 1.0):
+                # Invariant subspace hit: restart with a random orthogonal
+                # complement direction (harmless — coupling stays exact).
+                r = np.random.default_rng(j).standard_normal(ka)
+                r = r - U[:, : j + 1] @ (U[:, : j + 1].T @ r)
+                beta[j] = 0.0
+                r = r / np.linalg.norm(r)
+                U[:, j + 1] = r
+            else:
+                U[:, j + 1] = r / beta[j]
+    Ttri = np.diag(alpha) + np.diag(beta[: ka - 1], 1) + np.diag(beta[: ka - 1], -1)
+    # Flip so the residual couples to the last column.
+    U = U[:, ::-1]
+    Ttri = Ttri[::-1, ::-1]
+    return U, Ttri
 
 
 def _std_extend(
@@ -174,12 +221,22 @@ def impl_restarted_ca_lanczos(
     tol: float = 1.0e-6,
     max_restarts: int = 40,
     inner: str = "ca",
+    lock: bool = True,
 ) -> IRLResult:
     """Implicitly-restarted CA-Lanczos (impl_restarted_ca_lanczos.m:4-228).
 
     k = n_wanted + 4 retained directions per restart (:74); p unwanted
     Ritz values applied as exact shifts; ``inner`` in {"ca", "std"} picks
     the expansion iteration.
+
+    ``lock=True`` implements the deflation the reference left as TODO
+    (impl_restarted_ca_lanczos.m:116-152): converged wanted Ritz pairs
+    are locked into a decoupled leading diagonal block — the bulge chase
+    then runs on the window [nlock, m) only (the ``qrstep(.., nconv, m)``
+    hook) — and converged UNWANTED pairs are purged from the basis so
+    they can never be applied as (numerically singular) exact shifts.
+    After each lock/purge the active window is returned to Lanczos form
+    by ``_retridiagonalize``.
     """
     basis = Basis(basis)
     orth = Orth(orth)
@@ -211,71 +268,171 @@ def impl_restarted_ca_lanczos(
 
     n_restarts = 0
     converged = False
-    nconv = 0
+    nlock = 0  # decoupled leading diagonal block of locked eigenvalues
+    n_purged = 0
+    d_locked: list = []
+    rnorm_locked: list = []
+    ka = 0  # active (compressed, unlocked) columns carried across restarts
     while n_restarts < max_restarts:
         n_restarts += 1
-        k0 = 0 if n_restarts == 1 else k
+        j0 = nlock + ka if n_restarts > 1 else 0
+        # Extension length must tile into CA blocks; m_eff <= m.
+        m_eff = j0 + s * ((m - j0) // s) if inner == "ca" else m
+        if m_eff - j0 < (s if inner == "ca" else 1):
+            break  # window exhausted (all locked/purged)
         if inner == "ca":
-            V, T, beta_m = _ca_extend(A, V, T, k0, m, s, Bk, basis, orth)
+            V, T, beta_m = _ca_extend(A, V, T, j0, m_eff, s, Bk, basis, orth)
         else:
-            V, T, beta_m = _std_extend(A, V, T, k0, m, orth)
+            V, T, beta_m = _std_extend(A, V, T, j0, m_eff, orth)
 
-        # Shift selection (:97, selectShifts :246-253): unwanted = the
-        # p smallest Ritz values of T_m (wanted strategy 'largest').
-        Tm = T[:m, :m].copy()
-        theta = np.linalg.eigvalsh((Tm + Tm.T) / 2)  # ascending
-        shifts = theta[:p]
+        # Shift selection (:97, selectShifts :246-253) on the ACTIVE
+        # window [nlock, m_eff): unwanted = smallest (wanted 'largest').
+        ka_target = min(k - nlock, m_eff - nlock - 1)
+        Ta = T[nlock:m_eff, nlock:m_eff].copy()
+        theta = np.linalg.eigvalsh((Ta + Ta.T) / 2)  # ascending
+        p_eff = m_eff - nlock - ka_target
+        shifts = theta[:p_eff]
 
         # Residual vector before restart.
-        r_vec = beta_m * V[:, m]
+        r_vec = beta_m * V[:, m_eff]
 
-        # Bulge-chase sweep: apply each unwanted Ritz value (:99-108).
-        Q = np.eye(m)
-        H = Tm
+        # Bulge-chase sweep on the unlocked window only — the reference's
+        # intended qrstep(Q, Tm, mu, nconv+1, m) hook (:99-108, TODO
+        # :116-125); the locked diagonal block is untouched.
+        Q = np.eye(m_eff)
+        H = T[:m_eff, :m_eff].copy()
         for mu in shifts:
-            Q, H = qrstep(Q, H, mu, 0, m)
+            Q, H = qrstep(Q, H, mu, nlock, m_eff)
 
-        # Truncate to k (:110-114).
-        Vk_new = V[:, :m] @ jnp.asarray(Q[:, :k], dtype)
+        # Truncate the active window to ka_target columns (:110-114).
+        kc = nlock + ka_target
+        Vk_new = V[:, :m_eff] @ jnp.asarray(Q[:, nlock:kc], dtype)
         r_new = (
-            V[:, :m] @ jnp.asarray(Q[:, k] * H[k, k - 1], dtype)
-            + r_vec * Q[m - 1, k - 1]
+            V[:, :m_eff] @ jnp.asarray(Q[:, kc] * H[kc, kc - 1], dtype)
+            + r_vec * Q[m_eff - 1, kc - 1]
         )
         beta_k = float(jnp.linalg.norm(r_new))
+        Ha = (H[nlock:kc, nlock:kc] + H[nlock:kc, nlock:kc].T) / 2
 
-        T = np.zeros((m + 1, m))
-        T[:k, :k] = H[:k, :k]
-        T[k, k - 1] = beta_k
-        # Symmetric coupling into the next extension column: v_{k-1}^T A v_k
-        # = beta_k (the std extension reads it from the T it is handed).
-        T[k - 1, k] = beta_k
-        V = jnp.zeros((n, m + 1), dtype)
-        V = V.at[:, :k].set(Vk_new)
-        V = V.at[:, k].set(r_new / beta_k)
-
-        # Convergence of the k-window Ritz pairs (:128-147).
-        Tk_sym = (T[:k, :k] + T[:k, :k].T) / 2
-        d, Y = np.linalg.eigh(Tk_sym)
-        rnorms = beta_k * np.abs(Y[k - 1, :])
+        # Convergence / locking / purging on the compressed active window.
+        d, Y = np.linalg.eigh(Ha)  # ascending
+        rnorms = beta_k * np.abs(Y[-1, :])
         conv = rnorms < tol
-        # Count converged among the n_wanted largest.
-        order = np.argsort(d)[::-1][:n_wanted]
-        nconv = int(np.sum(conv[order]))
-        if nconv >= n_wanted:
-            converged = True
-            break
+        n_want_left = n_wanted - nlock
+        order_desc = np.argsort(d)[::-1]
+        lock_idx = []
+        if lock:
+            # Lock converged pairs among the wanted (largest) — greedily
+            # from the top so locked pairs are the extreme ones.
+            for i in order_desc[:n_want_left]:
+                if conv[i]:
+                    lock_idx.append(i)
+            # Purge converged pairs among the unwanted: an exact shift at
+            # a converged Ritz value is numerically singular, so drop the
+            # direction from the basis entirely.
+            purge_idx = [i for i in order_desc[n_want_left:] if conv[i]]
+        else:
+            purge_idx = []
+            if int(np.sum(conv[order_desc[:n_want_left]])) >= n_want_left:
+                converged = True
+        keep = [i for i in range(len(d)) if i not in lock_idx and i not in purge_idx]
 
-    # Final Ritz extraction from the k window (:216-221).
-    Tk_sym = (T[:k, :k] + T[:k, :k].T) / 2
-    d, Y = np.linalg.eigh(Tk_sym)
-    order = np.argsort(d)[::-1][:n_wanted]
-    eigs = d[order]
-    rnorms = (float(T[k, k - 1]) * np.abs(Y[k - 1, :]))[order]
-    Q_conv = V[:, :k] @ jnp.asarray(Y[:, order], dtype)
+        if lock and (lock_idx or purge_idx):
+            # Transform to eigencoordinates: locked block first, then the
+            # re-tridiagonalized remainder (Hessred role, :535-556).
+            Yl = Y[:, lock_idx]
+            V_lock_add = Vk_new @ jnp.asarray(Yl, dtype)
+            d_locked.extend(d[lock_idx])
+            rnorm_locked.extend(rnorms[lock_idx])
+            n_purged += len(purge_idx)
+            ka = len(keep)
+            if ka > 0:
+                d_rest = d[keep]
+                w = Y[-1, keep]
+                wn = np.linalg.norm(w)
+                if wn > 0:
+                    U, Ttri = _retridiagonalize(d_rest, w)
+                    V_act = Vk_new @ jnp.asarray(Y[:, keep] @ U, dtype)
+                    beta_eff = beta_k * wn
+                else:  # residual fully in locked/purged directions
+                    U, Ttri = np.eye(ka), np.diag(d_rest)
+                    V_act = Vk_new @ jnp.asarray(Y[:, keep], dtype)
+                    beta_eff = 0.0
+            else:
+                Ttri = np.zeros((0, 0))
+                V_act = Vk_new[:, :0]
+                beta_eff = 0.0
+            nlock_new = nlock + len(lock_idx)
+            T = np.zeros((m + 1, m))
+            for i, dv in enumerate(d_locked):
+                T[i, i] = dv
+            T[nlock_new : nlock_new + ka, nlock_new : nlock_new + ka] = Ttri
+            V2 = jnp.zeros((n, m + 1), dtype)
+            V2 = V2.at[:, :nlock].set(V[:, :nlock])
+            V2 = V2.at[:, nlock:nlock_new].set(V_lock_add)
+            nlock = nlock_new
+            if ka > 0:
+                V2 = V2.at[:, nlock : nlock + ka].set(V_act)
+                T[nlock + ka, nlock + ka - 1] = beta_eff
+                T[nlock + ka - 1, nlock + ka] = beta_eff
+            V2 = V2.at[:, nlock + ka].set(r_new / beta_k)
+            V = V2
+            if nlock >= n_wanted:
+                converged = True
+                break
+        else:
+            # No structural change: keep the chased tridiagonal window
+            # as-is (identical to the lock=False legacy restart).
+            ka = ka_target
+            T = np.zeros((m + 1, m))
+            for i, dv in enumerate(d_locked):
+                T[i, i] = dv
+            T[kc, kc - 1] = beta_k
+            T[kc - 1, kc] = beta_k
+            V2 = jnp.zeros((n, m + 1), dtype)
+            V2 = V2.at[:, :nlock].set(V[:, :nlock])
+            V2 = V2.at[:, nlock:kc].set(Vk_new)
+            V2 = V2.at[:, kc].set(r_new / beta_k)
+            V = V2
+            # Ha here is the eigh-symmetrized chased block, which is
+            # tridiagonal to roundoff; restore exact tridiagonality.
+            T[nlock:kc, nlock:kc] = (
+                np.diag(np.diag(Ha))
+                + np.diag(np.diag(Ha, 1), 1)
+                + np.diag(np.diag(Ha, -1), -1)
+            )
+            if converged:
+                break
+
+    # Final Ritz extraction: locked pairs + best remaining active pairs.
+    kc = nlock + ka
+    Ta = (T[nlock:kc, nlock:kc] + T[nlock:kc, nlock:kc].T) / 2
+    if Ta.shape[0] > 0:
+        d_a, Y_a = np.linalg.eigh(Ta)
+        beta_c = float(T[kc, kc - 1]) if kc > 0 else 0.0
+        rn_a = beta_c * np.abs(Y_a[-1, :])
+    else:
+        d_a = np.zeros(0)
+        Y_a = np.zeros((0, 0))
+        rn_a = np.zeros(0)
+    all_d = np.concatenate([np.asarray(d_locked), d_a])
+    all_rn = np.concatenate([np.asarray(rnorm_locked), rn_a])
+    order = np.argsort(all_d)[::-1][:n_wanted]
+    eigs = all_d[order]
+    rnorms_out = all_rn[order]
+    cols = []
+    for i in order:
+        if i < nlock:
+            cols.append(V[:, i])
+        else:
+            cols.append(V[:, nlock:kc] @ jnp.asarray(Y_a[:, i - nlock], dtype))
+    Q_conv = jnp.stack(cols, axis=1) if cols else None
     return IRLResult(
         eigs=eigs,
         Q_conv=Q_conv,
         n_restarts=n_restarts,
-        conv_rnorms=rnorms,
+        conv_rnorms=rnorms_out,
         converged=converged,
+        n_locked=nlock,
+        n_purged=n_purged,
     )

@@ -81,3 +81,59 @@ class TestArnoldi:
         Qf, Hf = arnoldi(A, q, m2)
         np.testing.assert_allclose(np.asarray(Q2), np.asarray(Qf), atol=1e-10)
         np.testing.assert_allclose(H2, Hf, atol=1e-10)
+
+
+class TestIRLLocking:
+    """Deflation per the reference's TODO (impl_restarted_ca_lanczos.m:
+    116-152): locked pairs persist, restart count drops vs no-locking."""
+
+    def _clustered(self, n=500):
+        # Clustered top of the spectrum: hard for non-deflating IRL
+        # because converged extremes keep riding every QR sweep.
+        vals = np.concatenate([
+            np.linspace(1.0, 50.0, n - 8),
+            np.array([99.0, 99.2, 99.4, 99.6, 100.0, 100.1, 100.2, 100.3]),
+        ])
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        return DiaMatrix(data=jnp.asarray(vals)[None, :], offsets=(0,)), np.sort(vals)[::-1]
+
+    @pytest.mark.parametrize("inner", ["std", "ca"])
+    def test_locks_and_converges(self, inner):
+        A, exact = self._clustered()
+        r = jnp.ones((A.shape[0],), jnp.float64)
+        res = impl_restarted_ca_lanczos(
+            A, r, max_lanczos=40, n_wanted=6, s=4, basis=Basis.MONOMIAL,
+            orth=Orth.FULL, tol=1e-9, inner=inner, lock=True,
+        )
+        assert res.converged
+        assert res.n_locked >= 6
+        np.testing.assert_allclose(res.eigs, exact[:6], rtol=1e-7)
+
+    def test_locking_reduces_restarts(self):
+        A, exact = self._clustered()
+        r = jnp.ones((A.shape[0],), jnp.float64)
+        kw = dict(max_lanczos=40, n_wanted=6, s=4, basis=Basis.MONOMIAL,
+                  orth=Orth.FULL, tol=1e-9, inner="std", max_restarts=60)
+        res_lock = impl_restarted_ca_lanczos(A, r, lock=True, **kw)
+        res_free = impl_restarted_ca_lanczos(A, r, lock=False, **kw)
+        assert res_lock.converged
+        assert res_lock.n_restarts <= res_free.n_restarts
+        np.testing.assert_allclose(res_lock.eigs, exact[:6], rtol=1e-7)
+
+    def test_locked_pairs_persist(self):
+        """Once locked, eigenvalues are bit-identical across later
+        restarts (they live in a decoupled diagonal block)."""
+        A, exact = self._clustered()
+        r = jnp.ones((A.shape[0],), jnp.float64)
+        res = impl_restarted_ca_lanczos(
+            A, r, max_lanczos=40, n_wanted=8, s=4, basis=Basis.MONOMIAL,
+            orth=Orth.FULL, tol=1e-9, inner="std", lock=True, max_restarts=60,
+        )
+        assert res.n_locked > 0
+        # Locked Ritz vectors are true eigenvectors to tolerance.
+        Ad = np.asarray(A.to_dense())
+        Qc = np.asarray(res.Q_conv)
+        for i in range(min(res.n_locked, len(res.eigs))):
+            v = Qc[:, i]
+            lam = res.eigs[i]
+            assert np.linalg.norm(Ad @ v - lam * v) < 1e-6 * 100.0
