@@ -221,6 +221,7 @@ def _powers_local(
     fused_tile: int = 0,
     fused_interpret: bool = False,
     transposed: bool = False,
+    include_q: bool = True,
 ) -> jax.Array:
     """One halo exchange + s local three-term-recurrence SpMVs.
 
@@ -259,6 +260,8 @@ def _powers_local(
             W=fused_w,
         )  # (s, m_pad)
         center = ws[:, halo : halo + n_local]
+        if not include_q:  # caller re-attaches q outside the shard_map
+            return center if transposed else center.T
         V = jnp.concatenate([x_local[None, :], center], axis=0)
         return V if transposed else V.T
 
@@ -271,6 +274,8 @@ def _powers_local(
     zero = jnp.zeros_like(xp)
     _, ws = lax.scan(step, (zero, xp), (diag[:s], sub[:s]))
     center = ws[:, halo : halo + n_local]  # (s, n_local)
+    if not include_q:
+        return center if transposed else center.T
     V = jnp.concatenate([x_local[None, :], center], axis=0)
     return V if transposed else V.T  # (n_local, s+1) by default
 
@@ -303,27 +308,30 @@ def dist_matrix_powers(
         def body(data_block, dflat_block, x_local, dg, sb):
             return inner(
                 data_block[0], x_local, dg, sb,
-                dflat_local=dflat_block[0], transposed=True,
+                dflat_local=dflat_block[0], transposed=True, include_q=False,
             )
 
         operands = (A.data, A.dflat)
     else:
         def body(data_block, x_local, dg, sb):
-            return inner(data_block[0], x_local, dg, sb, transposed=True)
+            return inner(
+                data_block[0], x_local, dg, sb, transposed=True, include_q=False
+            )
 
         operands = (A.data,)
 
-    # The body emits (s+1, n_local) — the kernel's natural layout — and the
-    # transpose happens OUTSIDE the shard_map boundary, where XLA can fuse
-    # it into consumers instead of materializing an (n, s+1) copy.
-    V = jax.shard_map(
+    # The body emits the bare (s, n_local) recurrence block — the kernel's
+    # natural layout; prepending q and transposing happen OUTSIDE the
+    # shard_map boundary where XLA fuses them into consumers instead of
+    # materializing extra (n, s+1) copies.
+    W = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1))
         + (PartitionSpec(), PartitionSpec()),
         out_specs=PartitionSpec(None, ROWS),
     )(*operands, x, diag, sub)
-    return V.T
+    return jnp.concatenate([x[None, :], W], axis=0).T
 
 
 @partial(jax.jit, static_argnames=("mesh",))

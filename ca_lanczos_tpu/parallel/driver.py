@@ -57,17 +57,37 @@ def dist_ca_lanczos(
     basis: Basis = Basis.MONOMIAL,
     Bk: Optional[np.ndarray] = None,
     qr_method: str = "tsqr",
+    orth=None,
 ) -> DistCaLanczosResult:
-    """Row-sharded CA-Lanczos over ``mesh`` (local orthogonalization).
+    """Row-sharded CA-Lanczos over ``mesh`` with all four orth modes
+    (reference ca_lanczos.m:27-39 offers them everywhere).
 
-    Semantics mirror solvers.ca_lanczos with orth=LOCAL, except the block
-    CGS always runs two passes (see parallel.dist_orth).  A may be a
-    DiaMatrix (banded) or EllMatrix (general bounded-bandwidth sparsity);
-    for the Newton basis pass a precomputed ``Bk`` (e.g. from
+    Semantics mirror solvers.ca_lanczos, except the block CGS always runs
+    two passes (see parallel.dist_orth).  Orth modes beyond LOCAL reuse
+    the restarted driver's fixed-shape machinery: FULL re-orthogonalizes
+    every new block against the zero-padded history (one static jitted
+    step, ca_lanczos.m:196-197); PERIODIC triggers the same reorth from
+    the host omega recurrence (ca_lanczos.m:430-446); SELECTIVE tracks
+    converged Ritz vectors in a fixed-width padded basis joined into the
+    block projection (ca_lanczos.m:317-336).
+
+    A may be a DiaMatrix (banded) or EllMatrix (general bounded-bandwidth
+    sparsity); for the Newton basis pass a precomputed ``Bk`` (e.g. from
     solvers.ca_lanczos.build_basis_matrix on the host operator).
     """
+    from ca_lanczos_tpu.config import Orth
+    from ca_lanczos_tpu.ops.spmv import normest
+    from ca_lanczos_tpu.parallel.restarted import (
+        _dist_ca_block_locked,
+        _dist_reorth,
+        _dist_ritz_vector,
+    )
+    from ca_lanczos_tpu.utils.diagnostics import OmegaRecurrence
+
     basis = Basis(basis)
+    orth = Orth(orth) if orth is not None else Orth.LOCAL
     t = int(np.ceil(total_steps / s))
+    m = s * t
     if Bk is None:
         if basis != Basis.MONOMIAL:
             raise ValueError("newton basis requires an explicit Bk (bootstrap on host)")
@@ -79,10 +99,29 @@ def dist_ca_lanczos(
     else:
         Adist = DistDia.from_dia(A, mesh, s_max=s)
     r = np.asarray(r)
+    n = A.n
     q = Adist.shard_vector(r / np.linalg.norm(r), mesh)
     dtype = q.dtype
     diag = jnp.asarray(diag_np, dtype)
     sub = jnp.asarray(sub_np, dtype)
+
+    _EPS = float(np.finfo(np.float64).eps)
+    norm_A = normest(A) if orth in (Orth.PERIODIC, Orth.SELECTIVE) else None
+    omega = OmegaRecurrence(norm_A) if orth == Orth.PERIODIC else None
+    Qhist = (
+        Adist.shard_vector(np.zeros((n, m + 1)), mesh)
+        if orth in (Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE)
+        else None
+    )
+    # Selective: fixed-width padded Ritz basis (zero columns are CGS
+    # no-ops, so one compile serves the whole run).
+    r_cap = min(m, 24)
+    QRpad = (
+        Adist.shard_vector(np.zeros((n, r_cap)), mesh)
+        if orth == Orth.SELECTIVE
+        else None
+    )
+    nritz = 0
 
     Q_blocks: List[jax.Array] = []
     b = np.zeros(t)
@@ -91,15 +130,54 @@ def dist_ca_lanczos(
     Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh, qr_method)
     Q_blocks.append(Qb)
     T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
+    if Qhist is not None:
+        Qhist = Qhist.at[:, : s + 1].set(Qb)
 
     for k in range(2, t + 1):
-        Q_new, Rkk, R = dist_ca_block(Adist, Q_blocks[-1], diag, sub, s, mesh, qr_method)
+        if orth == Orth.SELECTIVE:
+            Q_new, Rkk, R = _dist_ca_block_locked(
+                Adist, Q_blocks[-1], QRpad, diag, sub, s, mesh, qr_method
+            )
+        else:
+            Q_new, Rkk, R = dist_ca_block(
+                Adist, Q_blocks[-1], diag, sub, s, mesh, qr_method
+            )
         Tk, b[k - 1], _ = block_T(
             np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s
         )
         T = extend_T(T, Tk, b[k - 2], b[k - 1], s)
-        # Store the next block's s+1 columns: previous end column + new s.
+
+        if orth == Orth.FULL:
+            Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_method)
+        elif orth == Orth.PERIODIC:
+            alpha_d = np.diagonal(T[: s * k, : s * k]).copy()
+            beta_d = np.diagonal(T[: s * k + 1, : s * k], -1).copy()
+            omega.update(alpha_d, beta_d)
+            if omega.max_error_block(s) >= np.sqrt(_EPS):
+                Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_method)
+                omega.reset_block(s)
+
+        if Qhist is not None:
+            lo = (k - 1) * s + 1
+            Qhist = Qhist.at[:, lo : lo + s].set(Q_new)
         Q_blocks.append(jnp.concatenate([Q_blocks[-1][:, -1:], Q_new], axis=1))
+
+        if orth == Orth.SELECTIVE:
+            # Converged-Ritz tracking (ca_lanczos.m:317-336) on host T;
+            # Ritz vectors assembled on the mesh from the padded history.
+            sk = s * k
+            d_k, Vp_k = np.linalg.eigh(T[:sk, :sk])
+            conv = [
+                i for i in range(sk)
+                if b[k - 1] * abs(Vp_k[sk - 1, i]) < norm_A * np.sqrt(_EPS)
+            ][:r_cap]
+            if len(conv) > nritz:
+                nritz = len(conv)
+                for j, i in enumerate(conv):
+                    w = np.zeros(m + 1)
+                    w[:sk] = Vp_k[:, i]
+                    y = _dist_ritz_vector(Qhist, jnp.asarray(w, dtype), mesh)
+                    QRpad = QRpad.at[:, j].set(y)
 
     return DistCaLanczosResult(T=T[: s * t, : s * t], Q_blocks=Q_blocks, beta=b, n=A.n)
 

@@ -1,0 +1,141 @@
+"""Corpus-scale validation campaign (VERDICT round-1 item 3).
+
+Reproduces the reference's test_restarted_ca_lanczos_all_matrices.m
+sweep — s in {1,2,4,6,8,10} x all four orth modes, newton basis,
+maxvecs=60, 10 wanted eigenpairs, tol 1e-8*|A| — over the >=20-matrix
+synthetic corpus spanning the reference families, against the dense
+eigendecomposition oracle.  Appends one JSON line per case to
+results/corpus_sweep.jsonl as it goes (resumable), then writes a summary.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from ca_lanczos_tpu.config import Basis, LanczosConfig, Orth
+from ca_lanczos_tpu.harness.corpus import build_corpus
+from ca_lanczos_tpu.harness.records import RunRecord
+from ca_lanczos_tpu.solvers.restarted import restarted_ca_lanczos
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "results", "corpus_sweep.jsonl")
+SUMMARY = OUT.replace("corpus_sweep.jsonl", "corpus_summary.json")
+
+S_VALUES = (1, 2, 4, 6, 8, 10)
+ORTHS = (Orth.LOCAL, Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE)
+N_WANTED = 10
+MAX_LANCZOS = 60
+TOL = 1e-8
+
+
+def done_cases():
+    if not os.path.exists(OUT):
+        return set()
+    seen = set()
+    with open(OUT) as f:
+        for line in f:
+            try:
+                d = json.loads(line)
+                seen.add((d["matrix"], d["s"], d["orth"]))
+            except Exception:
+                pass
+    return seen
+
+
+def main():
+    corpus = build_corpus(small=False)
+    print(f"{len(corpus)} matrices", flush=True)
+    seen = done_cases()
+    rng = np.random.default_rng(0)
+    with open(OUT, "a") as f:
+        for name, (A, exact) in corpus.items():
+            n = A.shape[0]
+            r = jnp.asarray(rng.random(n))  # rand start (:27)
+            exact_top = np.sort(exact)[::-1][:N_WANTED]
+            for s in S_VALUES:
+                for orth in ORTHS:
+                    key = (name, s, str(orth.value))
+                    if key in seen:
+                        continue
+                    cfg = LanczosConfig(
+                        s=s, basis=Basis.NEWTON, orth=orth,
+                        n_wanted=N_WANTED, tol=TOL, max_restarts=60,
+                    )
+                    t0 = time.perf_counter()
+                    try:
+                        res = restarted_ca_lanczos(A, r, MAX_LANCZOS, cfg)
+                        wall = time.perf_counter() - t0
+                        got = np.sort(np.asarray(res.eigs))[::-1]
+                        k = min(len(got), len(exact_top))
+                        scale = max(np.max(np.abs(exact_top)), 1e-300)
+                        eig_err = float(
+                            np.max(np.abs(got[:k] - exact_top[:k])) / scale
+                        ) if k else None
+                        rec = RunRecord(
+                            matrix=name, solver="restarted_ca_lanczos", s=s,
+                            basis="newton", orth=str(orth.value),
+                            n_wanted=N_WANTED,
+                            max_ritz_norm=float(np.max(res.conv_rnorms))
+                            if res.conv_rnorms.size else None,
+                            max_orth_err=float(np.max(res.orth_err))
+                            if res.orth_err.size else None,
+                            max_eig_err=eig_err,
+                            n_restarts=res.n_restarts,
+                            converged=bool(res.converged),
+                            wall_s=wall,
+                            extra={"n": n, "n_conv": int(len(got))},
+                        )
+                    except Exception as e:
+                        rec = RunRecord(
+                            matrix=name, solver="restarted_ca_lanczos", s=s,
+                            basis="newton", orth=str(orth.value),
+                            wall_s=time.perf_counter() - t0,
+                            converged=False,
+                            extra={"n": n, "error": f"{type(e).__name__}: {e}"[:200]},
+                        )
+                    f.write(rec.to_json() + "\n")
+                    f.flush()
+                    print(f"{name} s={s} {orth.value}: "
+                          f"conv={rec.converged} err={rec.max_eig_err}", flush=True)
+
+    # Summary
+    import collections
+    rows = [json.loads(l) for l in open(OUT) if l.strip()]
+    by_mat = collections.defaultdict(list)
+    for d in rows:
+        by_mat[d["matrix"]].append(d)
+    summary = {
+        "cases": len(rows),
+        "converged": sum(1 for d in rows if d.get("converged")),
+        "errors": sum(1 for d in rows if "error" in d),
+        "eig_err_le_1e6": sum(
+            1 for d in rows if d.get("max_eig_err") is not None
+            and d["max_eig_err"] <= 1e-6
+        ),
+        "per_matrix": {
+            m: {
+                "converged": sum(1 for d in v if d.get("converged")),
+                "total": len(v),
+                "worst_eig_err": max(
+                    (d.get("max_eig_err") or 0.0) for d in v
+                ),
+            } for m, v in sorted(by_mat.items())
+        },
+    }
+    with open(SUMMARY, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "per_matrix"}),
+          flush=True)
+
+
+main()

@@ -199,6 +199,40 @@ class TestDistCaLanczos:
         G = Q.T @ Q
         np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=1e-8)
 
+    @pytest.mark.parametrize("orth", [Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE])
+    def test_orth_modes_parity(self, mesh, orth):
+        """All four orth modes on the mesh (reference ca_lanczos.m:27-39);
+        Ritz values must match the host driver and the basis must stay
+        orthonormal at the mode's guarantee level (VERDICT item 8)."""
+        n = 400
+        A = diag_spectrum(n, 1.0, 1000.0)  # wide spread: orth loss visible
+        r = jnp.ones((n,), jnp.float64)
+        s, steps = 4, 40
+        res_d = dist_ca_lanczos(A, r, s, steps, mesh, basis=Basis.MONOMIAL, orth=orth)
+        res_1 = ca_lanczos(A, r, s, steps, basis=Basis.MONOMIAL, orth=orth)
+        d_dist = np.sort(np.linalg.eigvalsh(res_d.T))
+        d_one = np.sort(np.linalg.eigvalsh(res_1.T))
+        # Converged (top) Ritz values agree with the host driver.
+        np.testing.assert_allclose(d_dist[-5:], d_one[-5:], rtol=1e-6)
+        if orth == Orth.FULL:
+            Q = res_d.Q
+            G = Q.T @ Q
+            np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=1e-8)
+
+    def test_full_orth_beats_local(self, mesh):
+        """FULL must keep the distributed basis orthonormal where LOCAL
+        visibly loses orthogonality."""
+        n = 400
+        A = diag_spectrum(n, 1.0, 1000.0)
+        r = jnp.ones((n,), jnp.float64)
+        s, steps = 4, 48
+        q_full = dist_ca_lanczos(A, r, s, steps, mesh, orth=Orth.FULL).Q
+        q_local = dist_ca_lanczos(A, r, s, steps, mesh, orth=Orth.LOCAL).Q
+        e_full = np.max(np.abs(q_full.T @ q_full - np.eye(q_full.shape[1])))
+        e_local = np.max(np.abs(q_local.T @ q_local - np.eye(q_local.shape[1])))
+        assert e_full < 1e-10
+        assert e_full < e_local
+
 
 class TestDistRestarted:
     def test_flagship_parity(self, mesh):
