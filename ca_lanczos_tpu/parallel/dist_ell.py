@@ -45,6 +45,7 @@ class DistEll:
     cols: jax.Array
     halo: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
+    periodic: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -63,14 +64,23 @@ class DistEll:
         return (self.n, self.n)
 
     @staticmethod
-    def from_ell(A: EllMatrix, mesh: Mesh, s_max: int) -> "DistEll":
+    def from_ell(
+        A: EllMatrix, mesh: Mesh, s_max: int, periodic: bool = False
+    ) -> "DistEll":
+        """Partition an ELL operator; ``periodic=True`` measures bandwidth
+        in RING distance (min(|c-r|, n-|c-r|)) and rebases wrap columns
+        into the ghost regions, which the ring halo exchange then fills
+        from the opposite end (runLanczos.m:15-18 wrap structure)."""
         P_ = mesh.devices.size
         vals = np.asarray(A.vals)
         cols = np.asarray(A.cols)
         n, kk = vals.shape
         # Effective bandwidth over structural nonzeros.
         rows = np.arange(n)[:, None]
-        bw = int(np.max(np.abs(np.where(vals != 0, cols - rows, 0)))) if n else 0
+        dist = np.where(vals != 0, np.abs(cols - rows), 0)
+        if periodic:
+            dist = np.minimum(dist, n - dist)
+        bw = int(np.max(dist)) if n else 0
         bw = max(bw, 1)
         n_local = -(-n // P_)
         n_pad = n_local * P_
@@ -80,17 +90,34 @@ class DistEll:
                 f"halo {halo} (s_max={s_max} x bandwidth {bw}) >= rows/shard "
                 f"{n_local}: reduce bandwidth (e.g. RCM reorder) or lower s"
             )
+        if periodic:
+            if n_pad != n:
+                raise ValueError(
+                    f"periodic operator: n={n} must divide evenly over {P_} shards"
+                )
+            if P_ > 1 and n_local + 2 * halo > n:
+                raise ValueError(
+                    "periodic window exceeds the ring: increase rows/device"
+                )
         gv = np.zeros((n_pad + 2 * halo, kk), vals.dtype)
         gc = np.zeros((n_pad + 2 * halo, kk), np.int64)
         gv[halo : halo + n] = vals
         gc[halo : halo + n] = cols
+        if periodic:
+            gv[:halo] = vals[n - halo :]
+            gc[:halo] = cols[n - halo :]
+            gv[halo + n :] = vals[:halo]
+            gc[halo + n :] = cols[:halo]
         sv, sc = [], []
         for p in range(P_):
             lo = p * n_local  # global row of padded-window start (row lo - halo)
             v = gv[lo : lo + n_local + 2 * halo]
             c = gc[lo : lo + n_local + 2 * halo].copy()
             # Rebase global columns to the local window [lo - halo, ...).
-            c = c - (lo - halo)
+            if periodic:
+                c = (c - (lo - halo)) % n
+            else:
+                c = c - (lo - halo)
             # Structural zeros and (for edge shards) columns outside the
             # window are masked to value 0 / index 0.
             valid = (v != 0) & (c >= 0) & (c < n_local + 2 * halo)
@@ -104,6 +131,7 @@ class DistEll:
             cols=jax.device_put(jnp.asarray(np.stack(sc), jnp.int32), sharding),
             halo=halo,
             n=n,
+            periodic=periodic,
         )
 
     def shard_vector(self, x, mesh: Mesh) -> jax.Array:
@@ -115,10 +143,11 @@ class DistEll:
 
 
 def _ell_powers_local(
-    vals, cols, x_local, diag, sub, halo: int, n_shards: int, s: int
+    vals, cols, x_local, diag, sub, halo: int, n_shards: int, s: int,
+    periodic: bool = False,
 ):
     """One halo exchange + s local gather-SpMV recurrence steps."""
-    xp = _halo_exchange(x_local, halo, n_shards)
+    xp = _halo_exchange(x_local, halo, n_shards, periodic)
 
     def matvec(v):
         return jnp.sum(vals * jnp.take(v, cols, axis=0), axis=1)
@@ -145,7 +174,7 @@ def dist_ell_matrix_powers(
     def body(v_block, c_block, x_local, dg, sb):
         return _ell_powers_local(
             v_block[0], c_block[0], x_local, dg, sb,
-            halo=A.halo, n_shards=A.n_shards, s=s,
+            halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
         )
 
     return jax.shard_map(

@@ -63,6 +63,7 @@ class DistDia:
     m_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
     fused_tile: int = dataclasses.field(default=0, metadata=dict(static=True))
     fused_interpret: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    periodic: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -97,6 +98,7 @@ class DistDia:
         s_max: int,
         fused: Optional[bool] = None,
         interpret: bool = False,
+        periodic: bool = False,
     ) -> "DistDia":
         """Partition a DIA operator over ``mesh`` with an s_max-deep halo.
 
@@ -108,6 +110,11 @@ class DistDia:
         computation (None = auto: on when every mesh device is a TPU and
         the shard shape admits an aligned tile).  ``interpret`` runs the
         kernel in Pallas interpret mode (CPU testing).
+
+        ``periodic=True`` interprets the DIA data as circulant-banded
+        (``A[i, (i + off) mod n] = data[d, i]``, the runLanczos wrap) and
+        fills the matrix ghost rows from the wrapped end; requires n to
+        divide evenly over the shards so the ring stays aligned.
         """
         from ca_lanczos_tpu.ops.pallas_spmv import fused_tile
 
@@ -124,8 +131,15 @@ class DistDia:
             )
         # Global data padded to n_pad rows, then per-shard slices with halo
         # overlap (the matrix ghost rows).
+        if periodic and n_pad != n:
+            raise ValueError(
+                f"periodic operator: n={n} must divide evenly over {P_} shards"
+            )
         gdata = np.zeros((ndiags, n_pad + 2 * halo), data.dtype)
         gdata[:, halo : halo + n] = data
+        if periodic:
+            gdata[:, :halo] = data[:, n - halo :]
+            gdata[:, halo + n :] = data[:, :halo]
         shards = np.stack(
             [gdata[:, p * n_local : p * n_local + n_local + 2 * halo] for p in range(P_)]
         )
@@ -170,6 +184,7 @@ class DistDia:
             m_pad=m_pad,
             fused_tile=ftile,
             fused_interpret=interpret,
+            periodic=periodic,
         )
 
     def shard_vector(self, x, mesh: Mesh) -> jax.Array:
@@ -194,12 +209,21 @@ def _dia_matvec_local(offsets: Tuple[int, ...], data: jax.Array, x: jax.Array) -
     return y
 
 
-def _halo_exchange(x_local: jax.Array, halo: int, n_shards: int) -> jax.Array:
+def _halo_exchange(
+    x_local: jax.Array, halo: int, n_shards: int, periodic: bool = False
+) -> jax.Array:
     """Pull ``halo`` rows from each ring neighbor; edge shards get zeros
     (ppermute semantics — correct for non-periodic operators whose halo
-    rows beyond the boundary are zero)."""
-    fwd = [(i, i + 1) for i in range(n_shards - 1)]
-    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    rows beyond the boundary are zero).  With ``periodic=True`` the ring
+    closes: edge shards pull the wrapped rows from the opposite end, so
+    circulant-banded operators (the reference's periodic FD Hamiltonian,
+    runLanczos.m:15-18) distribute like any banded operator."""
+    if periodic:
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
+    else:
+        fwd = [(i, i + 1) for i in range(n_shards - 1)]
+        bwd = [(i + 1, i) for i in range(n_shards - 1)]
     with jax.named_scope("halo_exchange"):
         left = lax.ppermute(x_local[-halo:], ROWS, perm=fwd)
         right = lax.ppermute(x_local[:halo], ROWS, perm=bwd)
@@ -222,6 +246,7 @@ def _powers_local(
     fused_interpret: bool = False,
     transposed: bool = False,
     include_q: bool = True,
+    periodic: bool = False,
 ) -> jax.Array:
     """One halo exchange + s local three-term-recurrence SpMVs.
 
@@ -238,7 +263,7 @@ def _powers_local(
     but fused_w >= s*w keeps the owned center exact, identical to the
     single-chip kernel's guarantee.
     """
-    xp = _halo_exchange(x_local, halo, n_shards)
+    xp = _halo_exchange(x_local, halo, n_shards, periodic)
     n_local = x_local.shape[0]
 
     if dflat_local is not None and s * max(
@@ -302,6 +327,7 @@ def dist_matrix_powers(
         m_pad=A.m_pad,
         fused_tile=A.fused_tile,
         fused_interpret=A.fused_interpret,
+        periodic=A.periodic,
     )
 
     if A.dflat is not None:
@@ -339,7 +365,7 @@ def dist_spmv(A: DistDia, x: jax.Array, mesh: Mesh) -> jax.Array:
     """Single distributed SpMV (1-deep use of the stored halo)."""
     def body(data_block, x_local):
         data = data_block[0]
-        xp = _halo_exchange(x_local, A.halo, A.n_shards)
+        xp = _halo_exchange(x_local, A.halo, A.n_shards, A.periodic)
         y = _dia_matvec_local(A.offsets, data, xp)
         return y[A.halo : A.halo + x_local.shape[0]]
 

@@ -34,7 +34,7 @@ def _local_powers_fn(A, s: int):
         def body_ell(v_block, c_block, x_local, dg, sb):
             return _ell_powers_local(
                 v_block[0], c_block[0], x_local, dg, sb,
-                halo=A.halo, n_shards=A.n_shards, s=s,
+                halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
             )
 
         return body_ell, (A.vals, A.cols)
@@ -42,7 +42,7 @@ def _local_powers_fn(A, s: int):
     fused_kw = dict(
         offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
         fused_w=A.fused_w, m_pad=A.m_pad, fused_tile=A.fused_tile,
-        fused_interpret=A.fused_interpret,
+        fused_interpret=A.fused_interpret, periodic=A.periodic,
     )
     if A.dflat is not None:
         def body_dia_fused(data_block, dflat_block, x_local, dg, sb):

@@ -477,3 +477,56 @@ class TestDistRestartedEll:
         res = dist_restarted_ca_lanczos(A, np.ones(n), 32, mesh, cfg)
         assert res.converged
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-8)
+
+
+class TestPeriodicHalo:
+    """Ring-periodic halo: circulant operators distribute (VERDICT item 9;
+    reference wrap Hamiltonian runLanczos.m:15-18)."""
+
+    def test_periodic_dia_spmv(self, mesh):
+        n = 256
+        # Circulant-banded operator: A[i, (i+k) mod n] = data[d, i].
+        rng = np.random.default_rng(0)
+        offsets = (-2, -1, 0, 1, 2)
+        data = rng.standard_normal((5, n))
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix as DM
+        A = DM(data=jnp.asarray(data), offsets=offsets)
+        Ad = DistDia.from_dia(A, mesh, s_max=2, periodic=True)
+        x = rng.standard_normal(n)
+        xs = Ad.shard_vector(x, mesh)
+        y = np.asarray(dist_spmv(Ad, xs, mesh))[:n]
+        # Dense circulant oracle
+        dense = np.zeros((n, n))
+        for d, k in enumerate(offsets):
+            dense[np.arange(n), (np.arange(n) + k) % n] = data[d]
+        np.testing.assert_allclose(y, dense @ x, atol=1e-12)
+
+    def test_periodic_ell_powers(self, mesh):
+        from ca_lanczos_tpu.parallel.dist_ell import DistEll, dist_ell_matrix_powers
+        from ca_lanczos_tpu.utils.matrices import harmonic_oscillator
+        n, s = 512, 4
+        H, _ = harmonic_oscillator(n)  # ELL with mod-n wrap columns
+        Hd = DistEll.from_ell(H, mesh, s_max=s, periodic=True)
+        x = np.random.default_rng(1).standard_normal(n)
+        xs = Hd.shard_vector(x, mesh)
+        z = jnp.zeros(s)
+        V = np.asarray(dist_ell_matrix_powers(Hd, xs, s, z, z, mesh))[:n]
+        V_ref = np.asarray(matrix_powers(H, jnp.asarray(x), s, None, Basis.MONOMIAL))
+        np.testing.assert_allclose(V, V_ref, rtol=1e-11, atol=1e-9)
+
+    def test_dist_propagation_matches_single_chip(self, mesh):
+        """Distributed split propagation of the reference Hamiltonian
+        matches the single-chip split propagator to 1e-9."""
+        from ca_lanczos_tpu.parallel.dist_ell import DistEll
+        from ca_lanczos_tpu.parallel.dist_prop import dist_propagate_split
+        from ca_lanczos_tpu.solvers.propagators import propagate_split
+        from ca_lanczos_tpu.utils.matrices import gaussian_packet, harmonic_oscillator
+
+        n = 128
+        H, x = harmonic_oscillator(n)
+        psi0 = gaussian_packet(x).astype(np.complex128)
+        dt, n_steps, kdim = 0.025, 5, 16
+        Hd = DistEll.from_ell(H, mesh, s_max=1, periodic=True)
+        psi_d = dist_propagate_split(Hd, psi0, dt, n_steps, mesh, krylov_dim=kdim)
+        psi_1 = propagate_split(H, psi0, dt, n_steps, krylov_dim=kdim)
+        np.testing.assert_allclose(psi_d, np.asarray(psi_1), atol=1e-9)
