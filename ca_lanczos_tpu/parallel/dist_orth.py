@@ -91,6 +91,56 @@ def local_qr(X_local: jax.Array, qr_method: str = "tsqr"):
     return local_tsqr(X_local)
 
 
+def local_qr_safe(
+    X_local: jax.Array,
+    qr_method: str = "tsqr",
+    key: jax.Array = None,
+    rank_tol: float = 1.0e-12,
+):
+    """Rank-revealing local_qr with masked fixed-shape null-space
+    randomization — the in-jit distributed form of the reference's
+    ``randomizeNullSpace`` (normalize.m:28-51).
+
+    Deficient directions (sigma_i <= rank_tol * sigma_1; the reference
+    uses 1e-8 at normalize.m:17-24, but a monomial powers block is
+    legitimately 1e-8-conditioned, so true-breakdown detection here sits
+    near roundoff instead) are replaced by per-shard
+    random vectors, projected against the surviving columns with two
+    masked CGS passes, and re-orthonormalized — all at fixed shape, so
+    the jitted shard_map step recovers from breakdown without host
+    round-trips.  Returns (Q, R, rank) with the deficient columns of R
+    zeroed (randomized directions carry no component of X).
+    """
+    m = X_local.shape[1]
+    Q, R = local_qr(X_local, qr_method)
+    # Numerical rank via SVD of the small replicated R, exactly like the
+    # reference (normalize.m:14-24): singular DIRECTIONS, not columns —
+    # an unpivoted QR can leak range components into its garbage columns,
+    # so diagonal-of-R tests would lose part of range(X).
+    U, S, _ = jnp.linalg.svd(R)
+    bad = S <= rank_tol * S[0]  # replicated; sorted, so bad is a suffix
+    rank = m - jnp.sum(bad)
+
+    idx = lax.axis_index(ROWS)
+    k = jax.random.fold_in(key, idx)
+    rnd = jax.random.normal(k, X_local.shape, X_local.dtype)
+    Qrot = Q @ U  # leading `rank` columns span range(X) exactly
+    Qgood = jnp.where(bad[None, :], 0.0, Qrot)
+    Y = jnp.where(bad[None, :], rnd, Qrot)
+    for _ in range(2):  # masked CGS: only the replaced columns move
+        G = local_gram(Qgood, Y)
+        Y = jnp.where(bad[None, :], Y - Qgood @ G, Y)
+    Q2, _ = local_qr(Y, qr_method)
+    # Left-to-right QR keeps the (already orthonormal) surviving columns
+    # and completes the replaced ones against them.  On breakdown the
+    # returned Q no longer pairs columnwise with R (the basis has been
+    # refreshed); R is returned unchanged so callers can regularize their
+    # small solves, exactly as with the reference's randomizeNullSpace.
+    any_bad = jnp.any(bad)
+    Q_out = jnp.where(any_bad, Q2, Q)
+    return Q_out, R, rank
+
+
 def local_gram(Q_local: jax.Array, X_local: jax.Array) -> jax.Array:
     """Replicated Gram product R = Q^H X via psum.  Call inside shard_map."""
     return lax.psum(Q_local.conj().T @ X_local, ROWS)

@@ -44,58 +44,80 @@ from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis
 from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_converged
 
 
-@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "safe"))
 def _dist_first_block_locked(
-    A, q, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
+    A, q, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr",
+    safe: bool = False, key=None,
 ):
     """First CA block of a restart cycle: powers -> TSQR -> lock against
-    Q_conv (restarted_ca_lanczos.m:311-319).  A: DistDia or DistEll."""
+    Q_conv (restarted_ca_lanczos.m:311-319).  A: DistDia or DistEll.
+
+    ``safe=True`` routes the normalization through local_qr_safe, the
+    masked in-jit null-space randomization (normalize.m:28-51), so a
+    rank-deficient powers block (e.g. a start vector on an invariant
+    subspace) cannot poison the basis."""
+    from ca_lanczos_tpu.parallel.dist_orth import local_qr_safe
+
     powers, operands = _local_powers_fn(A, s)
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     def body(*args):
-        *op_blocks, x_local, Qc_local, dg, sb = args
+        *op_blocks, x_local, Qc_local, dg, sb, k = args
         V = powers(*op_blocks, x_local, dg, sb)
-        Qb, R = local_qr(V, qr_method)
+        if safe:
+            Qb, R, rank = local_qr_safe(V, qr_method, key=k)
+        else:
+            Qb, R = local_qr(V, qr_method)
+            rank = jnp.asarray(V.shape[1])
         Qb, _ = local_project(Qc_local, Qb, passes=2)
         # Renormalize after the projection pass (projectAndNormalize).
         Qb, _ = local_qr(Qb, qr_method)
-        return Qb, R
+        return Qb, R, rank
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
-        + (PartitionSpec(), PartitionSpec()),
-        out_specs=(PartitionSpec(ROWS), PartitionSpec()),
-    )(*operands, q, Qconv, diag, sub)
+        + (PartitionSpec(), PartitionSpec(), PartitionSpec()),
+        out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+    )(*operands, q, Qconv, diag, sub, key)
 
 
-@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "safe"))
 def _dist_ca_block_locked(
-    A, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr"
+    A, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr",
+    safe: bool = False, key=None,
 ):
     """CA block k>1 with locking: project the new block against the
     previous s+1 columns AND the padded converged basis
     (restarted_ca_lanczos.m:324).  A: DistDia or DistEll."""
+    from ca_lanczos_tpu.parallel.dist_orth import local_qr_safe
+
     powers, operands = _local_powers_fn(A, s)
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     def body(*args):
-        *op_blocks, Qp_local, Qc_local, dg, sb = args
+        *op_blocks, Qp_local, Qc_local, dg, sb, k = args
         q_local = Qp_local[:, -1]
         V = powers(*op_blocks, q_local, dg, sb)
         X = V[:, 1:]
         Y, Rkk = local_project(Qp_local, X, passes=2)
         Y, _ = local_project(Qc_local, Y, passes=1)
-        Q_new, R = local_qr(Y, qr_method)
+        if safe:
+            Q_new, R, _ = local_qr_safe(Y, qr_method, key=k)
+        else:
+            Q_new, R = local_qr(Y, qr_method)
         return Q_new, Rkk, R
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
-        + (PartitionSpec(), PartitionSpec()),
+        + (PartitionSpec(), PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
-    )(*operands, Q_prev, Qconv, diag, sub)
+    )(*operands, Q_prev, Qconv, diag, sub, key)
 
 
 @partial(jax.jit, static_argnames=("mesh", "qr_method"))
@@ -138,12 +160,25 @@ def _dist_ritz_vector(Q_blocks, w, mesh: Mesh):
     )(Q_blocks, w)
 
 
+@jax.jit
+def _deflate_start(q, Qconv):
+    """Two CGS passes of the start vector against the (padded) locked
+    basis + renormalize; zero columns are no-ops.  GSPMD handles the
+    sharded contraction."""
+    for _ in range(2):
+        q = q - Qconv @ (Qconv.T @ q)
+    return q / jnp.linalg.norm(q)
+
+
 def dist_restarted_ca_lanczos(
     A,
     r,
     max_lanczos: int,
     mesh: Mesh,
     config: LanczosConfig = LanczosConfig(),
+    checkpoint_path=None,
+    resume_from=None,
+    safe_qr: bool = False,
 ) -> RestartedResult:
     """Row-sharded restarted CA-Lanczos (flagship, multi-chip).
 
@@ -157,6 +192,13 @@ def dist_restarted_ca_lanczos(
     the block projection, restarted_ca_lanczos.m:436-454).  The basis of
     each cycle lives as a (n_pad, s*iters) sharded array assembled from
     the per-block step outputs.
+
+    checkpoint_path: serialize the restart-boundary state (gathered
+    Q_conv, conv eigs, next start vector, Bk, rng) after every restart
+    (utils.checkpoint.RestartCheckpoint); resume_from continues a run
+    from such a file, re-sharding the state over ``mesh``.  safe_qr
+    routes block normalizations through the masked in-jit null-space
+    randomization (parallel.dist_orth.local_qr_safe).
     """
     from ca_lanczos_tpu.config import Orth
     from ca_lanczos_tpu.utils.diagnostics import OmegaRecurrence
@@ -204,6 +246,30 @@ def dist_restarted_ca_lanczos(
     n_restarts = 0
     restart = True
 
+    if resume_from is not None:
+        from ca_lanczos_tpu.utils.checkpoint import RestartCheckpoint
+
+        ck = RestartCheckpoint.load(resume_from)
+        n_restarts = ck.n_restarts
+        nconv = ck.nconv
+        conv_eigs = list(ck.conv_eigs)
+        conv_rnorms = list(ck.conv_rnorms)
+        orth_err = list(ck.orth_err)
+        rnorm_rows = list(ck.rnorm_rows)
+        Bk = ck.Bk
+        diag_np, sub_np = newton_coeffs(Bk)
+        diag = jnp.asarray(diag_np, dtype)
+        sub = jnp.asarray(sub_np, dtype)
+        if ck.Q_conv is not None:
+            qc = np.zeros((n, config.n_wanted))
+            qc[:, : ck.Q_conv.shape[1]] = ck.Q_conv
+            Qconv = Adist.shard_vector(qc, mesh)
+        q = Adist.shard_vector(np.asarray(ck.q), mesh)
+        rng.bit_generator.state = ck.rng_state
+        restart = nconv < config.n_wanted
+
+    safe_key = jax.random.PRNGKey(config.seed)
+
     _EPS = float(np.finfo(np.float64).eps)
 
     while restart and n_restarts < config.max_restarts:
@@ -239,19 +305,35 @@ def dist_restarted_ca_lanczos(
             return jnp.concatenate([Qc, QRpad], axis=1)
 
         qr_m = str(config.orth_params.qr_method.value)
-        Qb, Rk = _dist_first_block_locked(
-            Adist, q, _proj_basis(Qconv), diag, sub, s, mesh, qr_m
+        if nconv:
+            # Deflate the cycle's start vector against the locked basis:
+            # the powers block re-amplifies any locked component (largest
+            # eigenvalues grow fastest), and the T recovery uses R factors
+            # from BEFORE the Q_conv projection, so an un-deflated start
+            # poisons the cycle's T and stalls convergence.
+            q = _deflate_start(q, Qconv)
+        safe_key, k1 = jax.random.split(safe_key)
+        Qb, Rk, first_rank = _dist_first_block_locked(
+            Adist, q, _proj_basis(Qconv), diag, sub, s, mesh, qr_m,
+            safe=safe_qr, key=k1,
         )
+        breakdown = safe_qr and int(first_rank) < s + 1
         blocks.append(Qb)
-        T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
+        # safe_qr: pinv-based T recovery keeps null directions at zero so
+        # breakdown cannot fabricate plausible Ritz pairs (see _block._rdiv).
+        rcond = 1e-10 if safe_qr else None
+        T, b[0] = first_block_T(np.array(Rk, np.float64), Bk, s, rcond=rcond)
         if Qhist is not None:
             Qhist = Qhist.at[:, : s + 1].set(Qb)
         for k in range(2, iters + 1):
+            safe_key, kk = jax.random.split(safe_key)
             Q_new, Rkk, R = _dist_ca_block_locked(
-                Adist, blocks[-1], _proj_basis(Qconv), diag, sub, s, mesh, qr_m
+                Adist, blocks[-1], _proj_basis(Qconv), diag, sub, s, mesh, qr_m,
+                safe=safe_qr, key=kk,
             )
             Tk, b[k - 1], _ = block_T(
-                np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s
+                np.asarray(Rkk, np.float64), np.array(R, np.float64), Bk,
+                b[k - 2], s, rcond=rcond,
             )
             T = extend_T(T, Tk, b[k - 2], b[k - 1], s)
 
@@ -333,7 +415,18 @@ def dist_restarted_ca_lanczos(
         nconv += k_new
 
         restart = nconv < config.n_wanted
-        if restart:
+        if restart and breakdown:
+            # The cycle started on an (near-)invariant subspace: its
+            # randomized T does not represent A on the refreshed columns,
+            # so a Ritz restart vector would stall.  Start the next cycle
+            # from a fresh random vector instead (the reference's random
+            # restart strategy, restarted_ca_lanczos.m:204-248).
+            q_h = rng.standard_normal(n)
+            if nconv:
+                Qc = np.asarray(Qconv)[:n, :nconv]
+                q_h = q_h - Qc @ (Qc.T @ q_h)
+            q = Adist.shard_vector(q_h / np.linalg.norm(q_h), mesh)
+        elif restart:
             # Start vector from the chosen non-converged Ritz vector
             # (restarted_ca_lanczos.m:177-180), computed on the mesh.
             strategy = RestartStrategy(config.restart_strategy)
@@ -351,6 +444,22 @@ def dist_restarted_ca_lanczos(
             q = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, idx], dtype), mesh)
             nrm = float(jnp.linalg.norm(q))
             q = q / nrm
+
+        if checkpoint_path is not None:
+            from ca_lanczos_tpu.utils.checkpoint import RestartCheckpoint
+
+            RestartCheckpoint(
+                n_restarts=n_restarts,
+                nconv=nconv,
+                conv_eigs=conv_eigs,
+                conv_rnorms=conv_rnorms,
+                orth_err=orth_err,
+                rnorm_rows=rnorm_rows,
+                Q_conv=np.asarray(Qconv)[:n, :nconv] if nconv else None,
+                q=np.asarray(q)[:n],
+                Bk=np.asarray(Bk),
+                rng_state=rng.bit_generator.state,
+            ).save(checkpoint_path)
 
     Q_conv_final = Qconv[:n, :nconv] if nconv else None
     return _finalize(

@@ -17,16 +17,27 @@ from typing import Tuple
 import numpy as np
 
 
-def _rdiv(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
-    """MATLAB X / Y == X @ inv(Y), via a solve."""
-    return np.linalg.solve(Y.T, X.T).T
+def _rdiv(X: np.ndarray, Y: np.ndarray, rcond=None) -> np.ndarray:
+    """MATLAB X / Y == X @ inv(Y), via a solve.
+
+    ``rcond`` switches to a pseudo-inverse solve (lstsq): used by the
+    breakdown-recovery path, where a rank-deficient R must not amplify
+    null directions into plausible-looking T entries — the pinv leaves
+    them at zero, so spurious Ritz pairs keep large residuals and are
+    never locked (normalize.m:28-51 recovery semantics).
+    """
+    if rcond is None:
+        return np.linalg.solve(Y.T, X.T).T
+    return np.linalg.lstsq(Y.T, X.T, rcond=rcond)[0].T
 
 
-def first_block_T(Rk: np.ndarray, Bk: np.ndarray, s: int) -> Tuple[np.ndarray, float]:
+def first_block_T(
+    Rk: np.ndarray, Bk: np.ndarray, s: int, rcond=None
+) -> Tuple[np.ndarray, float]:
     """First-block T = Rk Bk / Rk[0:s,0:s], beta_1 = T[s, s-1]
     (ca_lanczos.m:178-182).  beta is real for the eigensolver path; the
     complex propagator path carries a (numerically) real value too."""
-    T = _rdiv(np.asarray(Rk) @ np.asarray(Bk), np.asarray(Rk)[:s, :s])
+    T = _rdiv(np.asarray(Rk) @ np.asarray(Bk), np.asarray(Rk)[:s, :s], rcond)
     return T, float(np.real(T[s, s - 1]))
 
 
@@ -36,6 +47,7 @@ def block_T(
     Bk: np.ndarray,
     b_prev: float,
     s: int,
+    rcond=None,
 ) -> Tuple[np.ndarray, float, np.ndarray]:
     """Recover the next tridiagonal block Tk and beta_k from the R factors
     of projectAndNormalize (ca_lanczos.m:200-214).
@@ -71,9 +83,9 @@ def block_T(
     es = np.zeros(s)
     es[s - 1] = 1.0
 
-    main = _rdiv(Rs @ Bk[:s, :], Rs)
+    main = _rdiv(Rs @ Bk[:s, :], Rs, rcond)
     corr = (bk / rho_t) * np.outer(zk, es)
-    last_row = _rdiv(Rkk[:s, :s][s - 1 : s, :], Rs)  # e_s^T Rkk R^{-1}
+    last_row = _rdiv(Rkk[:s, :s][s - 1 : s, :], Rs, rcond)  # e_s^T Rkk R^{-1}
     Tk = main + corr - b_prev * np.outer(e1, last_row[0])
 
     beta_k = bk * (rho / rho_t)
