@@ -81,12 +81,20 @@ class OrthParams:
         column lost more than half its norm (the conventional BCGS2
         criterion inverted).  If False, the conventional criterion is used.
     qr_method: normalizer backend (see QrMethod).
+    mixed_precision: promote the small reductions — Gram products,
+        Cholesky/R factors, triangular solves — to float64 while the
+        basis and SpMV stay in the storage dtype (f32/bf16).  The Gram
+        psum is tiny, so this buys reference-grade eigenpairs at f32
+        memory bandwidth (the TPU-native answer to f32's ~1e-2 eigenvalue
+        error on large operators).  Requires ``jax_enable_x64=True``
+        (otherwise the f64 casts silently truncate back to f32).
     """
 
     reorth_tol: float = 0.5
     rank_tol: float = 1.0e-8
     reference_second_pass: bool = True
     qr_method: QrMethod = QrMethod.TSQR
+    mixed_precision: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -117,7 +117,11 @@ def matrix_powers_from_B(A: Operator, q: jax.Array, B: np.ndarray) -> jax.Array:
     """
     B = np.asarray(B)
     s = B.shape[1]
-    dt = jnp.result_type(q.dtype, B.dtype)
+    # Real change-of-basis coefficients adopt the vector's storage dtype
+    # (an f32 basis must stay f32 — silently promoting the whole Krylov
+    # block to f64 would hide the storage precision); complex shifts
+    # still promote as the propagator path requires.
+    dt = q.dtype if not np.iscomplexobj(B) else jnp.result_type(q.dtype, B.dtype)
     q = q.astype(dt)
     diag = jnp.asarray(np.diagonal(B)[:s], dtype=dt)
     sup = np.zeros(s, dtype=B.dtype)

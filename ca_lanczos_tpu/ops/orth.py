@@ -36,15 +36,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ca_lanczos_tpu.config import OrthParams, QrMethod
-from ca_lanczos_tpu.ops.qr import cholqr2, tsqr
+from ca_lanczos_tpu.ops.qr import cholqr2, cholqr2_mp, tsqr, tsqr_mp
 
 DEFAULT_ORTH_PARAMS = OrthParams()
 
 
 def _qr(X: jax.Array, params: OrthParams):
+    mp = params.mixed_precision and X.dtype != jnp.float64
     if QrMethod(params.qr_method) == QrMethod.CHOLQR2:
-        return cholqr2(X)
-    return tsqr(X)
+        return cholqr2_mp(X) if mp else cholqr2(X)
+    return tsqr_mp(X) if mp else tsqr(X)
 
 
 @jax.jit
@@ -53,6 +54,17 @@ def _proj_block(Q: jax.Array, X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     with jax.named_scope("block_cgs"):
         R = Q.conj().T @ X
         return X - Q @ R, R
+
+
+@jax.jit
+def _proj_block_mp(Q: jax.Array, X: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """CGS block step with the Gram product and correction in float64
+    (OrthParams.mixed_precision); the updated block returns in X's dtype."""
+    with jax.named_scope("block_cgs_mp"):
+        Qw = Q.astype(jnp.float64)
+        Xw = X.astype(jnp.float64)
+        R = Qw.conj().T @ Xw
+        return (Xw - Qw @ R).astype(X.dtype), R
 
 
 @jax.jit
@@ -94,12 +106,17 @@ def project(
     # R_blocks stays positionally aligned with Q_blocks (project.m:32-39).
     R_blocks: List[np.ndarray] = []
     Y = X2
+    proj = (
+        _proj_block_mp
+        if params.mixed_precision and X2.dtype != jnp.float64
+        else _proj_block
+    )
     for Q in Q_blocks:
         if _is_empty(Q):
             R_blocks.append(np.zeros((0, m)))
             continue
         Q2, _ = _as_2d(Q)
-        Y, R = _proj_block(Q2, Y)
+        Y, R = proj(Q2, Y)
         R_blocks.append(np.asarray(R))
 
     if reorth:
@@ -117,7 +134,7 @@ def project(
                 if _is_empty(Q):
                     continue
                 Q2, _ = _as_2d(Q)
-                Y, R2 = _proj_block(Q2, Y)
+                Y, R2 = proj(Q2, Y)
                 R_blocks[i] = R_blocks[i] + np.asarray(R2)
 
     if was_vec:

@@ -80,3 +80,37 @@ def cholqr2(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     Q1, R1 = cholqr(X)
     Q2, R2 = cholqr(Q1)
     return Q2, R2 @ R1
+
+
+@jax.jit
+def tsqr_mp(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """tsqr with the factorization in float64; Q returns in X's dtype,
+    R stays float64 (OrthParams.mixed_precision)."""
+    Q, R = tsqr(X.astype(jnp.float64))
+    return Q.astype(X.dtype), R
+
+
+@jax.jit
+def cholqr_mp(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cholqr with the Gram product, Cholesky, and triangular solve in
+    float64 while X (and the returned Q) stay in the storage dtype.
+
+    The f64 Gram is the accuracy lever: G = X^H X in f32 loses ~2^-24
+    relative, which is exactly the eigenvalue error floor the f32
+    flagship showed on hardware; promoting the O(n m^2) reduction fixes
+    it at negligible cost next to the SpMV stream.
+    """
+    Xw = X.astype(jnp.float64)
+    G = Xw.conj().T @ Xw
+    L = _chol_safe(G)
+    R = L.conj().T
+    Qt = jax.scipy.linalg.solve_triangular(R.T, Xw.T, lower=True)
+    return Qt.T.astype(X.dtype), R
+
+
+@jax.jit
+def cholqr2_mp(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Two mixed-precision CholQR passes (see cholqr2)."""
+    Q1, R1 = cholqr_mp(X)
+    Q2, R2 = cholqr_mp(Q1)
+    return Q2, R2 @ R1

@@ -553,11 +553,150 @@ def _propagate_split_fused(H: Operator, psi0: jax.Array, dt, krylov_dim: int, n_
     return psi
 
 
+
+
+@partial(jax.jit, static_argnames=("krylov_dim", "n_steps"))
+def _propagate_split_fused_adaptive(
+    H: Operator, psi0: jax.Array, dt, krylov_dim: int, n_steps: int, tol
+):
+    """One-XLA-call propagation WITH the reference's adaptive residual
+    control on device (lanczos_prop.m:44-55, VERDICT round-1 item 10).
+
+    The per-time-step Lanczos runs as a fixed-shape ``lax.while_loop``
+    that exits as soon as the Krylov residual
+    |dt * beta_j * [exp(-i dt T_j)]_{j,1}| * |psi| drops below tol.  The
+    growing T_j lives masked inside a fixed (m, m) array whose padding
+    block is decoupled zeros: its spurious eigenpairs have zero weight in
+    both the residual row and the e1 column, so the on-device eigh of the
+    padded matrix reproduces eig(T_j) exactly where it matters.  The
+    basis-rebuild accumulation pass is a second while_loop over only the
+    j_used steps, so early convergence saves its SpMVs too.
+
+    Returns (psi_final (n, 2), total_krylov_steps).
+    """
+    m = krylov_dim
+    idx = jnp.arange(m)
+
+    def time_step(carry, _):
+        psi, steps_acc = carry
+        nrm = jnp.sqrt(jnp.sum(psi * psi))
+        q0 = psi / nrm
+
+        def residual_of(alpha, beta, jj, b_last):
+            amask = jnp.where(idx < jj, alpha, 0.0)
+            bmask = jnp.where(idx[: m - 1] < jj - 1, beta[: m - 1], 0.0)
+            T = jnp.diag(amask) + jnp.diag(bmask, 1) + jnp.diag(bmask, -1)
+            d, V = jnp.linalg.eigh(T)
+            vrow = V[jj - 1, :]
+            er = jnp.sum(vrow * jnp.cos(dt * d) * V[0, :])
+            ei = jnp.sum(vrow * jnp.sin(dt * d) * V[0, :])
+            return jnp.abs(dt) * b_last * jnp.sqrt(er**2 + ei**2) * nrm
+
+        def cond(c):
+            _, _, _, _, _, j, done = c
+            return (j < m) & ~done
+
+        def body(c):
+            q_prev, q, b_prev, alpha, beta, j, done = c
+            r = spmv(H, q) - b_prev * q_prev
+            a = jnp.sum(q * r)
+            r = r - a * q
+            b = jnp.sqrt(jnp.sum(r * r))
+            alpha = alpha.at[j].set(a)
+            beta = beta.at[j].set(b)
+            q_next = jnp.where(b > 0, r / jnp.where(b > 0, b, 1.0), 0.0)
+            res = residual_of(alpha, beta, j + 1, b)
+            done = (j + 1 >= 3) & (res < tol)
+            return (q, q_next, b, alpha, beta, j + 1, done)
+
+        zero2 = jnp.zeros_like(q0)
+        q_prev, q, b_prev, alpha, beta, j_used, _ = lax.while_loop(
+            cond,
+            body,
+            (
+                zero2,
+                q0,
+                jnp.asarray(0.0, psi.dtype),
+                jnp.zeros(m, psi.dtype),
+                jnp.zeros(m, psi.dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            ),
+        )
+
+        # Weights c = V exp(-i dt d) V^T e1 * nrm from the final masked T;
+        # padding eigenpairs carry zero e1 weight, so c_j = 0 for
+        # j >= j_used automatically.
+        amask = jnp.where(idx < j_used, alpha, 0.0)
+        bmask = jnp.where(idx[: m - 1] < j_used - 1, beta[: m - 1], 0.0)
+        T = jnp.diag(amask) + jnp.diag(bmask, 1) + jnp.diag(bmask, -1)
+        d, V = jnp.linalg.eigh(T)
+        ve1 = V[0, :] * nrm
+        cr = V @ (jnp.cos(dt * d) * ve1)
+        ci = V @ (-jnp.sin(dt * d) * ve1)
+
+        def acc_cond(c):
+            _, _, _, _, j = c
+            return j < j_used
+
+        def acc_body(c):
+            q_prev, q, acc, b_prev, j = c
+            acc = acc + jnp.stack(
+                [q[:, 0] * cr[j] - q[:, 1] * ci[j],
+                 q[:, 0] * ci[j] + q[:, 1] * cr[j]],
+                axis=1,
+            )
+            r = spmv(H, q) - b_prev * q_prev
+            r = r - alpha[j] * q
+            b_j = beta[j]
+            q_next = jnp.where(b_j > 0, r / jnp.where(b_j > 0, b_j, 1.0), 0.0)
+            return (q, q_next, acc, b_j, j + 1)
+
+        acc0 = jnp.zeros_like(q0)
+        _, _, acc, _, _ = lax.while_loop(
+            acc_cond,
+            acc_body,
+            (jnp.zeros_like(q0), q0, acc0, jnp.asarray(1.0, psi.dtype),
+             jnp.asarray(0, jnp.int32)),
+        )
+        return (acc, steps_acc + j_used), None
+
+    (psi, steps), _ = lax.scan(
+        time_step, (psi0, jnp.asarray(0, jnp.int32)), None, length=n_steps
+    )
+    return psi, steps
+
+
 def propagate_split_fused(
-    H: Operator, psi0, dt: float, n_steps: int, krylov_dim: int = 24
+    H: Operator, psi0, dt: float, n_steps: int, krylov_dim: int = 24,
+    adaptive: bool = False, tol: float = 1.0e-10,
 ) -> np.ndarray:
     """One-XLA-call propagation (see _propagate_split_fused); returns the
-    final complex psi."""
+    final complex psi.  ``adaptive=True`` enables the on-device residual
+    early exit (lanczos_prop.m:44-55): each time step stops its Krylov
+    expansion at the first j with residual < tol, entirely inside the
+    compiled program (fixed shapes, no host syncs)."""
     psi = _to_split(psi0)
-    out = _propagate_split_fused(H, psi, jnp.asarray(dt, psi.dtype), krylov_dim, n_steps)
+    if adaptive:
+        out, _ = _propagate_split_fused_adaptive(
+            H, psi, jnp.asarray(dt, psi.dtype), krylov_dim, n_steps,
+            jnp.asarray(tol, psi.dtype),
+        )
+    else:
+        out = _propagate_split_fused(H, psi, jnp.asarray(dt, psi.dtype), krylov_dim, n_steps)
     return _from_split(out)
+
+
+def propagate_split_fused_steps(
+    H: Operator, psi0, dt: float, n_steps: int, krylov_dim: int = 24,
+    tol: float = 1.0e-10,
+):
+    """Adaptive fused propagation returning (psi, total_krylov_steps) —
+    the on-chip step count for parity checks against the host adaptive
+    path."""
+    psi = _to_split(psi0)
+    out, steps = _propagate_split_fused_adaptive(
+        H, psi, jnp.asarray(dt, psi.dtype), krylov_dim, n_steps,
+        jnp.asarray(tol, psi.dtype),
+    )
+    return _from_split(out), int(steps)

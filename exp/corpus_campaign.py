@@ -78,7 +78,17 @@ def main():
                         got = np.sort(np.asarray(res.eigs))[::-1]
                         k = min(len(got), len(exact_top))
                         scale = max(np.max(np.abs(exact_top)), 1e-300)
+                        # Positional top-k error misreports multiplicity
+                        # (unblocked Lanczos finds one copy per distinct
+                        # eigenvalue, so repeated oracle values shift the
+                        # alignment); record the nearest-spectrum distance
+                        # as the primary correctness metric plus the
+                        # positional one for reference.
                         eig_err = float(
+                            np.max(np.min(np.abs(got[:, None] - exact[None, :]), axis=1))
+                            / scale
+                        ) if k else None
+                        eig_err_pos = float(
                             np.max(np.abs(got[:k] - exact_top[:k])) / scale
                         ) if k else None
                         rec = RunRecord(
@@ -93,7 +103,9 @@ def main():
                             n_restarts=res.n_restarts,
                             converged=bool(res.converged),
                             wall_s=wall,
-                            extra={"n": n, "n_conv": int(len(got))},
+                            extra={"n": n, "n_conv": int(len(got)),
+                                   "eig_err_pos": eig_err_pos,
+                                   "eigs": [float(v) for v in got]},
                         )
                     except Exception as e:
                         rec = RunRecord(

@@ -1,0 +1,76 @@
+"""Mixed precision (OrthParams.mixed_precision): f32 basis storage with
+f64 Gram/R/T reductions must deliver near-f64 eigenpairs (VERDICT item 5;
+the TPU-native answer to f32's ~1e-2 hardware eigenvalue error)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ca_lanczos_tpu.config import Basis, LanczosConfig, Orth, OrthParams, QrMethod
+from ca_lanczos_tpu.ops.qr import cholqr2, cholqr2_mp
+from ca_lanczos_tpu.solvers.restarted import restarted_ca_lanczos
+from ca_lanczos_tpu.utils.matrices import diag_spectrum
+
+
+class TestMpQr:
+    def test_cholqr2_mp_orthogonality(self):
+        rng = np.random.default_rng(0)
+        X = np.asarray(rng.standard_normal((4096, 9)), np.float32)
+        X[:, 1] = X[:, 0] + 1e-3 * X[:, 1]  # mildly ill-conditioned
+
+        Q32, R32 = cholqr2(jnp.asarray(X))
+        Qmp, Rmp = cholqr2_mp(jnp.asarray(X))
+        assert Qmp.dtype == jnp.float32
+        assert Rmp.dtype == jnp.float64
+
+        def orth_err(Q):
+            Q = np.asarray(Q, np.float64)
+            return np.max(np.abs(Q.T @ Q - np.eye(Q.shape[1])))
+
+        # The mp factor's R reproduces X to f32 roundoff and the
+        # orthogonality is at least as good as the plain-f32 path.
+        np.testing.assert_allclose(
+            np.asarray(Qmp, np.float64) @ np.asarray(Rmp), X, atol=5e-5
+        )
+        assert orth_err(Qmp) <= orth_err(Q32) * 1.5 + 1e-6
+
+
+class TestMpFlagship:
+    def test_f32_storage_f64_reductions_beats_plain_f32(self):
+        n = 4000
+        A64 = diag_spectrum(n, 1.0, 100.0)
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        A32 = DiaMatrix(
+            data=jnp.asarray(np.asarray(A64.data), jnp.float32),
+            offsets=A64.offsets,
+        )
+        exact = np.linspace(1.0, 100.0, n)[::-1][:6]
+        r = jnp.ones(n, jnp.float32)
+
+        base = LanczosConfig(
+            s=6, basis=Basis.NEWTON, orth=Orth.LOCAL, n_wanted=6, tol=1e-7,
+            orth_params=OrthParams(qr_method=QrMethod.CHOLQR2),
+        )
+        cfg_mp = dataclasses.replace(
+            base,
+            orth_params=OrthParams(
+                qr_method=QrMethod.CHOLQR2, mixed_precision=True
+            ),
+        )
+
+        res_mp = restarted_ca_lanczos(A32, r, 48, cfg_mp)
+        assert res_mp.converged
+        err_mp = np.max(
+            np.abs(np.sort(res_mp.eigs)[::-1] - exact)
+        ) / 100.0
+        # f32 storage + f64 reductions: relative eigenvalue error well
+        # below f32 epsilon accumulation (target <= 1e-6).
+        assert err_mp <= 1e-6, f"mp eig err {err_mp:.2e}"
+
+        res_32 = restarted_ca_lanczos(A32, r, 48, base)
+        if res_32.converged and len(res_32.eigs) == 6:
+            err_32 = np.max(
+                np.abs(np.sort(res_32.eigs)[::-1] - exact)
+            ) / 100.0
+            assert err_mp <= err_32 + 1e-12

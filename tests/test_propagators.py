@@ -154,3 +154,51 @@ class TestSplitPath:
         Hd = np.asarray(H.to_dense())
         ref = scipy.linalg.expm(-1j * dt * n_steps * Hd) @ np.asarray(psi)
         assert np.max(np.abs(out - ref)) < 1e-12
+
+
+class TestFusedAdaptive:
+    """On-device adaptive residual for the fused propagator (VERDICT
+    round-1 item 10; reference lanczos_prop.m:44-55)."""
+
+    def test_matches_host_adaptive_and_step_counts(self):
+        import jax.numpy as jnp
+        from ca_lanczos_tpu.solvers.propagators import (
+            _to_split,
+            lanczos_prop_split,
+            propagate_split_fused_steps,
+        )
+        from ca_lanczos_tpu.utils.matrices import gaussian_packet, harmonic_oscillator
+
+        n, dt, steps, m, tol = 128, 0.025, 8, 24, 1e-10
+        H, x = harmonic_oscillator(n)
+        psi0 = gaussian_packet(x).astype(np.complex128)
+
+        psi_f, total_f = propagate_split_fused_steps(
+            H, psi0, dt, steps, krylov_dim=m, tol=tol
+        )
+
+        psi_h = _to_split(psi0)
+        total_h = 0
+        for _ in range(steps):
+            nrm = float(jnp.sqrt(jnp.sum(psi_h * psi_h)))
+            res = lanczos_prop_split(H, psi_h, m, dt, tol, adaptive=True)
+            total_h += res.n_steps
+            psi_h = res.apply_exp(dt, nrm)
+        psi_h = np.asarray(psi_h[:, 0] + 1j * psi_h[:, 1])
+
+        assert total_f == total_h, (total_f, total_h)
+        assert total_f < steps * m  # the early exit actually fired
+        np.testing.assert_allclose(psi_f, psi_h, atol=1e-9)
+
+    def test_tight_tol_matches_fixed_depth(self):
+        from ca_lanczos_tpu.solvers.propagators import propagate_split_fused
+        from ca_lanczos_tpu.utils.matrices import gaussian_packet, harmonic_oscillator
+
+        n, dt, steps, m = 128, 0.025, 5, 16
+        H, x = harmonic_oscillator(n)
+        psi0 = gaussian_packet(x).astype(np.complex128)
+        psi_fix = propagate_split_fused(H, psi0, dt, steps, krylov_dim=m)
+        psi_ad = propagate_split_fused(
+            H, psi0, dt, steps, krylov_dim=m, adaptive=True, tol=1e-300
+        )
+        np.testing.assert_allclose(psi_ad, psi_fix, atol=1e-12)
