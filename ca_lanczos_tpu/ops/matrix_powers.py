@@ -170,6 +170,25 @@ def matrix_powers(A: Operator, q: jax.Array, s: int, Bk: Optional[np.ndarray], b
                 return matrix_powers_dia_fused(A, q, s, diag, sub)
             # complex shifts fall through to the XLA path
 
+    from ca_lanczos_tpu.ops.pell import PellMatrix
+
+    if isinstance(A, PellMatrix) and not jnp.iscomplexobj(q):
+        # General sparsity routes to the PELL gather kernel (~275x the
+        # XLA gather lowering on TPU); interpret mode covers CPU runs.
+        from ca_lanczos_tpu.ops.pell import matrix_powers_pell
+
+        interpret = jax.default_backend() != "tpu"
+        if basis == Basis.MONOMIAL:
+            return matrix_powers_pell(A, q, s, interpret=interpret)
+        elif basis == Basis.NEWTON:
+            B = np.asarray(Bk)
+            diag = np.diagonal(B)[:s].copy()
+            sub = np.zeros(s)
+            if s > 1:
+                sub[1:] = np.diagonal(B, 1)[: s - 1]
+            if not np.iscomplexobj(diag):
+                return matrix_powers_pell(A, q, s, diag, sub, interpret=interpret)
+
     if basis == Basis.MONOMIAL:
         return matrix_powers_monomial(A, q, s)
     elif basis == Basis.NEWTON:

@@ -275,14 +275,15 @@ def _dia_powers_fused(
             xcur = xscr[:]
             prev = jnp.zeros_like(xcur)
 
-            def shifted(v, off):
-                vp = jnp.pad(v, (wmax, wmax))
-                return jax.lax.slice_in_dim(vp, wmax + off, wmax + off + L, axis=0)
-
             for j in range(s):
+                # ONE pad per step, sliced per diagonal — a pad is a full
+                # VMEM copy, so hoisting it out of the ndiags loop removes
+                # (ndiags-1) copies per step from the compute path.
+                xp = jnp.pad(xcur, (wmax, wmax))
                 acc = jnp.zeros((L,), xcur.dtype)
                 for d, off in enumerate(offsets):
-                    acc = acc + dscr[pl.ds(d * L, L)] * shifted(xcur, off)
+                    seg = jax.lax.slice_in_dim(xp, wmax + off, wmax + off + L, axis=0)
+                    acc = acc + dscr[pl.ds(d * L, L)] * seg
                 w_new = acc - coef_ref[j, 0] * xcur - coef_ref[j, 1] * prev
                 out_ref[j, :] = w_new[W : W + T]
                 prev, xcur = xcur, w_new

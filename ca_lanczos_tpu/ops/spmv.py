@@ -164,33 +164,31 @@ class EllMatrix:
 
     @staticmethod
     def from_dense(a: np.ndarray) -> "EllMatrix":
-        a = np.asarray(a)
-        n = a.shape[0]
-        counts = (a != 0).sum(axis=1)
-        k = max(1, int(counts.max()))
-        vals = np.zeros((n, k), a.dtype)
-        cols = np.zeros((n, k), np.int32)
-        for i in range(n):
-            nz = np.nonzero(a[i])[0]
-            vals[i, : len(nz)] = a[i, nz]
-            cols[i, : len(nz)] = nz
-        return EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
+        import scipy.sparse as sp
+
+        return EllMatrix.from_scipy(sp.csr_matrix(np.asarray(a)))
 
     @staticmethod
     def from_scipy(a) -> "EllMatrix":
-        """Convert a scipy.sparse matrix (any format) to ELL."""
+        """Convert a scipy.sparse matrix (any format) to ELL.
+
+        Fully vectorized (no per-row Python loop): nnz are scattered into
+        the padded (n, k) slots by flat index, so corpus-scale (multi-
+        million-row) conversions stay O(nnz) numpy work.
+        """
         import scipy.sparse as sp
 
         csr = sp.csr_matrix(a)
+        csr.sort_indices()
         n = csr.shape[0]
         counts = np.diff(csr.indptr)
         k = max(1, int(counts.max()))
+        rows = np.repeat(np.arange(n), counts)
+        slot = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
         vals = np.zeros((n, k), csr.dtype)
         cols = np.zeros((n, k), np.int32)
-        for i in range(n):
-            lo, hi = csr.indptr[i], csr.indptr[i + 1]
-            vals[i, : hi - lo] = csr.data[lo:hi]
-            cols[i, : hi - lo] = csr.indices[lo:hi]
+        vals[rows, slot] = csr.data
+        cols[rows, slot] = csr.indices
         return EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
 
 

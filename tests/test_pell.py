@@ -121,3 +121,25 @@ class TestKernelInterpret:
         for k in range(1, s):
             expect.append(ad @ expect[k] - diag[k] * expect[k] - sub[k] * expect[k - 1])
         np.testing.assert_allclose(V, np.stack(expect, 1), rtol=1e-10, atol=1e-10)
+
+
+class TestPellInSolvers:
+    def test_ca_lanczos_on_pell_matches_dense(self):
+        """PELL rides the matrix_powers dispatch: the CA-Lanczos driver on
+        a PellMatrix must match the dense-operator run."""
+        import jax.numpy as jnp
+        from ca_lanczos_tpu.config import Basis, Orth
+        from ca_lanczos_tpu.ops.spmv import DenseMatrix
+        from ca_lanczos_tpu.solvers.ca_lanczos import ca_lanczos
+
+        n = 512
+        a = random_banded(n, 60, 5, 11)
+        a = sp.csr_matrix((a + a.T) * 0.5 + sp.eye(n) * 5.0)
+        Ap = PellMatrix.from_scipy(a, tile=256)
+        Ad = DenseMatrix(a=jnp.asarray(a.toarray()))
+        r = jnp.ones(n)
+        res_p = ca_lanczos(Ap, r, 4, 24, basis=Basis.MONOMIAL, orth=Orth.FULL)
+        res_d = ca_lanczos(Ad, r, 4, 24, basis=Basis.MONOMIAL, orth=Orth.FULL)
+        d_p = np.sort(np.linalg.eigvalsh(res_p.T))
+        d_d = np.sort(np.linalg.eigvalsh(res_d.T))
+        np.testing.assert_allclose(d_p, d_d, rtol=1e-9, atol=1e-9)
