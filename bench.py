@@ -32,8 +32,10 @@ import numpy as np
 from jax import lax
 
 
-@partial(jax.jit, static_argnames=("s", "reps", "use_pallas"))
+@partial(jax.jit, static_argnames=("s", "use_pallas"))
 def _powers_chain(A, q, s, reps, use_pallas=True):
+    # reps is TRACED (dynamic fori_loop trip count): one compile serves
+    # every rep count, so raising the two-point spread costs nothing.
     if use_pallas:
         from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused, dia_flat_padded
 
@@ -43,8 +45,8 @@ def _powers_chain(A, q, s, reps, use_pallas=True):
         coefs = jnp.zeros((s, 2), q.dtype)
 
         def body(i, v):
-            V = _dia_powers_fused(dflat, v, coefs, A.offsets, s)
-            return V[s - 1]
+            _, last = _dia_powers_fused(dflat, v, coefs, A.offsets, s)
+            return last
 
         v = lax.fori_loop(0, reps, body, q)
         return jnp.sum(v)
@@ -77,23 +79,22 @@ def main():
     q = jnp.asarray(rng.standard_normal(n), jnp.float32)
     q = q / jnp.linalg.norm(q)
 
-    reps_lo, reps_hi = 2, 12
+    reps_lo, reps_hi = 20, 120
     # Prefer the Pallas DIA kernel; fall back to the XLA path if Mosaic
     # is unavailable on this backend.
     use_pallas = True
     try:
-        float(_powers_chain(A, q, s, reps_lo, use_pallas=True))
+        float(_powers_chain(A, q, s, jnp.int32(reps_lo), use_pallas=True))
     except Exception:
         use_pallas = False
-    # Warm up / compile both variants.
-    float(_powers_chain(A, q, s, reps_lo, use_pallas=use_pallas))
-    float(_powers_chain(A, q, s, reps_hi, use_pallas=use_pallas))
+    # Warm up (single compile; reps is traced).
+    float(_powers_chain(A, q, s, jnp.int32(reps_hi), use_pallas=use_pallas))
 
     def timed(reps, trials=3):
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(_powers_chain(A, q, s, reps, use_pallas=use_pallas))
+            float(_powers_chain(A, q, s, jnp.int32(reps), use_pallas=use_pallas))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

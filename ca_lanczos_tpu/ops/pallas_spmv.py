@@ -197,22 +197,29 @@ def fused_tile(n: int, nd: int, W: int, s: int, dtype, tile: int = 65536) -> int
 @partial(jax.jit, static_argnames=("offsets", "s", "tile", "interpret", "W"))
 def _dia_powers_fused(
     dflat: jax.Array,  # from dia_flat_padded
-    x: jax.Array,  # (n,)
+    x: jax.Array,  # (n,) UNPADDED
     coefs: jax.Array,  # (s, 2) [diag, sub] per step
     offsets: Tuple[int, ...],
     s: int,
     tile: int = 65536,
     interpret: bool = False,
     W: Optional[int] = None,
-) -> jax.Array:
-    """Returns (s, n): the s recurrence vectors (excluding x itself).
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (V (s, n), last (n,)): the s recurrence vectors (excluding
+    x itself) plus the final vector as its own contiguous output.
 
     Double-buffered: tile i+1's matrix/vector windows stream in while
     tile i computes (two scratch sets selected by pl.when — Mosaic cannot
     slice scratch along an unaligned leading dim, so the buffers are
     separate refs and the compute body is instantiated per slot).
-    Measured 337 Gnnz/s on v5e for 9 diagonals f32 (vs 192 serial-DMA,
-    103 per-step, 14.9 XLA).
+
+    x arrives UNPADDED: edge tiles zero-fill their out-of-range halo in
+    VMEM and shorten the DMA, which removes the (n + 2W) padded-array
+    materialization (one full vector read+write per call) from HBM
+    traffic.  The separate ``last`` output exists for chained callers
+    (power iterations, the s-step drivers): feeding ``V[s-1]`` back as
+    the next x forces XLA to materialize a strided row copy, while
+    ``last`` is already a dense (n,) array.
 
     ``W`` overrides the halo depth dflat was padded with (dia_flat_padded
     called with a larger-than-minimal W, e.g. a distributed shard whose
@@ -230,89 +237,135 @@ def _dia_powers_fused(
     assert dflat.shape[0] == nd * (n + 2 * W), "dflat built with a different W"
     L = T + 2 * W
     NP = n + 2 * W
+    num_tiles = n // T
 
-    def kernel(coef_ref, dflat_ref, xpad_ref, out_ref, d0, x0, d1, x1, sems):
+    def kernel(coef_ref, dflat_ref, x_ref, out_ref, last_ref, d0, x0, d1, x1, sems):
         i = pl.program_id(0)
         num = pl.num_programs(0)
         slot = i % 2
         nxt = (i + 1) % 2
 
-        def start(dscr, xscr, sl, tile_idx):
+        def xfer(dscr, xscr, sl, tile_idx, go):
+            """Issue (go=True) or await the slot's copies; the x-window
+            DMA is shortened at the edges and the uncovered halo is
+            zero-filled in VMEM at issue time (disjoint regions, so the
+            fill and the in-flight DMA cannot race)."""
             for d in range(nd):
-                pltpu.make_async_copy(
+                cp = pltpu.make_async_copy(
                     dflat_ref.at[pl.ds(d * NP + tile_idx * T, L)],
                     dscr.at[pl.ds(d * L, L)],
                     sems.at[sl, d],
-                ).start()
-            pltpu.make_async_copy(
-                xpad_ref.at[pl.ds(tile_idx * T, L)], xscr, sems.at[sl, nd]
-            ).start()
+                )
+                cp.start() if go else cp.wait()
 
-        def wait(dscr, xscr, sl, tile_idx):
-            for d in range(nd):
-                pltpu.make_async_copy(
-                    dflat_ref.at[pl.ds(d * NP + tile_idx * T, L)],
-                    dscr.at[pl.ds(d * L, L)],
-                    sems.at[sl, d],
-                ).wait()
-            pltpu.make_async_copy(
-                xpad_ref.at[pl.ds(tile_idx * T, L)], xscr, sems.at[sl, nd]
-            ).wait()
+            if num_tiles == 1:
+                cp = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, T)], xscr.at[pl.ds(W, T)], sems.at[sl, nd]
+                )
+                if go:
+                    xscr[pl.ds(0, W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(W + T, W)] = jnp.zeros((W,), xscr.dtype)
+                    cp.start()
+                else:
+                    cp.wait()
+                return
+
+            def head():
+                cp = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, T + W)],
+                    xscr.at[pl.ds(W, T + W)],
+                    sems.at[sl, nd],
+                )
+                if go:
+                    xscr[pl.ds(0, W)] = jnp.zeros((W,), xscr.dtype)
+                    cp.start()
+                else:
+                    cp.wait()
+
+            def tail():
+                cp = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(n - (T + W), T + W)],
+                    xscr.at[pl.ds(0, T + W)],
+                    sems.at[sl, nd],
+                )
+                if go:
+                    xscr[pl.ds(T + W, W)] = jnp.zeros((W,), xscr.dtype)
+                    cp.start()
+                else:
+                    cp.wait()
+
+            def interior():
+                # Offset written as (..)*1024 so Mosaic can prove the
+                # 1024-tile alignment syntactically (i*T - W defeats its
+                # divisibility prover even though both are multiples).
+                off = (tile_idx * (T // 1024) - (W // 1024)) * 1024
+                cp = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(off, L)], xscr, sems.at[sl, nd]
+                )
+                cp.start() if go else cp.wait()
+
+            pl.when(tile_idx == 0)(head)
+            pl.when(tile_idx == num - 1)(tail)
+            pl.when((tile_idx > 0) & (tile_idx < num - 1))(interior)
 
         @pl.when(i == 0)
         def _():
-            start(d0, x0, 0, 0)
+            xfer(d0, x0, 0, i * 0, True)
 
         @pl.when((i + 1 < num) & (nxt == 0))
         def _():
-            start(d0, x0, 0, i + 1)
+            xfer(d0, x0, 0, i + 1, True)
 
         @pl.when((i + 1 < num) & (nxt == 1))
         def _():
-            start(d1, x1, 1, i + 1)
+            xfer(d1, x1, 1, i + 1, True)
 
         def compute(dscr, xscr):
             xcur = xscr[:]
             prev = jnp.zeros_like(xcur)
 
+            def shifted(v, off):
+                vp = jnp.pad(v, (wmax, wmax))
+                return jax.lax.slice_in_dim(vp, wmax + off, wmax + off + L, axis=0)
+
             for j in range(s):
-                # ONE pad per step, sliced per diagonal — a pad is a full
-                # VMEM copy, so hoisting it out of the ndiags loop removes
-                # (ndiags-1) copies per step from the compute path.
-                xp = jnp.pad(xcur, (wmax, wmax))
                 acc = jnp.zeros((L,), xcur.dtype)
                 for d, off in enumerate(offsets):
-                    seg = jax.lax.slice_in_dim(xp, wmax + off, wmax + off + L, axis=0)
-                    acc = acc + dscr[pl.ds(d * L, L)] * seg
+                    acc = acc + dscr[pl.ds(d * L, L)] * shifted(xcur, off)
                 w_new = acc - coef_ref[j, 0] * xcur - coef_ref[j, 1] * prev
                 out_ref[j, :] = w_new[W : W + T]
                 prev, xcur = xcur, w_new
+            last_ref[:] = xcur[W : W + T]
 
         @pl.when(slot == 0)
         def _():
-            wait(d0, x0, 0, i)
+            xfer(d0, x0, 0, i, False)
             compute(d0, x0)
 
         @pl.when(slot == 1)
         def _():
-            wait(d1, x1, 1, i)
+            xfer(d1, x1, 1, i, False)
             compute(d1, x1)
 
-    xpad = jnp.pad(x, (W, W))
+    vma = getattr(jax.typeof(x), "vma", frozenset())
     return pl.pallas_call(
         kernel,
-        grid=(n // T,),
+        grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((s, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((s, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
         # vma propagation keeps the kernel usable inside shard_map bodies
         # (jax>=0.9 check_vma requires out_shape vma there).
-        out_shape=jax.ShapeDtypeStruct(
-            (s, n), x.dtype, vma=getattr(jax.typeof(x), "vma", frozenset())
-        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((s, n), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((n,), x.dtype, vma=vma),
+        ],
         scratch_shapes=[
             pltpu.VMEM((nd * L,), x.dtype),
             pltpu.VMEM((L,), x.dtype),
@@ -321,7 +374,7 @@ def _dia_powers_fused(
             pltpu.SemaphoreType.DMA((2, nd + 1)),
         ],
         interpret=interpret,
-    )(coefs, dflat, xpad)
+    )(coefs, dflat, x)
 
 
 def matrix_powers_dia_fused(
@@ -356,5 +409,5 @@ def matrix_powers_dia_fused(
     coefs_j = jnp.asarray(coefs, q.dtype)
     if dflat is None:
         dflat = dia_flat_padded(A, W)
-    V = _dia_powers_fused(dflat, q, coefs_j, A.offsets, s, tile=t, interpret=interpret)
+    V, _ = _dia_powers_fused(dflat, q, coefs_j, A.offsets, s, tile=t, interpret=interpret)
     return jnp.concatenate([q[:, None], V.T], axis=1)

@@ -274,7 +274,7 @@ def _powers_local(
         m = xp.shape[0]
         xpp = jnp.pad(xp, (0, m_pad - m))
         coefs = jnp.stack([diag[:s], sub[:s]], axis=1).astype(xp.dtype)
-        ws = _dia_powers_fused(
+        ws, _ = _dia_powers_fused(
             dflat_local,
             xpp,
             coefs,

@@ -164,7 +164,7 @@ def _ca_chain(A: DiaMatrix, Q0: jax.Array, s: int, blocks: int, use_pallas: bool
         coefs = jnp.zeros((s, 2), Q0.dtype)
 
         def powers(q):
-            V = _dia_powers_fused(dflat, q, coefs, A.offsets, s)
+            V, _ = _dia_powers_fused(dflat, q, coefs, A.offsets, s)
             return jnp.concatenate([q[:, None], V.T], axis=1)
     else:
         from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial
