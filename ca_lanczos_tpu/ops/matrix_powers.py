@@ -138,6 +138,12 @@ def _pallas_eligible(A: Operator, q: jax.Array) -> bool:
 
     if not isinstance(A, DiaMatrix) or q.dtype != jnp.float32:
         return False
+    if jax.config.jax_enable_x64:
+        # Mosaic lowering of these kernels breaks under jax_enable_x64
+        # (unbounded recursion in its convert-element-type rule); the
+        # mixed-precision drivers that need x64 for f64 reductions take
+        # the XLA powers path instead.
+        return False
     try:
         if jax.default_backend() == "cpu":
             return False

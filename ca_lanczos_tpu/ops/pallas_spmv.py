@@ -258,13 +258,17 @@ def _dia_powers_fused(
                 )
                 cp.start() if go else cp.wait()
 
+            i32 = jnp.int32  # bare Python ints trace as i64 under
+            # jax_enable_x64, and Mosaic's convert-element-type lowering
+            # recurses without bound on those index converts.
             if num_tiles == 1:
                 cp = pltpu.make_async_copy(
-                    x_ref.at[pl.ds(0, T)], xscr.at[pl.ds(W, T)], sems.at[sl, nd]
+                    x_ref.at[pl.ds(i32(0), T)], xscr.at[pl.ds(i32(W), T)],
+                    sems.at[sl, nd],
                 )
                 if go:
-                    xscr[pl.ds(0, W)] = jnp.zeros((W,), xscr.dtype)
-                    xscr[pl.ds(W + T, W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(i32(0), W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(i32(W + T), W)] = jnp.zeros((W,), xscr.dtype)
                     cp.start()
                 else:
                     cp.wait()
@@ -272,24 +276,24 @@ def _dia_powers_fused(
 
             def head():
                 cp = pltpu.make_async_copy(
-                    x_ref.at[pl.ds(0, T + W)],
-                    xscr.at[pl.ds(W, T + W)],
+                    x_ref.at[pl.ds(i32(0), T + W)],
+                    xscr.at[pl.ds(i32(W), T + W)],
                     sems.at[sl, nd],
                 )
                 if go:
-                    xscr[pl.ds(0, W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(i32(0), W)] = jnp.zeros((W,), xscr.dtype)
                     cp.start()
                 else:
                     cp.wait()
 
             def tail():
                 cp = pltpu.make_async_copy(
-                    x_ref.at[pl.ds(n - (T + W), T + W)],
-                    xscr.at[pl.ds(0, T + W)],
+                    x_ref.at[pl.ds(i32(n - (T + W)), T + W)],
+                    xscr.at[pl.ds(i32(0), T + W)],
                     sems.at[sl, nd],
                 )
                 if go:
-                    xscr[pl.ds(T + W, W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(i32(T + W), W)] = jnp.zeros((W,), xscr.dtype)
                     cp.start()
                 else:
                     cp.wait()
