@@ -1,5 +1,10 @@
 from ca_lanczos_tpu.parallel.mesh import make_mesh, row_sharding, replicated, ROWS
-from ca_lanczos_tpu.parallel.distributed import DistDia, dist_matrix_powers, dist_spmv
+from ca_lanczos_tpu.parallel.distributed import (
+    DistDia,
+    dist_matrix_powers,
+    dist_matrix_powers_rows,
+    dist_spmv,
+)
 from ca_lanczos_tpu.parallel.dist_orth import (
     local_tsqr,
     local_cholqr,
@@ -22,6 +27,7 @@ __all__ = [
     "ROWS",
     "DistDia",
     "dist_matrix_powers",
+    "dist_matrix_powers_rows",
     "dist_spmv",
     "local_tsqr",
     "local_cholqr",

@@ -362,6 +362,59 @@ def dist_matrix_powers(
     return jnp.concatenate([x[None, :], W], axis=0).T
 
 
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def dist_matrix_powers_rows(
+    A: DistDia,
+    x: jax.Array,
+    s: int,
+    diag: jax.Array,
+    sub: jax.Array,
+    mesh: Mesh,
+) -> jax.Array:
+    """Rows-native distributed matrix powers: returns W (s, n_pad) — the
+    s recurrence vectors WITHOUT the leading q row or any transpose.
+
+    This is the performance-path variant of ``dist_matrix_powers``: the
+    shard_map boundary materializes only the kernel's natural (s, n)
+    layout, so a chained consumer (power iteration, bench, scaling sweep)
+    reads W[s-1] as a cheap row slice instead of paying the q-concat +
+    transpose copies the (n, s+1) API forces (~2x at P=1 on hardware).
+    """
+    inner = partial(
+        _powers_local,
+        offsets=A.offsets,
+        halo=A.halo,
+        n_shards=A.n_shards,
+        s=s,
+        fused_w=A.fused_w,
+        m_pad=A.m_pad,
+        fused_tile=A.fused_tile,
+        fused_interpret=A.fused_interpret,
+        periodic=A.periodic,
+        transposed=True,
+        include_q=False,
+    )
+
+    if A.dflat is not None:
+        def body(data_block, dflat_block, x_local, dg, sb):
+            return inner(data_block[0], x_local, dg, sb, dflat_local=dflat_block[0])
+
+        operands = (A.data, A.dflat)
+    else:
+        def body(data_block, x_local, dg, sb):
+            return inner(data_block[0], x_local, dg, sb)
+
+        operands = (A.data,)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1))
+        + (PartitionSpec(), PartitionSpec()),
+        out_specs=PartitionSpec(None, ROWS),
+    )(*operands, x, diag, sub)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def dist_spmv(A: DistDia, x: jax.Array, mesh: Mesh) -> jax.Array:
     """Single distributed SpMV (1-deep use of the stored halo)."""

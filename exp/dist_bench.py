@@ -43,13 +43,13 @@ def main():
     xs = Ad.shard_vector(q / np.linalg.norm(q), mesh)
     z = jnp.zeros(s, jnp.float32)
 
-    from ca_lanczos_tpu.parallel.distributed import dist_matrix_powers
+    from ca_lanczos_tpu.parallel.distributed import dist_matrix_powers_rows
 
     @partial(jax.jit, static_argnames=("reps",))
     def chain(x, reps):
         def body(i, v):
-            V = dist_matrix_powers(Ad, v, s, z, z, mesh)
-            return V[:, s]
+            W = dist_matrix_powers_rows(Ad, v, s, z, z, mesh)
+            return W[s - 1]
 
         return jnp.sum(lax.fori_loop(0, reps, body, x))
 

@@ -641,3 +641,18 @@ class TestDistCheckpointAndRecovery:
         got = np.sort(res.eigs)[::-1]
         np.testing.assert_allclose(got, exact, rtol=1e-4)
         np.testing.assert_allclose(got[0], 100.0, rtol=1e-12)
+
+
+class TestRowsNativePowers:
+    def test_matches_column_api(self, mesh):
+        from ca_lanczos_tpu.parallel import dist_matrix_powers_rows
+
+        n, s = 256, 4
+        A = laplacian_1d(n)
+        Ad = DistDia.from_dia(A, mesh, s_max=s)
+        x = np.random.default_rng(5).standard_normal(n)
+        xs = Ad.shard_vector(x, mesh)
+        z = jnp.zeros(s)
+        V = np.asarray(dist_matrix_powers(Ad, xs, s, z, z, mesh))[:n]
+        W = np.asarray(dist_matrix_powers_rows(Ad, xs, s, z, z, mesh))[:, :n]
+        np.testing.assert_allclose(W.T, V[:, 1:], atol=1e-13)
