@@ -186,6 +186,10 @@ class PellMatrix:
         # chunk budget per slot-tile.
         per_tile = []  # (kt_count, vals, lidx, hi, tables) per (t, b)
         kt_max = 1
+        used_max = 1  # largest chunk-table actually used: the kernel's
+        # select loop is static over the table width, and the gather pass
+        # is its cost driver (one lane-gather per table entry), so the
+        # stored width shrinks to what the matrix needs.
         for t in range(ntiles):
             srow = span_rows[t]
             groups = []
@@ -230,6 +234,7 @@ class PellMatrix:
                     g_vals.append(tv)
                     g_lidx.append(tl)
                     g_hi.append(th)
+                    used_max = max(used_max, len(tabs))
                     tab = np.zeros(cmax, np.int32)
                     tab[: len(tabs)] = tabs
                     g_tab.append(tab)
@@ -239,10 +244,11 @@ class PellMatrix:
 
         KT = kt_max
         K = KT * SLOTS
+        cmax_eff = used_max  # shrink the static select loop to actual use
         vals = np.zeros((ntiles * K, tile), dtype)
         lidx = np.zeros((ntiles * K, tile), np.int32)
         hi = np.zeros((ntiles * K, tile), np.int32)
-        cbase = np.zeros((ntiles, B * KT * cmax), np.int32)
+        cbase = np.zeros((ntiles, B * KT * cmax_eff), np.int32)
         for t in range(ntiles):
             for b in range(B):
                 g_vals, g_lidx, g_hi, g_tab = per_tile[t][b]
@@ -252,7 +258,7 @@ class PellMatrix:
                     vals[rs : rs + SLOTS, cs : cs + LANES] = g_vals[kt]
                     lidx[rs : rs + SLOTS, cs : cs + LANES] = g_lidx[kt]
                     hi[rs : rs + SLOTS, cs : cs + LANES] = g_hi[kt]
-                    cbase[t, (b * KT + kt) * cmax : (b * KT + kt + 1) * cmax] = g_tab[kt]
+                    cbase[t, (b * KT + kt) * cmax_eff : (b * KT + kt + 1) * cmax_eff] = g_tab[kt][:cmax_eff]
 
         return PellMatrix(
             vals=jnp.asarray(vals),
@@ -263,7 +269,7 @@ class PellMatrix:
             n=n,
             tile=tile,
             k_slots=K,
-            cmax=cmax,
+            cmax=cmax_eff,
             sw=sw,
             nnz_count=int(csr.nnz),
         )
