@@ -71,7 +71,7 @@ def main():
 
         return jnp.sum(lax.fori_loop(0, reps, body, v))
 
-    lo, hi_r = 4, 44
+    lo, hi_r = 50, 450
     float(chain(x2, lo)); float(chain(x2, hi_r))
 
     def timed(reps, trials=3):
