@@ -46,23 +46,28 @@ SLOTS = 8  # slot-tile depth (f32 sublane count)
 class PellMatrix:
     """Pooled-chunk windowed ELL operator (see module docstring).
 
-    vals / lidx / hi : (ntiles*K, T) — slot-major, rows-on-lanes layout.
+    vals / pidx : (ntiles*K, T) — slot-major, rows-on-lanes layout.
         ``vals[t*K + k, b*128 + r]`` is the k-th (col-sorted) nonzero of
-        global row t*T + b*128 + r; ``lidx`` its lane (col % 128) and
-        ``hi`` the position of its chunk in the slot-tile's chunk table.
-        Zero padding (vals=0, lidx=0, hi=0) is harmless by construction.
+        global row t*T + b*128 + r; ``pidx`` packs its lane (col % 128,
+        low 8 bits) with the position of its chunk in the slot-tile's
+        chunk table (bits 8+) into one int32 plane — 8 B/slot of HBM
+        traffic instead of 12 with separate index planes.  Zero padding
+        (vals=0, pidx=0) is harmless by construction.
     cbase : (ntiles, B*KT*CMAX) int32 — chunk tables, SPAN-RELATIVE row
         indices into the tile's x-span viewed as (SW/128, 128).  Rides in
         SMEM whole (unblocked) and is indexed by program id: Mosaic SMEM
         blocks cannot have sub-8 leading dims.
+    ccnt : (ntiles, B*KT) int32 — used chunk-table entries per slot-tile;
+        the kernel's gather loop skips unused entries (the static CMAX
+        width is the worst slot-tile, most need fewer).
     span_row : (ntiles,) int32 — span start, in 128-element rows of the
         padded x (multiple of 8, i.e. 1024-element alignment).
     """
 
     vals: jax.Array
-    lidx: jax.Array
-    hi: jax.Array
+    pidx: jax.Array
     cbase: jax.Array
+    ccnt: jax.Array
     span_row: jax.Array
     n: int = dataclasses.field(metadata=dict(static=True))
     tile: int = dataclasses.field(metadata=dict(static=True))
@@ -108,8 +113,9 @@ class PellMatrix:
         T, K, CMAX = self.tile, self.k_slots, self.cmax
         B, KT = T // LANES, K // SLOTS
         vals = np.asarray(self.vals).reshape(self.ntiles, K, T)
-        lidx = np.asarray(self.lidx).reshape(self.ntiles, K, T)
-        hi = np.asarray(self.hi).reshape(self.ntiles, K, T)
+        pidx = np.asarray(self.pidx).reshape(self.ntiles, K, T)
+        lidx = pidx & 0xFF
+        hi = pidx >> 8
         cbase = np.asarray(self.cbase).reshape(self.ntiles, B, KT, CMAX)
         span = np.asarray(self.span_row)
         out = np.zeros((self.n, self.n), vals.dtype)
@@ -207,7 +213,7 @@ class PellMatrix:
                 ptr = [0] * LANES
                 total = sum(len(rw[0]) for rw in rows)
                 done = 0
-                g_vals, g_lidx, g_hi, g_tab = [], [], [], []
+                g_vals, g_lidx, g_hi, g_tab, g_cnt = [], [], [], [], []
                 while done < total:
                     tabs: list = []
                     tv = np.zeros((SLOTS, LANES), dtype)
@@ -235,10 +241,11 @@ class PellMatrix:
                     g_lidx.append(tl)
                     g_hi.append(th)
                     used_max = max(used_max, len(tabs))
+                    g_cnt.append(len(tabs))
                     tab = np.zeros(cmax, np.int32)
                     tab[: len(tabs)] = tabs
                     g_tab.append(tab)
-                groups.append((g_vals, g_lidx, g_hi, g_tab))
+                groups.append((g_vals, g_lidx, g_hi, g_tab, g_cnt))
                 kt_max = max(kt_max, len(g_vals))
             per_tile.append(groups)
 
@@ -246,25 +253,27 @@ class PellMatrix:
         K = KT * SLOTS
         cmax_eff = used_max  # shrink the static select loop to actual use
         vals = np.zeros((ntiles * K, tile), dtype)
-        lidx = np.zeros((ntiles * K, tile), np.int32)
-        hi = np.zeros((ntiles * K, tile), np.int32)
+        pidx = np.zeros((ntiles * K, tile), np.int32)
         cbase = np.zeros((ntiles, B * KT * cmax_eff), np.int32)
+        ccnt = np.zeros((ntiles, B * KT), np.int32)
         for t in range(ntiles):
             for b in range(B):
-                g_vals, g_lidx, g_hi, g_tab = per_tile[t][b]
+                g_vals, g_lidx, g_hi, g_tab, g_cnt = per_tile[t][b]
                 for kt in range(len(g_vals)):
                     rs = t * K + kt * SLOTS
                     cs = b * LANES
                     vals[rs : rs + SLOTS, cs : cs + LANES] = g_vals[kt]
-                    lidx[rs : rs + SLOTS, cs : cs + LANES] = g_lidx[kt]
-                    hi[rs : rs + SLOTS, cs : cs + LANES] = g_hi[kt]
+                    pidx[rs : rs + SLOTS, cs : cs + LANES] = (
+                        (g_hi[kt] << 8) | g_lidx[kt]
+                    )
                     cbase[t, (b * KT + kt) * cmax_eff : (b * KT + kt + 1) * cmax_eff] = g_tab[kt][:cmax_eff]
+                    ccnt[t, b * KT + kt] = g_cnt[kt]
 
         return PellMatrix(
             vals=jnp.asarray(vals),
-            lidx=jnp.asarray(lidx),
-            hi=jnp.asarray(hi),
+            pidx=jnp.asarray(pidx),
             cbase=jnp.asarray(cbase),
+            ccnt=jnp.asarray(ccnt),
             span_row=jnp.asarray(span_rows, jnp.int32),
             n=n,
             tile=tile,
@@ -285,38 +294,57 @@ def _pell_kernel(
     coef_ref,  # SMEM (2,)
     span_ref,  # SMEM (ntiles,) whole
     cbase_ref,  # SMEM (ntiles, B*KT*CMAX) whole
+    ccnt_ref,  # SMEM (ntiles, B*KT) whole
     vals_ref,  # VMEM (K, T)
-    lidx_ref,  # VMEM (K, T)
-    hi_ref,  # VMEM (K, T)
+    pidx_ref,  # VMEM (K, T) packed (hi<<8)|lane
     xblk_ref,  # VMEM (B, 128) own rows of x
     vprev_ref,  # VMEM (B, 128)
     x_ref,  # ANY (Gtot, 128) full padded vector
     out_ref,  # VMEM (B, 128)
-    xspan,  # VMEM (SR, 128) scratch
-    sem,
+    xspan,  # VMEM (2*SR, 128) scratch, two span slots
+    sems,  # DMA semaphores (2,)
     *,
     B: int,
     KT: int,
     CMAX: int,
     SR: int,
+    NT: int,
 ):
     g = pl.program_id(0)
-    srow = span_ref[g]
-    dma = pltpu.make_async_copy(x_ref.at[pl.ds(srow, SR), :], xspan, sem)
-    dma.start()
-    dma.wait()
+    slot = g % 2
+
+    def span_dma(i, sl):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(span_ref[i], SR), :],
+            xspan.at[pl.ds(sl * SR, SR), :],
+            sems.at[sl],
+        )
+
+    # Double-buffered span stream: tile g+1's x-span rides in while tile
+    # g computes (the matrix planes are pipelined by pallas_call itself).
+    @pl.when(g == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(g + 1 < NT)
+    def _():
+        span_dma(g + 1, (g + 1) % 2).start()
+
+    span_dma(g, slot).wait()
+
     d = coef_ref[0]
     sb = coef_ref[1]
     for b in range(B):
         acc = jnp.zeros((SLOTS, LANES), out_ref.dtype)
         for kt in range(KT):
             vals = vals_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
-            lidx = lidx_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
-            hi = hi_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
+            pidx = pidx_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
+            lidx = pidx & 0xFF
+            hi = pidx >> 8
             gathered = jnp.zeros((SLOTS, LANES), out_ref.dtype)
             for c in range(CMAX):
                 rel = cbase_ref[g, (b * KT + kt) * CMAX + c]
-                row = jnp.broadcast_to(xspan[rel, :], (SLOTS, LANES))
+                row = jnp.broadcast_to(xspan[slot * SR + rel, :], (SLOTS, LANES))
                 gc = jnp.take_along_axis(row, lidx, axis=1)
                 gathered = gathered + jnp.where(hi == c, gc, 0.0)
             acc = acc + vals * gathered
@@ -326,7 +354,7 @@ def _pell_kernel(
 
 @partial(jax.jit, static_argnames=("tile", "k_slots", "cmax", "sw", "interpret"))
 def _pell_step(
-    vals, lidx, hi, cbase, span_row,
+    vals, pidx, cbase, ccnt, span_row,
     x2,  # (Gtot, 128)
     vprev2,  # (Gtot, 128)
     coefs,  # (2,)
@@ -343,7 +371,7 @@ def _pell_step(
     KT = k_slots // SLOTS
     SR = sw // LANES
     g_out = ntiles * B
-    kern = partial(_pell_kernel, B=B, KT=KT, CMAX=cmax, SR=SR)
+    kern = partial(_pell_kernel, B=B, KT=KT, CMAX=cmax, SR=SR, NT=ntiles)
     return pl.pallas_call(
         kern,
         grid=(ntiles,),
@@ -351,7 +379,7 @@ def _pell_step(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # span_row, whole
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cbase, whole
-            pl.BlockSpec((k_slots, tile), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ccnt, whole
             pl.BlockSpec((k_slots, tile), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_slots, tile), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -363,11 +391,11 @@ def _pell_step(
             (g_out, LANES), x2.dtype, vma=getattr(jax.typeof(x2), "vma", frozenset())
         ),
         scratch_shapes=[
-            pltpu.VMEM((SR, LANES), x2.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2 * SR, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(coefs, span_row, cbase, vals, lidx, hi, x2, vprev2, x2)
+    )(coefs, span_row, cbase, ccnt, vals, pidx, x2, vprev2, x2)
 
 
 def pell_apply(
@@ -389,7 +417,7 @@ def pell_apply(
     )
     coefs = jnp.asarray([d, sb], dt)
     y2 = _pell_step(
-        A.vals.astype(dt), A.lidx, A.hi, A.cbase, A.span_row, x2, vp, coefs,
+        A.vals.astype(dt), A.pidx, A.cbase, A.ccnt, A.span_row, x2, vp, coefs,
         A.tile, A.k_slots, A.cmax, A.sw, interpret,
     )
     return y2.reshape(-1)[:n]
@@ -420,7 +448,7 @@ def matrix_powers_pell(
     for k in range(s):
         coefs = jnp.asarray([diag[k], sub[k]], dt)
         y2 = _pell_step(
-            vals, A.lidx, A.hi, A.cbase, A.span_row, x2, vp, coefs,
+            vals, A.pidx, A.cbase, A.ccnt, A.span_row, x2, vp, coefs,
             A.tile, A.k_slots, A.cmax, A.sw, interpret,
         )
         y2 = jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
