@@ -267,8 +267,11 @@ def _dia_powers_fused(
                     sems.at[sl, nd],
                 )
                 if go:
-                    xscr[pl.ds(i32(0), W)] = jnp.zeros((W,), xscr.dtype)
-                    xscr[pl.ds(i32(W + T), W)] = jnp.zeros((W,), xscr.dtype)
+                    # Store offsets stay bare Python ints: a traced start
+                    # makes the swap's transform dynamic, which Mosaic's
+                    # masked-swap lowering rejects ("Too many leaves").
+                    xscr[pl.ds(0, W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(W + T, W)] = jnp.zeros((W,), xscr.dtype)
                     cp.start()
                 else:
                     cp.wait()
@@ -281,7 +284,7 @@ def _dia_powers_fused(
                     sems.at[sl, nd],
                 )
                 if go:
-                    xscr[pl.ds(i32(0), W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(0, W)] = jnp.zeros((W,), xscr.dtype)
                     cp.start()
                 else:
                     cp.wait()
@@ -293,7 +296,7 @@ def _dia_powers_fused(
                     sems.at[sl, nd],
                 )
                 if go:
-                    xscr[pl.ds(i32(T + W), W)] = jnp.zeros((W,), xscr.dtype)
+                    xscr[pl.ds(T + W, W)] = jnp.zeros((W,), xscr.dtype)
                     cp.start()
                 else:
                     cp.wait()
