@@ -85,7 +85,15 @@ def main():
     use_pallas = True
     try:
         float(_powers_chain(A, q, s, jnp.int32(reps_lo), use_pallas=True))
-    except Exception:
+    except Exception as e:
+        # Loud fallback: a lowering regression must be visible in the
+        # captured output, not disguised as a slow-but-valid number.
+        import sys
+        import traceback
+
+        print(f"WARNING: Pallas path failed, falling back to XLA: {e!r}",
+              file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
         use_pallas = False
     # Warm up (single compile; reps is traced).
     float(_powers_chain(A, q, s, jnp.int32(reps_hi), use_pallas=use_pallas))
@@ -124,6 +132,7 @@ def main():
                 "spread_min": round(estimates[0], 1),
                 "spread_max": round(estimates[-1], 1),
                 "trials": len(estimates),
+                "path": "pallas" if use_pallas else "xla-fallback",
             }
         )
     )
