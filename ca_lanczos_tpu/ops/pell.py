@@ -3,22 +3,28 @@
 The reference declares format generality as the SpMV extension point
 (SpMV.m:1-5) and its validation corpus is general SuiteSparse sparsity
 (test_restarted_ca_lanczos_all_matrices.m:6-14).  On TPU, XLA's gather
-lowering runs at ~0.1 Gnnz/s; Mosaic's only fast gather is
-``dynamic_gather`` *within* a (R, 128) tile along lanes.  PELL is built
-around exactly that primitive:
+lowering runs at ~0.1 Gnnz/s; Mosaic's only fast gathers are
+``dynamic_gather`` *within* a (8, 128) tile, along lanes or sublanes.
+PELL is built around exactly that primitive:
 
 * rows live on LANES: each row-group packs 128 consecutive rows; ELL
-  slots (col-sorted nnz of a row) stack along SUBLANES in groups of 8
-  (a "slot-tile"), so ELL padding is quantized at 8 slots, not 128;
+  slots stack along SUBLANES in groups of 8 (a "slot-tile");
 * each column index splits as (chunk, lane) = (col // 128, col % 128);
-  a slot-tile may reference at most CMAX distinct chunks, recorded in a
-  small SMEM table — the value gather is then CMAX lane-gathers from
-  chunk rows broadcast out of VMEM, merged by equality select;
+* UNIT encoding: every sublane of a slot-tile is bound to ONE chunk
+  (recorded in a small SMEM table, 8 entries per slot-tile), and holds
+  at most one nonzero per row from that chunk.  The whole value gather
+  for a slot-tile is then: build an (8, 128) tile C of the 8 chunk rows
+  (dynamic sublane reads from the x-span in VMEM) and ONE lane-gather
+  ``take_along_axis(C, lidx, axis=1)`` — no chunk-select loop at all.
+  Cost: a row's k-th and l-th nonzeros in the SAME chunk must sit in
+  different slot-tiles, so the slot count K is sum-of-per-chunk-max
+  rather than max-degree (for a 3-D 27-point Laplacian: 40 vs 32 slots,
+  +25% HBM traffic for ~2x less gather compute — measured faster).
 * per row-tile (T rows), one contiguous x-span (SW elements, 1024-
-  aligned) is DMA'd into VMEM and chunk rows are read from it by dynamic
-  sublane index — so the matrix may have ANY sparsity whose per-tile
-  column spread fits SW (post-RCM bandwidth up to ~SW-T; far beyond the
-  banded DIA kernel's practical reach).
+  aligned) is DMA'd into VMEM (double-buffered across the grid) — so the
+  matrix may have ANY sparsity whose per-tile column spread fits SW
+  (post-RCM bandwidth up to ~SW-T; far beyond the banded DIA kernel's
+  practical reach).
 
 The fused three-term recurrence (Newton shifts, matrix_powers_newton.m:
 25-47) rides the same kernel: y = A x - d*x - sb*v_prev.
@@ -46,33 +52,26 @@ SLOTS = 8  # slot-tile depth (f32 sublane count)
 class PellMatrix:
     """Pooled-chunk windowed ELL operator (see module docstring).
 
-    vals / pidx : (ntiles*K, T) — slot-major, rows-on-lanes layout.
-        ``vals[t*K + k, b*128 + r]`` is the k-th (col-sorted) nonzero of
-        global row t*T + b*128 + r; ``pidx`` packs its lane (col % 128,
-        low 8 bits) with the position of its chunk in the slot-tile's
-        chunk table (bits 8+) into one int32 plane — 8 B/slot of HBM
-        traffic instead of 12 with separate index planes.  Zero padding
-        (vals=0, pidx=0) is harmless by construction.
-    cbase : (ntiles, B*KT*CMAX) int32 — chunk tables, SPAN-RELATIVE row
-        indices into the tile's x-span viewed as (SW/128, 128).  Rides in
-        SMEM whole (unblocked) and is indexed by program id: Mosaic SMEM
-        blocks cannot have sub-8 leading dims.
-    ccnt : (ntiles, B*KT) int32 — used chunk-table entries per slot-tile;
-        the kernel's gather loop skips unused entries (the static CMAX
-        width is the worst slot-tile, most need fewer).
+    vals / lidx : (ntiles*K, T) — slot-major, rows-on-lanes layout.
+        ``vals[t*K + u, b*128 + r]`` is a nonzero of global row
+        t*T + b*128 + r whose chunk is the one bound to unit u of block
+        b; ``lidx`` is its lane (col % 128).  Zero padding (vals=0,
+        lidx=0) is harmless by construction.
+    cbase : (ntiles, B*K) int32 — per-unit chunk bindings, SPAN-RELATIVE
+        row indices into the tile's x-span viewed as (SW/128, 128).
+        Rides in SMEM whole (unblocked) and is indexed by program id:
+        Mosaic SMEM blocks cannot have sub-8 leading dims.
     span_row : (ntiles,) int32 — span start, in 128-element rows of the
         padded x (multiple of 8, i.e. 1024-element alignment).
     """
 
     vals: jax.Array
-    pidx: jax.Array
+    lidx: jax.Array
     cbase: jax.Array
-    ccnt: jax.Array
     span_row: jax.Array
     n: int = dataclasses.field(metadata=dict(static=True))
     tile: int = dataclasses.field(metadata=dict(static=True))
     k_slots: int = dataclasses.field(metadata=dict(static=True))
-    cmax: int = dataclasses.field(metadata=dict(static=True))
     sw: int = dataclasses.field(metadata=dict(static=True))
     nnz_count: int = dataclasses.field(metadata=dict(static=True))
 
@@ -110,26 +109,23 @@ class PellMatrix:
 
     def to_dense(self) -> np.ndarray:
         """Dense reconstruction (host, testing only)."""
-        T, K, CMAX = self.tile, self.k_slots, self.cmax
-        B, KT = T // LANES, K // SLOTS
+        T, K = self.tile, self.k_slots
+        B = T // LANES
         vals = np.asarray(self.vals).reshape(self.ntiles, K, T)
-        pidx = np.asarray(self.pidx).reshape(self.ntiles, K, T)
-        lidx = pidx & 0xFF
-        hi = pidx >> 8
-        cbase = np.asarray(self.cbase).reshape(self.ntiles, B, KT, CMAX)
+        lidx = np.asarray(self.lidx).reshape(self.ntiles, K, T)
+        cbase = np.asarray(self.cbase).reshape(self.ntiles, B, K)
         span = np.asarray(self.span_row)
         out = np.zeros((self.n, self.n), vals.dtype)
         for t in range(self.ntiles):
-            for k in range(K):
-                kt = k // SLOTS
+            for u in range(K):
                 for c in range(T):
-                    v = vals[t, k, c]
+                    v = vals[t, u, c]
                     if v == 0.0:
                         continue
                     b, r = divmod(c, LANES)
                     row = t * T + c
-                    chunk = cbase[t, b, kt, hi[t, k, c]] + span[t]
-                    col = chunk * LANES + lidx[t, k, c]
+                    chunk = cbase[t, b, u] + span[t]
+                    col = chunk * LANES + lidx[t, u, c]
                     if row < self.n and col < self.n:
                         out[row, col] += v
         return out
@@ -138,15 +134,17 @@ class PellMatrix:
     def from_scipy(
         a,
         tile: int = 1024,
-        cmax: int = 8,
+        cmax: Optional[int] = None,  # accepted for API compat; unused
         sw: Optional[int] = None,
     ) -> "PellMatrix":
-        """Encode a scipy.sparse matrix.
+        """Encode a scipy.sparse matrix (vectorized, O(nnz log nnz)).
 
         sw: x-span width in elements (multiple of 1024); default = smallest
         width covering every tile's column spread.  Raises ValueError when
         a tile's spread cannot be covered (reorder with utils.reorder.rcm
         first, or raise sw — VMEM allows up to ~64K).
+        cmax is ignored: the unit encoding always carries 8 chunk bindings
+        per slot-tile.
         """
         import scipy.sparse as sp
 
@@ -188,99 +186,86 @@ class PellMatrix:
         g_x = max(g_tot, sr)
         span_rows = np.minimum(span_rows, g_x - sr)
 
-        # Pass 2: greedy slot assignment per row-group under the CMAX
-        # chunk budget per slot-tile.
-        per_tile = []  # (kt_count, vals, lidx, hi, tables) per (t, b)
-        kt_max = 1
-        used_max = 1  # largest chunk-table actually used: the kernel's
-        # select loop is static over the table width, and the gather pass
-        # is its cost driver (one lane-gather per table entry), so the
-        # stored width shrinks to what the matrix needs.
-        for t in range(ntiles):
-            srow = span_rows[t]
-            groups = []
-            for b in range(B):
-                rows = []
-                for r in range(LANES):
-                    gr = t * tile + b * LANES + r
-                    if gr < n:
-                        sl = slice(indptr[gr], indptr[gr + 1])
-                        ch = indices[sl] // LANES - srow
-                        ln = indices[sl] % LANES
-                        rows.append((np.asarray(ch), np.asarray(ln), data[sl]))
-                    else:
-                        rows.append((np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0)))
-                ptr = [0] * LANES
-                total = sum(len(rw[0]) for rw in rows)
-                done = 0
-                g_vals, g_lidx, g_hi, g_tab, g_cnt = [], [], [], [], []
-                while done < total:
-                    tabs: list = []
-                    tv = np.zeros((SLOTS, LANES), dtype)
-                    tl = np.zeros((SLOTS, LANES), np.int32)
-                    th = np.zeros((SLOTS, LANES), np.int32)
-                    for r in range(LANES):
-                        ch, ln, dv = rows[r]
-                        count = 0
-                        while ptr[r] < len(ch) and count < SLOTS:
-                            c = int(ch[ptr[r]])
-                            if c in tabs:
-                                ci = tabs.index(c)
-                            elif len(tabs) < cmax:
-                                ci = len(tabs)
-                                tabs.append(c)
-                            else:
-                                break
-                            tv[count, r] = dv[ptr[r]]
-                            tl[count, r] = ln[ptr[r]]
-                            th[count, r] = ci
-                            ptr[r] += 1
-                            count += 1
-                            done += 1
-                    g_vals.append(tv)
-                    g_lidx.append(tl)
-                    g_hi.append(th)
-                    used_max = max(used_max, len(tabs))
-                    g_cnt.append(len(tabs))
-                    tab = np.zeros(cmax, np.int32)
-                    tab[: len(tabs)] = tabs
-                    g_tab.append(tab)
-                groups.append((g_vals, g_lidx, g_hi, g_tab, g_cnt))
-                kt_max = max(kt_max, len(g_vals))
-            per_tile.append(groups)
+        # Pass 2 (vectorized): unit assignment.  A UNIT is a (block,
+        # chunk, layer) triple; layer j holds the (j+1)-th nonzero each
+        # row has in that chunk, so every unit carries <=1 entry per lane
+        # and one chunk binding.  Everything stays int32: this host's
+        # int64 accumulate/gather paths are ~100x slower.
+        nnz = int(csr.nnz)
 
-        KT = kt_max
-        K = KT * SLOTS
-        cmax_eff = used_max  # shrink the static select loop to actual use
+        def run_rank(brk, ar):
+            """Per-element offset within runs delimited by brk (int32)."""
+            ar = ar[: len(brk)]
+            first = np.maximum.accumulate(np.where(brk, ar, np.int32(0)))
+            return ar - first
+
+        if nnz:
+            rowcounts = np.diff(indptr).astype(np.int32)
+            r_glob = np.repeat(np.arange(n, dtype=np.int32), rowcounts)
+            idx32 = indices.astype(np.int32)
+            ch = idx32 // LANES - span_rows.astype(np.int32)[r_glob // tile]
+            ln = idx32 % LANES
+            block = r_glob // LANES
+            lane = r_glob % LANES
+
+            # layer = occurrence index within each contiguous (row, chunk)
+            # run (CSR is row- then col-sorted, so runs are contiguous).
+            ar_nnz = np.arange(nnz, dtype=np.int32)
+            brk = np.empty(nnz, bool)
+            brk[0] = True
+            np.not_equal(ch[1:], ch[:-1], out=brk[1:])
+            brk[1:] |= r_glob[1:] != r_glob[:-1]
+            layer = run_rank(brk, ar_nnz)
+
+            # Sort entries by (block, chunk, layer): one int64 composite
+            # argsort (fast here), then int32 gathers of the components.
+            s_ch = int(ch.max()) + 1
+            s_l = int(layer.max()) + 1
+            ukey = (block.astype(np.int64) * s_ch + ch) * s_l + layer
+            order = np.argsort(ukey, kind="stable").astype(np.int32)
+            block_s, ch_s, layer_s = block[order], ch[order], layer[order]
+
+            # Unit id per sorted entry; units are runs of equal key.
+            ubrk = np.empty(nnz, bool)
+            ubrk[0] = True
+            np.not_equal(ch_s[1:], ch_s[:-1], out=ubrk[1:])
+            ubrk[1:] |= (block_s[1:] != block_s[:-1]) | (layer_s[1:] != layer_s[:-1])
+            uid_s = np.cumsum(ubrk, dtype=np.int32) - 1  # per sorted entry
+            ublock = block_s[ubrk]
+            uch = ch_s[ubrk]
+            # per-block unit ordinal (units are block-sorted)
+            ubrk2 = np.empty(len(ublock), bool)
+            ubrk2[0] = True
+            np.not_equal(ublock[1:], ublock[:-1], out=ubrk2[1:])
+            uord = run_rank(ubrk2, ar_nnz)
+            u_max = int(uord.max()) + 1
+        else:
+            u_max = 1
+
+        K = SLOTS * (-(-u_max // SLOTS))
         vals = np.zeros((ntiles * K, tile), dtype)
-        pidx = np.zeros((ntiles * K, tile), np.int32)
-        cbase = np.zeros((ntiles, B * KT * cmax_eff), np.int32)
-        ccnt = np.zeros((ntiles, B * KT), np.int32)
-        for t in range(ntiles):
-            for b in range(B):
-                g_vals, g_lidx, g_hi, g_tab, g_cnt = per_tile[t][b]
-                for kt in range(len(g_vals)):
-                    rs = t * K + kt * SLOTS
-                    cs = b * LANES
-                    vals[rs : rs + SLOTS, cs : cs + LANES] = g_vals[kt]
-                    pidx[rs : rs + SLOTS, cs : cs + LANES] = (
-                        (g_hi[kt] << 8) | g_lidx[kt]
-                    )
-                    cbase[t, (b * KT + kt) * cmax_eff : (b * KT + kt + 1) * cmax_eff] = g_tab[kt][:cmax_eff]
-                    ccnt[t, b * KT + kt] = g_cnt[kt]
+        lidx = np.zeros((ntiles * K, tile), np.int32)
+        cbase = np.zeros((ntiles, B * K), np.int32)
+        if nnz:
+            uord_s = uord[uid_s]  # per sorted entry
+            t_s = block_s // B
+            b_s = block_s % B
+            rix = t_s * np.int32(K) + uord_s
+            cix = b_s * np.int32(LANES) + lane[order]
+            vals[rix, cix] = data[order]
+            lidx[rix, cix] = ln[order]
+            cbase[ublock // B, (ublock % B) * np.int32(K) + uord] = uch
 
         return PellMatrix(
             vals=jnp.asarray(vals),
-            pidx=jnp.asarray(pidx),
+            lidx=jnp.asarray(lidx),
             cbase=jnp.asarray(cbase),
-            ccnt=jnp.asarray(ccnt),
             span_row=jnp.asarray(span_rows, jnp.int32),
             n=n,
             tile=tile,
             k_slots=K,
-            cmax=cmax_eff,
             sw=sw,
-            nnz_count=int(csr.nnz),
+            nnz_count=nnz,
         )
 
     @staticmethod
@@ -293,10 +278,9 @@ class PellMatrix:
 def _pell_kernel(
     coef_ref,  # SMEM (2,)
     span_ref,  # SMEM (ntiles,) whole
-    cbase_ref,  # SMEM (ntiles, B*KT*CMAX) whole
-    ccnt_ref,  # SMEM (ntiles, B*KT) whole
+    cbase_ref,  # SMEM (ntiles, B*K) whole
     vals_ref,  # VMEM (K, T)
-    pidx_ref,  # VMEM (K, T) packed (hi<<8)|lane
+    lidx_ref,  # VMEM (K, T)
     xblk_ref,  # VMEM (B, 128) own rows of x
     vprev_ref,  # VMEM (B, 128)
     x_ref,  # ANY (Gtot, 128) full padded vector
@@ -306,7 +290,6 @@ def _pell_kernel(
     *,
     B: int,
     KT: int,
-    CMAX: int,
     SR: int,
     NT: int,
 ):
@@ -332,35 +315,32 @@ def _pell_kernel(
 
     span_dma(g, slot).wait()
 
+    K = KT * SLOTS
     d = coef_ref[0]
     sb = coef_ref[1]
     for b in range(B):
         acc = jnp.zeros((SLOTS, LANES), out_ref.dtype)
         for kt in range(KT):
             vals = vals_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
-            pidx = pidx_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
-            lidx = pidx & 0xFF
-            hi = pidx >> 8
-            gathered = jnp.zeros((SLOTS, LANES), out_ref.dtype)
-            for c in range(CMAX):
-                rel = cbase_ref[g, (b * KT + kt) * CMAX + c]
-                row = jnp.broadcast_to(xspan[slot * SR + rel, :], (SLOTS, LANES))
-                gc = jnp.take_along_axis(row, lidx, axis=1)
-                gathered = gathered + jnp.where(hi == c, gc, 0.0)
-            acc = acc + vals * gathered
+            lidx = lidx_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
+            base = b * K + kt * SLOTS
+            C = jnp.stack(
+                [xspan[slot * SR + cbase_ref[g, base + u], :] for u in range(SLOTS)],
+                axis=0,
+            )
+            acc = acc + vals * jnp.take_along_axis(C, lidx, axis=1)
         y = jnp.sum(acc, axis=0)
         out_ref[b, :] = y - d * xblk_ref[b, :] - sb * vprev_ref[b, :]
 
 
-@partial(jax.jit, static_argnames=("tile", "k_slots", "cmax", "sw", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "k_slots", "sw", "interpret"))
 def _pell_step(
-    vals, pidx, cbase, ccnt, span_row,
+    vals, lidx, cbase, span_row,
     x2,  # (Gtot, 128)
     vprev2,  # (Gtot, 128)
     coefs,  # (2,)
     tile: int,
     k_slots: int,
-    cmax: int,
     sw: int,
     interpret: bool = False,
 ):
@@ -371,7 +351,7 @@ def _pell_step(
     KT = k_slots // SLOTS
     SR = sw // LANES
     g_out = ntiles * B
-    kern = partial(_pell_kernel, B=B, KT=KT, CMAX=cmax, SR=SR, NT=ntiles)
+    kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles)
     return pl.pallas_call(
         kern,
         grid=(ntiles,),
@@ -379,7 +359,6 @@ def _pell_step(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # span_row, whole
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cbase, whole
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # ccnt, whole
             pl.BlockSpec((k_slots, tile), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_slots, tile), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -395,7 +374,7 @@ def _pell_step(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(coefs, span_row, cbase, ccnt, vals, pidx, x2, vprev2, x2)
+    )(coefs, span_row, cbase, vals, lidx, x2, vprev2, x2)
 
 
 def pell_apply(
@@ -417,8 +396,8 @@ def pell_apply(
     )
     coefs = jnp.asarray([d, sb], dt)
     y2 = _pell_step(
-        A.vals.astype(dt), A.pidx, A.cbase, A.ccnt, A.span_row, x2, vp, coefs,
-        A.tile, A.k_slots, A.cmax, A.sw, interpret,
+        A.vals.astype(dt), A.lidx, A.cbase, A.span_row, x2, vp, coefs,
+        A.tile, A.k_slots, A.sw, interpret,
     )
     return y2.reshape(-1)[:n]
 
@@ -448,8 +427,8 @@ def matrix_powers_pell(
     for k in range(s):
         coefs = jnp.asarray([diag[k], sub[k]], dt)
         y2 = _pell_step(
-            vals, A.pidx, A.cbase, A.ccnt, A.span_row, x2, vp, coefs,
-            A.tile, A.k_slots, A.cmax, A.sw, interpret,
+            vals, A.lidx, A.cbase, A.span_row, x2, vp, coefs,
+            A.tile, A.k_slots, A.sw, interpret,
         )
         y2 = jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
         cols.append(y2)

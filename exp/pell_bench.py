@@ -58,14 +58,14 @@ def main():
     g_x = n_x // LANES
     x2 = jnp.asarray(np.pad(x, (0, n_x - n)).reshape(-1, LANES))
     coefs = jnp.zeros(2, jnp.float32)
-    vals, pidx, cbase, ccnt, span = A.vals, A.pidx, A.cbase, A.ccnt, A.span_row
+    vals, lidx, cbase, span = A.vals, A.lidx, A.cbase, A.span_row
 
     @partial(jax.jit, static_argnames=("reps",))
     def chain(v, reps):
         def body(i, v):
             y2 = _pell_step(
-                vals, pidx, cbase, ccnt, span, v, jnp.zeros_like(v), coefs,
-                A.tile, A.k_slots, A.cmax, A.sw, False,
+                vals, lidx, cbase, span, v, jnp.zeros_like(v), coefs,
+                A.tile, A.k_slots, A.sw, False,
             )
             return jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
 
@@ -88,4 +88,5 @@ def main():
     print(f"PELL SpMV: {rate:.2f} Gnnz/s/chip  ({slot_rate:.1f} Gslot/s)", flush=True)
 
 
-main()
+if __name__ == "__main__":
+    main()
