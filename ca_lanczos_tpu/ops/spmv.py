@@ -248,12 +248,23 @@ def normest(A: Operator, tol: float = 1.0e-6, max_iters: int = 200) -> float:
     reorthogonalization triggers (lanczos.m:146-147, 250-251).
     """
     n = A.shape[0]
-    v = jnp.ones((n,), jnp.result_type(A.dtype, jnp.float32))
+    # Deterministic pseudo-random start: a structured start (e.g. ones)
+    # can be an exact null vector — graph/periodic Laplacians annihilate
+    # ones, and returning 0 here silently zeroes every tolerance built
+    # from it downstream.
+    rng = np.random.default_rng(0x5EED)
+    v = jnp.asarray(rng.standard_normal(n), jnp.result_type(A.dtype, jnp.float32))
     v = v / jnp.linalg.norm(v)
     est = 0.0
     for _ in range(max_iters):
         v, nrm = _normest_step(A, v)
         new = float(nrm)
+        if new == 0.0 or not np.isfinite(new):
+            # Landed in (or near) the null space: restart fresh.
+            v = jnp.asarray(rng.standard_normal(n), v.dtype)
+            v = v / jnp.linalg.norm(v)
+            est = 0.0
+            continue
         if abs(new - est) <= tol * max(new, 1e-300):
             return new
         est = new
