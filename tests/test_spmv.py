@@ -121,6 +121,23 @@ class TestNormest:
         A = diag_spectrum(100, 1.0, 77.0)
         assert abs(normest(A) - 77.0) / 77.0 < 1e-3
 
+    def test_normest_ones_null_vector(self):
+        """Periodic/graph Laplacians annihilate the all-ones vector; a
+        power iteration seeded with it must not report |A|~0 (the bug
+        that zeroed every tolerance on ring/graph corpus matrices)."""
+        n = 64
+        data = np.zeros((3, n))
+        data[0, :] = -1.0
+        data[1, :] = 2.0
+        data[2, :] = -1.0
+        ring = np.diag(np.full(n, 2.0)) - np.diag(np.ones(n - 1), 1) - np.diag(np.ones(n - 1), -1)
+        ring[0, n - 1] = ring[n - 1, 0] = -1.0  # periodic wrap: A @ 1 == 0
+        A = DenseMatrix(a=jnp.asarray(ring))
+        est = normest(A)
+        true = np.max(np.abs(np.linalg.eigvalsh(ring)))
+        assert est > 0.5 * true
+        assert abs(est - true) / true < 1e-2
+
 
 class TestMatrixPowers:
     def test_monomial(self):
