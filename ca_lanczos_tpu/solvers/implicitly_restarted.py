@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ca_lanczos_tpu.basis.leja import LejaVariant, leja
+from ca_lanczos_tpu.basis.newton import newton_basis_matrix
 from ca_lanczos_tpu.config import Basis, Orth
 from ca_lanczos_tpu.ops.matrix_powers import matrix_powers
 from ca_lanczos_tpu.ops.orth import project, project_and_normalize
@@ -195,7 +197,10 @@ def _ca_extend(
             blocks = [V[:, nvecs - s : nvecs + 1]]
             if orth == Orth.FULL and nvecs > s:
                 blocks = [V[:, : nvecs - s]] + blocks
-            res = project_and_normalize(blocks, Vp[:, 1 : s + 1], reorth=False)
+            # reorth=True: the restart compresses the basis onto the hardest
+            # directions, so a single CGS pass is not enough — the explicit
+            # driver reorthogonalizes everywhere for the same reason.
+            res = project_and_normalize(blocks, Vp[:, 1 : s + 1], reorth=True)
             V = V.at[:, nvecs + 1 : nvecs + s + 1].set(res.Q)
             Rkk_s = res.R_blocks[-1]
             Tk, b_new, _ = block_T(Rkk_s, res.R, Bk, b_prev, s)
@@ -222,6 +227,7 @@ def impl_restarted_ca_lanczos(
     max_restarts: int = 40,
     inner: str = "ca",
     lock: bool = True,
+    verify_locked: bool = True,
 ) -> IRLResult:
     """Implicitly-restarted CA-Lanczos (impl_restarted_ca_lanczos.m:4-228).
 
@@ -318,15 +324,28 @@ def impl_restarted_ca_lanczos(
         d, Y = np.linalg.eigh(Ha)  # ascending
         rnorms = beta_k * np.abs(Y[-1, :])
         conv = rnorms < tol
+        # Values outside the spectral interval are artifacts of basis
+        # breakdown whose residual ESTIMATE can be spuriously tiny (same
+        # guard as restarted._lock_converged).
+        conv &= np.abs(d) <= 1.05 * norm_A
         n_want_left = n_wanted - nlock
         order_desc = np.argsort(d)[::-1]
         lock_idx = []
         if lock:
             # Lock converged pairs among the wanted (largest) — greedily
-            # from the top so locked pairs are the extreme ones.
+            # from the top so locked pairs are the extreme ones.  Each
+            # candidate's TRUE residual is sanity-checked first (one SpMV;
+            # loose 1%-of-|A| threshold, like the restarted driver): past
+            # in-cycle breakdown T decouples and beta_k*|y(end)| lies.
             for i in order_desc[:n_want_left]:
-                if conv[i]:
-                    lock_idx.append(i)
+                if not conv[i]:
+                    continue
+                if verify_locked:
+                    x = Vk_new @ jnp.asarray(Y[:, i], dtype)
+                    true_abs = float(jnp.linalg.norm(spmv(A, x) - float(d[i]) * x))
+                    if true_abs > 0.01 * norm_A:
+                        continue
+                lock_idx.append(i)
             # Purge converged pairs among the unwanted: an exact shift at
             # a converged Ritz value is numerically singular, so drop the
             # direction from the basis entirely.
@@ -403,6 +422,26 @@ def impl_restarted_ca_lanczos(
             )
             if converged:
                 break
+
+        # Refresh the Newton shifts from the ACTIVE window's Ritz values.
+        # The bootstrap shifts sit at the extreme eigenvalues — exactly the
+        # pairs locking deflates — so (A - lambda I) nearly annihilates the
+        # deflated start vector's dominant components and the powers block
+        # is born badly conditioned.  Tracking the unlocked spectrum keeps
+        # the s-step basis conditioned; Bk only enters through the NEXT
+        # extension's matrix_powers + block_T pair, so a per-restart
+        # refresh is exact.  (The reference fixes Bk once at :60/:231-243,
+        # but never executed its CA inner — the commented calls at :87,:92
+        # — so it never faced locking + Newton together.)
+        if basis == Basis.NEWTON and inner == "ca":
+            d_act = d[keep] if keep else d
+            if len(d_act) >= s:
+                try:
+                    Bk = newton_basis_matrix(
+                        leja(np.asarray(d_act), LejaVariant.REAL), s, modified=True
+                    )
+                except Exception:
+                    pass  # degenerate active spectrum: keep the old shifts
 
     # Final Ritz extraction: locked pairs + best remaining active pairs.
     kc = nlock + ka

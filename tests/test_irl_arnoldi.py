@@ -109,6 +109,29 @@ class TestIRLLocking:
         assert res.n_locked >= 6
         np.testing.assert_allclose(res.eigs, exact[:6], rtol=1e-7)
 
+    def test_ca_newton_locked_no_spurious(self):
+        """CA inner + Newton basis + locking: the round-2 corpus campaign
+        caught this combination locking Ritz values OUTSIDE the spectrum
+        (true residual ~0.2) on clustered graph Laplacians — one-pass CGS
+        in the CA extension lost orthogonality after deflation, and the
+        bootstrap shifts sat on the locked eigenvalues.  Guard: converge,
+        lock everything wanted, and every returned pair must be a true
+        eigenpair (not just a T-estimate)."""
+        A, exact = self._clustered()
+        r = jnp.ones((A.shape[0],), jnp.float64)
+        res = impl_restarted_ca_lanczos(
+            A, r, max_lanczos=40, n_wanted=6, s=4, basis=Basis.NEWTON,
+            orth=Orth.FULL, tol=1e-9, inner="ca", lock=True, max_restarts=60,
+        )
+        assert res.converged
+        assert res.n_locked >= 6
+        np.testing.assert_allclose(res.eigs, exact[:6], rtol=1e-7)
+        Ad = np.asarray(A.to_dense())
+        Qc = np.asarray(res.Q_conv)
+        for i in range(6):
+            v = Qc[:, i]
+            assert np.linalg.norm(Ad @ v - res.eigs[i] * v) < 1e-6 * 100.0
+
     def test_locking_reduces_restarts(self):
         A, exact = self._clustered()
         r = jnp.ones((A.shape[0],), jnp.float64)
