@@ -20,11 +20,15 @@ PELL is built around exactly that primitive:
   different slot-tiles, so the slot count K is sum-of-per-chunk-max
   rather than max-degree (for a 3-D 27-point Laplacian: 40 vs 32 slots,
   +25% HBM traffic for ~2x less gather compute — measured faster).
-* per row-tile (T rows), one contiguous x-span (SW elements, 1024-
-  aligned) is DMA'd into VMEM (double-buffered across the grid) — so the
-  matrix may have ANY sparsity whose per-tile column spread fits SW
-  (post-RCM bandwidth up to ~SW-T; far beyond the banded DIA kernel's
-  practical reach).
+* per row-tile (T rows), W contiguous x-span WINDOWS (SW elements each,
+  1024-aligned) are DMA'd into VMEM (double-buffered across the grid).
+  Window starts are chosen per tile by a greedy interval cover of the
+  chunks the tile actually touches, so the matrix may have ANY sparsity
+  whose per-tile chunk set is coverable by W windows — scattered column
+  CLUSTERS (periodic wrap, arrow patterns, block couplings) cost one
+  extra window each, not a giant span.  ``cbase`` entries index straight
+  into the concatenated window scratch, so the gather inner loop is
+  identical for any W; only the DMA prologue scales.
 
 The fused three-term recurrence (Newton shifts, matrix_powers_newton.m:
 25-47) rides the same kernel: y = A x - d*x - sb*v_prev.
@@ -57,12 +61,17 @@ class PellMatrix:
         t*T + b*128 + r whose chunk is the one bound to unit u of block
         b; ``lidx`` is its lane (col % 128).  Zero padding (vals=0,
         lidx=0) is harmless by construction.
-    cbase : (ntiles, B*K) int32 — per-unit chunk bindings, SPAN-RELATIVE
-        row indices into the tile's x-span viewed as (SW/128, 128).
-        Rides in SMEM whole (unblocked) and is indexed by program id:
-        Mosaic SMEM blocks cannot have sub-8 leading dims.
-    span_row : (ntiles,) int32 — span start, in 128-element rows of the
-        padded x (multiple of 8, i.e. 1024-element alignment).
+    cbase : (ntiles_pad8, B*K) int32 — per-unit chunk bindings, SCRATCH-
+        RELATIVE row indices into the tile's concatenated window scratch
+        viewed as (W*SW/128, 128): binding w*SR + (chunk − win_start_w).
+        Rides in SMEM BLOCKED in groups of 8 grid steps (Mosaic SMEM
+        blocks cannot have sub-8 leading dims, and the whole table would
+        bust the 1MB SMEM at ~1M rows), so its row count is padded to a
+        multiple of 8.
+    span_row : (ntiles, W) int32 — window starts, in 128-element rows of
+        the padded x (multiples of 8, i.e. 1024-element alignment);
+        unused trailing windows repeat the last real start (their DMA is
+        harmless and nothing binds to them).
     """
 
     vals: jax.Array
@@ -74,10 +83,11 @@ class PellMatrix:
     k_slots: int = dataclasses.field(metadata=dict(static=True))
     sw: int = dataclasses.field(metadata=dict(static=True))
     nnz_count: int = dataclasses.field(metadata=dict(static=True))
+    n_win: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def ntiles(self) -> int:
-        return self.cbase.shape[0]
+        return self.span_row.shape[0]
 
     @property
     def n_pad(self) -> int:
@@ -113,8 +123,9 @@ class PellMatrix:
         B = T // LANES
         vals = np.asarray(self.vals).reshape(self.ntiles, K, T)
         lidx = np.asarray(self.lidx).reshape(self.ntiles, K, T)
-        cbase = np.asarray(self.cbase).reshape(self.ntiles, B, K)
-        span = np.asarray(self.span_row)
+        cbase = np.asarray(self.cbase)[: self.ntiles].reshape(self.ntiles, B, K)
+        span = np.asarray(self.span_row).reshape(self.ntiles, self.n_win)
+        sr = self.sw // LANES
         out = np.zeros((self.n, self.n), vals.dtype)
         for t in range(self.ntiles):
             for u in range(K):
@@ -124,7 +135,8 @@ class PellMatrix:
                         continue
                     b, r = divmod(c, LANES)
                     row = t * T + c
-                    chunk = cbase[t, b, u] + span[t]
+                    w, rel = divmod(cbase[t, b, u], sr)
+                    chunk = span[t, w] + rel
                     col = chunk * LANES + lidx[t, u, c]
                     if row < self.n and col < self.n:
                         out[row, col] += v
@@ -136,13 +148,18 @@ class PellMatrix:
         tile: int = 1024,
         cmax: Optional[int] = None,  # accepted for API compat; unused
         sw: Optional[int] = None,
+        max_windows: int = 16,
     ) -> "PellMatrix":
         """Encode a scipy.sparse matrix (vectorized, O(nnz log nnz)).
 
-        sw: x-span width in elements (multiple of 1024); default = smallest
-        width covering every tile's column spread.  Raises ValueError when
-        a tile's spread cannot be covered (reorder with utils.reorder.rcm
-        first, or raise sw — VMEM allows up to ~64K).
+        sw: x-span WINDOW width in elements (multiple of 1024); default =
+        smallest width covering every tile's column spread in ONE window
+        when that fits in ``SW_MAX`` (64K), else ``SW_MULTI`` (16K) with as
+        many windows per tile as the greedy chunk cover needs.  Scattered
+        column clusters (periodic wrap, arrow patterns) therefore encode
+        without RCM; only sparsity needing more than ``max_windows``
+        windows of sw (i.e. > max_windows*sw bytes of x per tile resident
+        in VMEM) is rejected.
         cmax is ignored: the unit encoding always carries 8 chunk bindings
         per slot-tile.
         """
@@ -160,31 +177,48 @@ class PellMatrix:
         indptr, indices, data = csr.indptr, csr.indices, csr.data
         dtype = np.float32 if data.dtype != np.float64 else data.dtype
 
-        # Pass 1: per-tile column spread -> span rows and required width.
-        span_rows = np.zeros(ntiles, np.int64)
+        # Pass 1: per-tile greedy window cover of the touched chunks.
+        SW_MAX, SW_MULTI = 65536, 16384
         need = 0
         for t in range(ntiles):
             lo_r, hi_r = t * tile, min((t + 1) * tile, n)
             seg = indices[indptr[lo_r] : indptr[hi_r]]
             cmin = int(seg.min()) if seg.size else lo_r
             cmax_col = int(seg.max()) if seg.size else lo_r
-            srow = (cmin // 1024) * 8
-            span_rows[t] = srow
-            need = max(need, cmax_col + 1 - srow * LANES)
+            need = max(need, cmax_col + 1 - ((cmin // 1024) * 1024))
         need = ((need + 1023) // 1024) * 1024
         if sw is None:
-            sw = need
+            sw = need if need <= SW_MAX else SW_MULTI
         sw = max(((sw + 1023) // 1024) * 1024, 1024)
         sw = min(sw, max(((n_pad + 1023) // 1024) * 1024, 1024))
-        if need > sw:
-            raise ValueError(
-                f"PELL span overflow: a row tile spreads over {need} columns"
-                f" > sw={sw}; RCM-reorder the matrix or raise sw"
-            )
-        # The kernel's x buffer is padded to g_x rows so any span fits.
-        sr = sw // LANES
+        sr = sw // LANES  # window width in 128-element rows (multiple of 8)
         g_x = max(g_tot, sr)
-        span_rows = np.minimum(span_rows, g_x - sr)
+        win_lists = []
+        for t in range(ntiles):
+            lo_r, hi_r = t * tile, min((t + 1) * tile, n)
+            seg = indices[indptr[lo_r] : indptr[hi_r]]
+            chunks = np.unique(seg // LANES).astype(np.int64) if seg.size else np.asarray(
+                [lo_r // LANES], np.int64
+            )
+            wins = []
+            i = 0
+            while i < len(chunks):
+                start = (int(chunks[i]) // 8) * 8  # 1024-element alignment
+                start = min(start, g_x - sr)  # keep the DMA inside the buffer
+                wins.append(start)
+                i = int(np.searchsorted(chunks, start + sr, side="left"))
+            if len(wins) > max_windows:
+                raise ValueError(
+                    f"PELL window overflow: row tile {t} needs {len(wins)}"
+                    f" windows of {sw} columns (> max_windows={max_windows});"
+                    " RCM-reorder the matrix, raise sw, or raise max_windows"
+                )
+            win_lists.append(np.asarray(wins, np.int64))
+        W = max(len(w) for w in win_lists)
+        span_rows = np.zeros((ntiles, W), np.int64)
+        for t, wins in enumerate(win_lists):
+            span_rows[t, : len(wins)] = wins
+            span_rows[t, len(wins) :] = wins[-1]  # harmless repeat DMA
 
         # Pass 2 (vectorized): unit assignment.  A UNIT is a (block,
         # chunk, layer) triple; layer j holds the (j+1)-th nonzero each
@@ -203,7 +237,18 @@ class PellMatrix:
             rowcounts = np.diff(indptr).astype(np.int32)
             r_glob = np.repeat(np.arange(n, dtype=np.int32), rowcounts)
             idx32 = indices.astype(np.int32)
-            ch = idx32 // LANES - span_rows.astype(np.int32)[r_glob // tile]
+            # Scratch-relative binding: w*SR + (chunk - win_start_w), with
+            # w the covering window (last start <= chunk; greedy cover
+            # guarantees it reaches).  Tile entries are contiguous in CSR.
+            chunk_g = idx32 // np.int32(LANES)
+            ch = np.empty(nnz, np.int32)
+            for t in range(ntiles):
+                e0 = indptr[t * tile]
+                e1 = indptr[min((t + 1) * tile, n)]
+                wins = win_lists[t]
+                cg = chunk_g[e0:e1]
+                w = np.searchsorted(wins, cg, side="right") - 1
+                ch[e0:e1] = (w * sr + (cg - wins[w])).astype(np.int32)
             ln = idx32 % LANES
             block = r_glob // LANES
             lane = r_glob % LANES
@@ -243,9 +288,10 @@ class PellMatrix:
             u_max = 1
 
         K = SLOTS * (-(-u_max // SLOTS))
+        ntiles_pad8 = 8 * (-(-ntiles // 8))
         vals = np.zeros((ntiles * K, tile), dtype)
         lidx = np.zeros((ntiles * K, tile), np.int32)
-        cbase = np.zeros((ntiles, B * K), np.int32)
+        cbase = np.zeros((ntiles_pad8, B * K), np.int32)
         if nnz:
             uord_s = uord[uid_s]  # per sorted entry
             t_s = block_s // B
@@ -266,6 +312,7 @@ class PellMatrix:
             k_slots=K,
             sw=sw,
             nnz_count=nnz,
+            n_win=W,
         )
 
     @staticmethod
@@ -277,8 +324,8 @@ class PellMatrix:
 
 def _pell_kernel(
     coef_ref,  # SMEM (2,)
-    span_ref,  # SMEM (ntiles,) whole
-    cbase_ref,  # SMEM (ntiles, B*K) whole
+    span_ref,  # SMEM (ntiles, W) whole
+    cbase_ref,  # SMEM (8, B*K) block — 8 grid steps per block
     vals_ref,  # VMEM (K, T)
     lidx_ref,  # VMEM (K, T)
     xblk_ref,  # VMEM (B, 128) own rows of x
@@ -292,28 +339,33 @@ def _pell_kernel(
     KT: int,
     SR: int,
     NT: int,
+    W: int,
 ):
     g = pl.program_id(0)
     slot = g % 2
 
-    def span_dma(i, sl):
+    def span_dma(i, w, sl):
         return pltpu.make_async_copy(
-            x_ref.at[pl.ds(span_ref[i], SR), :],
-            xspan.at[pl.ds(sl * SR, SR), :],
-            sems.at[sl],
+            x_ref.at[pl.ds(span_ref[i, w], SR), :],
+            xspan.at[pl.ds((sl * W + w) * SR, SR), :],
+            sems.at[sl * W + w],
         )
 
-    # Double-buffered span stream: tile g+1's x-span rides in while tile
-    # g computes (the matrix planes are pipelined by pallas_call itself).
+    # Double-buffered span stream: tile g+1's x-span windows ride in
+    # while tile g computes (the matrix planes are pipelined by
+    # pallas_call itself).
     @pl.when(g == 0)
     def _():
-        span_dma(0, 0).start()
+        for w in range(W):
+            span_dma(0, w, 0).start()
 
     @pl.when(g + 1 < NT)
     def _():
-        span_dma(g + 1, (g + 1) % 2).start()
+        for w in range(W):
+            span_dma(g + 1, w, (g + 1) % 2).start()
 
-    span_dma(g, slot).wait()
+    for w in range(W):
+        span_dma(g, w, slot).wait()
 
     K = KT * SLOTS
     d = coef_ref[0]
@@ -325,7 +377,10 @@ def _pell_kernel(
             lidx = lidx_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
             base = b * K + kt * SLOTS
             C = jnp.stack(
-                [xspan[slot * SR + cbase_ref[g, base + u], :] for u in range(SLOTS)],
+                [
+                    xspan[slot * W * SR + cbase_ref[g % 8, base + u], :]
+                    for u in range(SLOTS)
+                ],
                 axis=0,
             )
             acc = acc + vals * jnp.take_along_axis(C, lidx, axis=1)
@@ -333,7 +388,7 @@ def _pell_kernel(
         out_ref[b, :] = y - d * xblk_ref[b, :] - sb * vprev_ref[b, :]
 
 
-@partial(jax.jit, static_argnames=("tile", "k_slots", "sw", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "k_slots", "sw", "n_win", "interpret"))
 def _pell_step(
     vals, lidx, cbase, span_row,
     x2,  # (Gtot, 128)
@@ -342,23 +397,27 @@ def _pell_step(
     tile: int,
     k_slots: int,
     sw: int,
+    n_win: int = 1,
     interpret: bool = False,
 ):
     """One PELL recurrence step on 2-D-blocked vectors: returns
     y2 = A x - coefs[0] x - coefs[1] v_prev, shape (Gtot, 128)."""
-    ntiles = cbase.shape[0]
+    ntiles = span_row.shape[0]  # cbase rows are padded to a multiple of 8
     B = tile // LANES
     KT = k_slots // SLOTS
     SR = sw // LANES
+    W = n_win
     g_out = ntiles * B
-    kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles)
+    kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
     return pl.pallas_call(
         kern,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # span_row, whole
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cbase, whole
+            pl.BlockSpec(  # cbase: 8 grid steps per SMEM block
+                (8, cbase.shape[1]), lambda g: (g // 8, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((k_slots, tile), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_slots, tile), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -370,8 +429,8 @@ def _pell_step(
             (g_out, LANES), x2.dtype, vma=getattr(jax.typeof(x2), "vma", frozenset())
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * SR, LANES), x2.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2 * W * SR, LANES), x2.dtype),
+            pltpu.SemaphoreType.DMA((2 * W,)),
         ],
         interpret=interpret,
     )(coefs, span_row, cbase, vals, lidx, x2, vprev2, x2)
@@ -397,7 +456,7 @@ def pell_apply(
     coefs = jnp.asarray([d, sb], dt)
     y2 = _pell_step(
         A.vals.astype(dt), A.lidx, A.cbase, A.span_row, x2, vp, coefs,
-        A.tile, A.k_slots, A.sw, interpret,
+        A.tile, A.k_slots, A.sw, A.n_win, interpret,
     )
     return y2.reshape(-1)[:n]
 
@@ -428,7 +487,7 @@ def matrix_powers_pell(
         coefs = jnp.asarray([diag[k], sub[k]], dt)
         y2 = _pell_step(
             vals, A.lidx, A.cbase, A.span_row, x2, vp, coefs,
-            A.tile, A.k_slots, A.sw, interpret,
+            A.tile, A.k_slots, A.sw, A.n_win, interpret,
         )
         y2 = jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
         cols.append(y2)

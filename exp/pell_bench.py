@@ -65,7 +65,7 @@ def main():
         def body(i, v):
             y2 = _pell_step(
                 vals, lidx, cbase, span, v, jnp.zeros_like(v), coefs,
-                A.tile, A.k_slots, A.sw, False,
+                A.tile, A.k_slots, A.sw, A.n_win, False,
             )
             return jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
 

@@ -48,12 +48,25 @@ class TestEncoder:
         A = PellMatrix.from_scipy(a.tocsr(), tile=256, cmax=2)
         np.testing.assert_allclose(A.to_dense(), a.toarray(), atol=0)
 
-    def test_span_overflow_raises(self):
+    def test_wide_spread_uses_multiple_windows(self):
+        # Full-width spread in tile 0: a second span window, not an error.
         n = 4096
         a = sp.eye(n).tolil()
-        a[0, n - 1] = 1.0  # full-width spread in tile 0
-        with pytest.raises(ValueError, match="span overflow"):
-            PellMatrix.from_scipy(a.tocsr(), tile=1024, sw=1024)
+        a[0, n - 1] = 1.0
+        A = PellMatrix.from_scipy(a.tocsr(), tile=1024, sw=1024)
+        assert A.n_win == 2
+        np.testing.assert_allclose(A.to_dense(), a.toarray(), atol=0)
+
+    def test_window_overflow_raises(self):
+        # One row touching chunks all over the matrix: needs more windows
+        # than max_windows allows.
+        n = 8192
+        cols = np.arange(0, n, 1024)
+        a = sp.csr_matrix(
+            (np.ones(len(cols)), (np.zeros(len(cols)), cols)), shape=(n, n)
+        ) + sp.eye(n)
+        with pytest.raises(ValueError, match="window overflow"):
+            PellMatrix.from_scipy(a.tocsr(), tile=1024, sw=1024, max_windows=2)
 
 
 class TestKernelInterpret:
@@ -95,6 +108,59 @@ class TestKernelInterpret:
         a = (a + a.T) * 0.05  # keep powers bounded
         A = PellMatrix.from_scipy(sp.csr_matrix(a), tile=512)
         x = np.random.default_rng(8).standard_normal(n)
+        s = 4
+        V = np.asarray(matrix_powers_pell(A, jnp.asarray(x), s, interpret=True))
+        ad = a.toarray()
+        expect = np.stack(
+            [np.linalg.matrix_power(ad, k) @ x for k in range(s + 1)], axis=1
+        )
+        np.testing.assert_allclose(V, expect, rtol=1e-10, atol=1e-10)
+
+    def test_matvec_periodic_wrap_multiwindow(self):
+        """Ring-periodic FD operator: wrap entries (|col-row| = n-2) force
+        a second x-span window per edge tile — the motivating multi-window
+        case (the reference's runLanczos Hamiltonian is periodic,
+        runLanczos.m:15-18)."""
+        n = 8192
+        main = 2.0 * np.ones(n)
+        off = -1.0 * np.ones(n - 1)
+        a = sp.diags([off, main, off], [-1, 0, 1]).tolil()
+        a[0, n - 1] = -1.0
+        a[n - 1, 0] = -1.0
+        a = sp.csr_matrix(a)
+        A = PellMatrix.from_scipy(a, tile=1024, sw=2048)
+        assert A.n_win >= 2
+        x = np.random.default_rng(12).standard_normal(n)
+        y = np.asarray(pell_apply(A, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+    def test_matvec_scattered_clusters_multiwindow(self):
+        """Arrow-plus-band sparsity: every tile couples to the first block
+        column AND its own diagonal neighborhood."""
+        n = 6144
+        rng = np.random.default_rng(13)
+        a = random_banded(n, 100, 4, 13).tolil()
+        for i in range(0, n, 17):  # arrow: scattered couplings to cols 0..63
+            a[i, int(rng.integers(0, 64))] = rng.standard_normal()
+        a = sp.csr_matrix(a)
+        A = PellMatrix.from_scipy(a, tile=1024, sw=1024)
+        assert A.n_win >= 2
+        x = rng.standard_normal(n)
+        y = np.asarray(pell_apply(A, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+    def test_matrix_powers_multiwindow(self):
+        n = 4096
+        a = sp.diags(
+            [np.full(n - 1, -0.05), np.full(n, 0.1), np.full(n - 1, -0.05)],
+            [-1, 0, 1],
+        ).tolil()
+        a[0, n - 1] = -0.05
+        a[n - 1, 0] = -0.05
+        a = sp.csr_matrix(a)
+        A = PellMatrix.from_scipy(a, tile=1024, sw=1024)
+        assert A.n_win >= 2
+        x = np.random.default_rng(14).standard_normal(n)
         s = 4
         V = np.asarray(matrix_powers_pell(A, jnp.asarray(x), s, interpret=True))
         ad = a.toarray()
