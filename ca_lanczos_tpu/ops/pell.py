@@ -59,8 +59,10 @@ class PellMatrix:
     vals / lidx : (ntiles*K, T) — slot-major, rows-on-lanes layout.
         ``vals[t*K + u, b*128 + r]`` is a nonzero of global row
         t*T + b*128 + r whose chunk is the one bound to unit u of block
-        b; ``lidx`` is its lane (col % 128).  Zero padding (vals=0,
-        lidx=0) is harmless by construction.
+        b; ``lidx`` is its lane (col % 128), stored int8 (< 128 by
+        construction; 5 B/slot of HBM traffic instead of 8 — measured
+        +6% and the convert to i32 happens on the slot-tile in VMEM).
+        Zero padding (vals=0, lidx=0) is harmless by construction.
     cbase : (ntiles_pad8, B*K) int32 — per-unit chunk bindings, SCRATCH-
         RELATIVE row indices into the tile's concatenated window scratch
         viewed as (W*SW/128, 128): binding w*SR + (chunk − win_start_w).
@@ -290,7 +292,7 @@ class PellMatrix:
         K = SLOTS * (-(-u_max // SLOTS))
         ntiles_pad8 = 8 * (-(-ntiles // 8))
         vals = np.zeros((ntiles * K, tile), dtype)
-        lidx = np.zeros((ntiles * K, tile), np.int32)
+        lidx = np.zeros((ntiles * K, tile), np.int8)
         cbase = np.zeros((ntiles_pad8, B * K), np.int32)
         if nnz:
             uord_s = uord[uid_s]  # per sorted entry
@@ -374,7 +376,9 @@ def _pell_kernel(
         acc = jnp.zeros((SLOTS, LANES), out_ref.dtype)
         for kt in range(KT):
             vals = vals_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
-            lidx = lidx_ref[kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES]
+            lidx = lidx_ref[
+                kt * SLOTS : (kt + 1) * SLOTS, b * LANES : (b + 1) * LANES
+            ].astype(jnp.int32)
             base = b * K + kt * SLOTS
             C = jnp.stack(
                 [
