@@ -1,5 +1,5 @@
 from ca_lanczos_tpu.harness.records import RunRecord, write_records, read_records
-from ca_lanczos_tpu.harness.matrix_info import matrix_info
+from ca_lanczos_tpu.harness.matrix_info import matrix_info, recommend_solver
 from ca_lanczos_tpu.harness.experiments import (
     run_propagation_experiment,
     run_restart_sweep,
@@ -11,6 +11,7 @@ __all__ = [
     "write_records",
     "read_records",
     "matrix_info",
+    "recommend_solver",
     "run_propagation_experiment",
     "run_restart_sweep",
     "run_convergence_experiment",

@@ -11,6 +11,51 @@ import numpy as np
 from ca_lanczos_tpu.ops.spmv import Operator, normest
 
 
+def recommend_solver(
+    A: Operator,
+    n_wanted: int = 10,
+    probe_steps: int = 40,
+    cluster_rel_gap: float = 1.0e-3,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Driver-selection guidance from a cheap spectral probe.
+
+    The round-2 corpus campaign (results/corpus_sweep.jsonl +
+    corpus_hard_irl.jsonl) found a clean split: explicit thick restart
+    (``restarted_ca_lanczos``) converges every corpus family at the
+    reference budget EXCEPT clustered-top spectra, where single-vector
+    restart cannot re-discover near-degenerate partners — while the
+    implicitly-restarted driver with locking (``impl_restarted_ca_
+    lanczos``) converges those at the same budget.  This helper runs a
+    short full-orth Lanczos probe, measures the relative gaps among the
+    top ``n_wanted`` Ritz values, and recommends the driver.
+
+    Returns {"driver", "clustered", "min_rel_gap", "top_ritz"}.
+    """
+    import jax.numpy as jnp
+
+    from ca_lanczos_tpu.config import Orth
+    from ca_lanczos_tpu.solvers.lanczos import lanczos
+
+    n = A.shape[0]
+    rng = np.random.default_rng(seed)
+    r = jnp.asarray(rng.random(n), getattr(A, "dtype", jnp.float64))
+    steps = min(probe_steps, n - 1)
+    boot = lanczos(A, r, steps, Orth.FULL)
+    d = np.linalg.eigvalsh(np.asarray(boot.T)[:steps, :steps])
+    scale = max(float(np.abs(d).max()), np.finfo(np.float64).tiny)
+    top = np.sort(d)[::-1][: min(n_wanted, len(d))]
+    gaps = np.abs(np.diff(top)) / scale
+    min_gap = float(gaps.min()) if gaps.size else 1.0
+    clustered = min_gap < cluster_rel_gap
+    return {
+        "driver": "impl_restarted_ca_lanczos" if clustered else "restarted_ca_lanczos",
+        "clustered": clustered,
+        "min_rel_gap": min_gap,
+        "top_ritz": top,
+    }
+
+
 def matrix_info(A: Operator, name: str = "", dense_cutoff: int = 2000) -> Dict[str, Any]:
     """Size, nnz, 2-norm estimate and extreme eigenvalues.
 

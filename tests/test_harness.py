@@ -97,6 +97,24 @@ class TestMatrixInfo:
         np.testing.assert_allclose(info["cond"], 10.0)
         np.testing.assert_allclose(info["normest"], 10.0, rtol=1e-3)
 
+    def test_recommend_solver_gapped_vs_clustered(self):
+        from ca_lanczos_tpu.harness import recommend_solver
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+        # Well-separated top: explicit restart is the recommendation.
+        gapped = diag_spectrum(400, 1.0, 100.0)
+        rec = recommend_solver(gapped, n_wanted=5)
+        assert rec["driver"] == "restarted_ca_lanczos"
+        assert not rec["clustered"]
+
+        # Near-degenerate top cluster: IRL with locking.
+        vals = np.concatenate([np.linspace(1.0, 50.0, 392),
+                               100.0 + 1e-6 * np.arange(8)])
+        clustered = DiaMatrix(data=jnp.asarray(vals)[None, :], offsets=(0,))
+        rec = recommend_solver(clustered, n_wanted=5)
+        assert rec["driver"] == "impl_restarted_ca_lanczos"
+        assert rec["clustered"]
+
 
 class TestExperiments:
     def test_propagation_small(self):
