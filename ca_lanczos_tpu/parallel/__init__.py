@@ -15,6 +15,7 @@ from ca_lanczos_tpu.parallel.dist_orth import (
 from ca_lanczos_tpu.parallel.step import dist_first_block, dist_ca_block, newton_coeffs
 from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos, dist_lanczos, DistCaLanczosResult
 from ca_lanczos_tpu.parallel.dist_ell import DistEll, dist_ell_matrix_powers
+from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
 from ca_lanczos_tpu.parallel.dist_irl import dist_impl_restarted_ca_lanczos
 from ca_lanczos_tpu.parallel.dist_sstep import dist_sstep_lanczos
 from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
@@ -42,6 +43,8 @@ __all__ = [
     "DistCaLanczosResult",
     "DistEll",
     "dist_ell_matrix_powers",
+    "DistPell",
+    "dist_pell_matrix_powers",
     "dist_impl_restarted_ca_lanczos",
     "dist_sstep_lanczos",
     "dist_restarted_ca_lanczos",

@@ -1,0 +1,231 @@
+"""Row-sharded PELL operator: distributed general sparsity at Pallas
+kernel speed.
+
+``DistEll`` (dist_ell.py) distributes general bounded-bandwidth sparsity
+but its local matvec is the XLA gather lowering (~0.1 Gnnz/s on TPU).
+DistPell keeps DistEll's partitioning semantics — contiguous row blocks,
+an s-hop matrix halo, one ppermute halo pair per s steps (SURVEY.md §7
+"hard parts") — and encodes each shard's padded-window operator as a
+PellMatrix, so the local recurrence steps run the one-gather unit-encoded
+Pallas kernel (ops/pell.py) instead.  The reference seam is the same
+``SpMV.m:1-5`` format-generality point.
+
+All shards share the kernel statics (tile, K, W, sw): shards are encoded
+independently, then padded to the maxima (zero value + binding-0 slots
+are no-ops by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.tree_util import register_dataclass
+
+from ca_lanczos_tpu.ops.pell import LANES, PellMatrix, _pell_step
+from ca_lanczos_tpu.ops.spmv import EllMatrix
+from ca_lanczos_tpu.parallel.dist_ell import DistEll
+from ca_lanczos_tpu.parallel.distributed import _halo_exchange
+from ca_lanczos_tpu.parallel.mesh import ROWS
+
+
+@register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DistPell:
+    """Row-sharded PELL operator with an s-deep matrix halo.
+
+    vals/lidx/cbase/span_row: per-shard PellMatrix planes stacked on a
+    leading shard axis (see ops.pell.PellMatrix for the plane layouts);
+    every shard encodes the (m x m) padded-window operator,
+    m = n_local + 2*halo.
+    """
+
+    vals: jax.Array  # (P, ntiles*K, T)
+    lidx: jax.Array  # (P, ntiles*K, T) int8
+    cbase: jax.Array  # (P, ntiles_pad8, B*K) int32
+    span_row: jax.Array  # (P, ntiles, W) int32
+    halo: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))  # window rows
+    tile: int = dataclasses.field(metadata=dict(static=True))
+    k_slots: int = dataclasses.field(metadata=dict(static=True))
+    sw: int = dataclasses.field(metadata=dict(static=True))
+    n_win: int = dataclasses.field(metadata=dict(static=True))
+    periodic: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    interpret: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    @property
+    def n_shards(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def n_local(self) -> int:
+        return self.m - 2 * self.halo
+
+    @property
+    def n_x(self) -> int:
+        """Kernel x-buffer length for the (m x m) window operator."""
+        ntiles = self.span_row.shape[1]
+        return max(ntiles * self.tile, self.sw)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @staticmethod
+    def from_ell(
+        A: EllMatrix,
+        mesh: Mesh,
+        s_max: int,
+        periodic: bool = False,
+        tile: int = 1024,
+        max_windows: int = 16,
+    ) -> "DistPell":
+        """Partition an ELL operator and PELL-encode each shard's padded
+        window.  Reuses DistEll.from_ell for the bandwidth/halo/rebase
+        semantics (including periodic ring windows), then converts each
+        shard's rebased ELL rows to a PellMatrix."""
+        import scipy.sparse as sp
+
+        de = DistEll.from_ell(A, mesh, s_max, periodic)
+        vals = np.asarray(de.vals)
+        cols = np.asarray(de.cols)
+        P_, m, kk = vals.shape
+
+        shards = []
+        rows = np.repeat(np.arange(m), kk).reshape(m, kk)
+        for p in range(P_):
+            v, c = vals[p], cols[p]
+            mask = v != 0
+            shards.append(
+                sp.csr_matrix((v[mask], (rows[mask], c[mask])), shape=(m, m))
+            )
+        enc = [
+            PellMatrix.from_scipy(csr, tile=tile, max_windows=max_windows)
+            for csr in shards
+        ]
+        sw = max(e.sw for e in enc)
+        enc = [
+            e
+            if e.sw == sw
+            else PellMatrix.from_scipy(csr, tile=tile, sw=sw, max_windows=max_windows)
+            for e, csr in zip(enc, shards)
+        ]
+        K = max(e.k_slots for e in enc)
+        W = max(e.n_win for e in enc)
+        ntiles = enc[0].ntiles
+        B = tile // LANES
+        ntiles_pad8 = 8 * (-(-ntiles // 8))
+        dtype = np.asarray(enc[0].vals).dtype
+
+        sv = np.zeros((P_, ntiles * K, tile), dtype)
+        sl = np.zeros((P_, ntiles * K, tile), np.int8)
+        scb = np.zeros((P_, ntiles_pad8, B * K), np.int32)
+        ssp = np.zeros((P_, ntiles, W), np.int64)
+        for p, e in enumerate(enc):
+            Kp, Wp = e.k_slots, e.n_win
+            sv[p].reshape(ntiles, K, tile)[:, :Kp] = np.asarray(e.vals).reshape(
+                ntiles, Kp, tile
+            )
+            sl[p].reshape(ntiles, K, tile)[:, :Kp] = np.asarray(e.lidx).reshape(
+                ntiles, Kp, tile
+            )
+            scb[p].reshape(ntiles_pad8, B, K)[:, :, :Kp] = np.asarray(e.cbase).reshape(
+                ntiles_pad8, B, Kp
+            )
+            esp = np.asarray(e.span_row)
+            ssp[p, :, :Wp] = esp
+            ssp[p, :, Wp:] = esp[:, -1:]
+
+        sharding = NamedSharding(mesh, PartitionSpec(ROWS))
+        return DistPell(
+            vals=jax.device_put(jnp.asarray(sv), sharding),
+            lidx=jax.device_put(jnp.asarray(sl), sharding),
+            cbase=jax.device_put(jnp.asarray(scb), sharding),
+            span_row=jax.device_put(jnp.asarray(ssp, jnp.int32), sharding),
+            halo=de.halo,
+            n=de.n,
+            m=m,
+            tile=tile,
+            k_slots=K,
+            sw=sw,
+            n_win=W,
+            periodic=periodic,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    def shard_vector(self, x, mesh: Mesh) -> jax.Array:
+        x = np.asarray(x)
+        n_pad = self.n_shards * self.n_local
+        xp = np.zeros((n_pad,) + x.shape[1:], x.dtype)
+        xp[: self.n] = x
+        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
+
+
+def _pell_powers_local(
+    vals, lidx, cbase, span_row, x_local, diag, sub,
+    *, halo: int, n_shards: int, s: int, periodic: bool,
+    tile: int, k_slots: int, sw: int, n_win: int, n_x: int,
+    interpret: bool = False,
+):
+    """One halo exchange + s local PELL recurrence steps -> (n_local, s+1)."""
+    xp = _halo_exchange(x_local, halo, n_shards, periodic)
+    m = xp.shape[0]
+    g_x = n_x // LANES
+    x2 = jnp.pad(xp, (0, n_x - m)).reshape(-1, LANES)
+    vp = jnp.zeros_like(x2)
+    centers = []
+    n_local = x_local.shape[0]
+    for k in range(s):
+        coefs = jnp.stack([diag[k], sub[k]]).astype(x2.dtype)
+        y2 = _pell_step(
+            vals, lidx, cbase, span_row, x2, vp, coefs,
+            tile, k_slots, sw, n_win, interpret,
+        )
+        y2 = jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
+        centers.append(y2.reshape(-1)[halo : halo + n_local])
+        vp, x2 = x2, y2
+    return jnp.concatenate(
+        [x_local[:, None], jnp.stack(centers, axis=1)], axis=1
+    )
+
+
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def dist_pell_matrix_powers(
+    A: DistPell, x: jax.Array, s: int, diag: jax.Array, sub: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """Distributed matrix powers for general sparsity via the PELL kernel."""
+
+    kw = dict(
+        halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
+        tile=A.tile, k_slots=A.k_slots, sw=A.sw, n_win=A.n_win,
+        n_x=A.n_x, interpret=A.interpret,
+    )
+
+    def body(v_b, l_b, cb_b, sp_b, x_local, dg, sb):
+        return _pell_powers_local(
+            v_b[0], l_b[0], cb_b[0], sp_b[0], x_local, dg, sb, **kw
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
+            PartitionSpec(ROWS), PartitionSpec(ROWS),
+            PartitionSpec(), PartitionSpec(),
+        ),
+        out_specs=PartitionSpec(ROWS),
+        # Pallas interpret mode does not propagate varying manual axes;
+        # the vma check only has to come off for CPU-interpret runs.
+        check_vma=not A.interpret,
+    )(A.vals, A.lidx, A.cbase, A.span_row, x, diag, sub)

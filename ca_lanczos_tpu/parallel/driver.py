@@ -58,6 +58,7 @@ def dist_ca_lanczos(
     Bk: Optional[np.ndarray] = None,
     qr_method: str = "tsqr",
     orth=None,
+    dist_format: str = "auto",
 ) -> DistCaLanczosResult:
     """Row-sharded CA-Lanczos over ``mesh`` with all four orth modes
     (reference ca_lanczos.m:27-39 offers them everywhere).
@@ -95,7 +96,14 @@ def dist_ca_lanczos(
     diag_np, sub_np = newton_coeffs(Bk)
 
     if isinstance(A, EllMatrix):
-        Adist = DistEll.from_ell(A, mesh, s_max=s)
+        if dist_format == "pell":
+            # General sparsity on the Pallas kernel (ops/pell.py) instead
+            # of the XLA gather lowering.
+            from ca_lanczos_tpu.parallel.dist_pell import DistPell
+
+            Adist = DistPell.from_ell(A, mesh, s_max=s)
+        else:
+            Adist = DistEll.from_ell(A, mesh, s_max=s)
     else:
         Adist = DistDia.from_dia(A, mesh, s_max=s)
     r = np.asarray(r)

@@ -32,13 +32,21 @@ from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local, dist_spm
 
 
 def _dist_spmv_any(Adist, x, mesh):
-    """One distributed SpMV for DistDia or DistEll shards."""
+    """One distributed SpMV for DistDia / DistEll / DistPell shards."""
     if isinstance(Adist, DistDia):
         return dist_spmv(Adist, x, mesh)
     z = jnp.zeros(1, x.dtype)
+    from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
+
+    if isinstance(Adist, DistPell):
+        return dist_pell_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
     return dist_ell_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
 from ca_lanczos_tpu.parallel.mesh import ROWS
-from ca_lanczos_tpu.parallel.step import _local_powers_fn, newton_coeffs
+from ca_lanczos_tpu.parallel.step import (
+    _local_powers_fn,
+    _powers_check_vma,
+    newton_coeffs,
+)
 from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
 from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
 from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_converged
@@ -81,6 +89,7 @@ def _dist_first_block_locked(
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
         + (PartitionSpec(), PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        check_vma=_powers_check_vma(A),
     )(*operands, q, Qconv, diag, sub, key)
 
 
@@ -117,6 +126,7 @@ def _dist_ca_block_locked(
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
         + (PartitionSpec(), PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        check_vma=_powers_check_vma(A),
     )(*operands, Q_prev, Qconv, diag, sub, key)
 
 
@@ -179,6 +189,7 @@ def dist_restarted_ca_lanczos(
     checkpoint_path=None,
     resume_from=None,
     safe_qr: bool = False,
+    dist_format: str = "auto",
 ) -> RestartedResult:
     """Row-sharded restarted CA-Lanczos (flagship, multi-chip).
 
@@ -221,7 +232,12 @@ def dist_restarted_ca_lanczos(
     from ca_lanczos_tpu.ops.spmv import EllMatrix
 
     if isinstance(A, EllMatrix):
-        Adist = DistEll.from_ell(A, mesh, s_max=s)
+        if dist_format == "pell":
+            from ca_lanczos_tpu.parallel.dist_pell import DistPell
+
+            Adist = DistPell.from_ell(A, mesh, s_max=s)
+        else:
+            Adist = DistEll.from_ell(A, mesh, s_max=s)
     else:
         Adist = DistDia.from_dia(A, mesh, s_max=s)
     n, n_pad = A.n, Adist.n_shards * Adist.n_local

@@ -22,14 +22,29 @@ from jax.sharding import Mesh, PartitionSpec
 
 from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr
 from ca_lanczos_tpu.parallel.dist_ell import DistEll, _ell_powers_local
+from ca_lanczos_tpu.parallel.dist_pell import DistPell, _pell_powers_local
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
 from ca_lanczos_tpu.parallel.mesh import ROWS
 
 
 def _local_powers_fn(A, s: int):
     """Uniform (operand_blocks..., x_local, diag, sub) -> (n_local, s+1)
-    powers closure for DistDia or DistEll shards, plus the operand arrays
-    to thread through shard_map."""
+    powers closure for DistDia / DistEll / DistPell shards, plus the
+    operand arrays to thread through shard_map."""
+    if isinstance(A, DistPell):
+        pell_kw = dict(
+            halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
+            tile=A.tile, k_slots=A.k_slots, sw=A.sw, n_win=A.n_win,
+            n_x=A.n_x, interpret=A.interpret,
+        )
+
+        def body_pell(v_b, l_b, cb_b, sp_b, x_local, dg, sb):
+            return _pell_powers_local(
+                v_b[0], l_b[0], cb_b[0], sp_b[0], x_local, dg, sb, **pell_kw
+            )
+
+        return body_pell, (A.vals, A.lidx, A.cbase, A.span_row)
+
     if isinstance(A, DistEll):
         def body_ell(v_block, c_block, x_local, dg, sb):
             return _ell_powers_local(
@@ -57,6 +72,14 @@ def _local_powers_fn(A, s: int):
         return _powers_local(data_block[0], x_local, dg, sb, **fused_kw)
 
     return body_dia, (A.data,)
+
+
+def _powers_check_vma(A) -> bool:
+    """shard_map vma-check setting for a powers-carrying body: Pallas
+    interpret mode (CPU tests) cannot propagate varying manual axes
+    through pallas_call, so the check comes off for DistPell-interpret
+    only; real-TPU and non-Pallas paths keep it."""
+    return not (isinstance(A, DistPell) and A.interpret)
 
 
 def newton_coeffs(Bk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -93,6 +116,7 @@ def dist_first_block(
         mesh=mesh,
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec()),
+        check_vma=_powers_check_vma(A),
     )(*operands, q, diag, sub)
 
 
@@ -126,4 +150,5 @@ def dist_ca_block(
         mesh=mesh,
         in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
         out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        check_vma=_powers_check_vma(A),
     )(*operands, Q_prev, diag, sub)

@@ -656,3 +656,95 @@ class TestRowsNativePowers:
         V = np.asarray(dist_matrix_powers(Ad, xs, s, z, z, mesh))[:n]
         W = np.asarray(dist_matrix_powers_rows(Ad, xs, s, z, z, mesh))[:, :n]
         np.testing.assert_allclose(W.T, V[:, 1:], atol=1e-13)
+
+
+class TestDistPell:
+    """VERDICT item 1 follow-through: distributed general sparsity at
+    Pallas-kernel speed (DistPell wraps ops/pell.py inside the DistEll
+    halo semantics; reference seam SpMV.m:1-5)."""
+
+    @staticmethod
+    def _random_banded_ell(n, bw, nnz_per_row, seed):
+        import scipy.sparse as sp
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+
+        rng = np.random.default_rng(seed)
+        rows, cols, vals = [], [], []
+        for i in range(n):
+            lo, hi = max(0, i - bw), min(n, i + bw + 1)
+            k = min(nnz_per_row, hi - lo)
+            cs = rng.choice(np.arange(lo, hi), size=k, replace=False)
+            rows += [i] * k
+            cols += list(cs)
+            vals += list(rng.standard_normal(k))
+        a = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+        a = a + a.T  # symmetric, general sparsity inside the band
+        return EllMatrix.from_scipy(a.tocsr())
+
+    @pytest.mark.parametrize("s", [1, 2, 4])
+    def test_matches_single_chip(self, mesh, s):
+        from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
+
+        n = 512
+        Aell = self._random_banded_ell(n, bw=8, nnz_per_row=5, seed=3)
+        Adist = DistPell.from_ell(Aell, mesh, s_max=s)
+        x = np.random.default_rng(7).standard_normal(n)
+        xs = Adist.shard_vector(x, mesh)
+        z = jnp.zeros(s)
+        V = np.asarray(dist_pell_matrix_powers(Adist, xs, s, z, z, mesh))[:n]
+        V_ref = np.asarray(matrix_powers(Aell, jnp.asarray(x), s, None, Basis.MONOMIAL))
+        np.testing.assert_allclose(V, V_ref, rtol=1e-11, atol=1e-9)
+
+    def test_newton_coeffs(self, mesh):
+        from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_from_B
+        from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
+
+        n, s = 512, 4
+        Aell = self._random_banded_ell(n, bw=8, nnz_per_row=5, seed=4)
+        q = jnp.asarray(np.random.default_rng(8).standard_normal(n))
+        Bk = build_basis_matrix(Aell, q / jnp.linalg.norm(q), s, Basis.NEWTON)
+        diag, sub = newton_coeffs(Bk)
+        Adist = DistPell.from_ell(Aell, mesh, s_max=s)
+        xs = Adist.shard_vector(np.asarray(q), mesh)
+        V = np.asarray(
+            dist_pell_matrix_powers(Adist, xs, s, jnp.asarray(diag), jnp.asarray(sub), mesh)
+        )[:n]
+        V_ref = np.asarray(matrix_powers_from_B(Aell, q, Bk))
+        np.testing.assert_allclose(V, V_ref, rtol=1e-11, atol=1e-9)
+
+    def test_driver_parity(self, mesh):
+        """dist_ca_lanczos(dist_format='pell') matches the single-chip
+        driver's Ritz values on a general ELL operator."""
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+
+        nx, ny = 8, 64
+        Ad = laplacian_2d(nx, ny)
+        A = EllMatrix.from_dense(np.asarray(Ad.to_dense()))
+        n = nx * ny
+        r = jnp.ones((n,), jnp.float64)
+        s, steps = 4, 24
+        res_d = dist_ca_lanczos(A, r, s, steps, mesh, basis=Basis.MONOMIAL,
+                                dist_format="pell")
+        res_1 = ca_lanczos(A, r, s, steps, basis=Basis.MONOMIAL, orth=Orth.LOCAL)
+        d_dist = np.sort(np.linalg.eigvalsh(res_d.T))
+        d_one = np.sort(np.linalg.eigvalsh(res_1.T))
+        np.testing.assert_allclose(d_dist, d_one, rtol=1e-8, atol=1e-8)
+
+    def test_restarted_flagship_pell(self, mesh):
+        """The distributed restarted flagship converges on the PELL path."""
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+        from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+        nx, ny = 8, 64
+        Ad = laplacian_2d(nx, ny)
+        A = EllMatrix.from_dense(np.asarray(Ad.to_dense()))
+        n = nx * ny
+        cfg = LanczosConfig(s=4, basis=Basis.NEWTON, orth=Orth.LOCAL,
+                            n_wanted=4, tol=1e-8)
+        res = dist_restarted_ca_lanczos(A, np.ones(n), 32, mesh, cfg,
+                                        dist_format="pell")
+        assert res.converged
+        dense = np.asarray(Ad.to_dense())
+        exact = np.sort(np.linalg.eigvalsh(dense))[::-1][:4]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
