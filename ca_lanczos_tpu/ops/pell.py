@@ -151,6 +151,7 @@ class PellMatrix:
         cmax: Optional[int] = None,  # accepted for API compat; unused
         sw: Optional[int] = None,
         max_windows: int = 16,
+        device: bool = True,  # False: keep planes as numpy (host-only use)
     ) -> "PellMatrix":
         """Encode a scipy.sparse matrix (vectorized, O(nnz log nnz)).
 
@@ -304,11 +305,12 @@ class PellMatrix:
             lidx[rix, cix] = ln[order]
             cbase[ublock // B, (ublock % B) * np.int32(K) + uord] = uch
 
-        return PellMatrix(
-            vals=jnp.asarray(vals),
-            lidx=jnp.asarray(lidx),
-            cbase=jnp.asarray(cbase),
-            span_row=jnp.asarray(span_rows, jnp.int32),
+        put = jnp.asarray if device else np.asarray
+        M = PellMatrix(
+            vals=put(vals),
+            lidx=put(lidx),
+            cbase=put(cbase),
+            span_row=put(span_rows.astype(np.int32)),
             n=n,
             tile=tile,
             k_slots=K,
@@ -316,6 +318,14 @@ class PellMatrix:
             nnz_count=nnz,
             n_win=W,
         )
+        # Host copies for consumers that repack the planes (DistPell):
+        # fetching device arrays back through the axon relay is
+        # minutes-slow, so keep the numpy originals (plain attribute,
+        # not a pytree leaf).
+        object.__setattr__(
+            M, "host_planes", (vals, lidx, cbase, span_rows.astype(np.int32))
+        )
+        return M
 
     @staticmethod
     def from_dense(a: np.ndarray, **kw) -> "PellMatrix":

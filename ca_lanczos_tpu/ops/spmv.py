@@ -189,7 +189,15 @@ class EllMatrix:
         cols = np.zeros((n, k), np.int32)
         vals[rows, slot] = csr.data
         cols[rows, slot] = csr.indices
-        return EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
+        M = EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
+        # Host copies for host-side partitioners (parallel.dist_ell
+        # ell_shard_planes): under the axon relay the device planes are
+        # minutes-slow to fetch back, so keep the numpy originals on the
+        # instance (plain attribute, not a pytree leaf — it does not
+        # survive flatten/unflatten, which is fine: only freshly
+        # constructed operators are partitioned).
+        object.__setattr__(M, "host_planes", (vals, cols))
+        return M
 
 
 @register_dataclass

@@ -71,64 +71,11 @@ class DistEll:
         in RING distance (min(|c-r|, n-|c-r|)) and rebases wrap columns
         into the ghost regions, which the ring halo exchange then fills
         from the opposite end (runLanczos.m:15-18 wrap structure)."""
-        P_ = mesh.devices.size
-        vals = np.asarray(A.vals)
-        cols = np.asarray(A.cols)
-        n, kk = vals.shape
-        # Effective bandwidth over structural nonzeros.
-        rows = np.arange(n)[:, None]
-        dist = np.where(vals != 0, np.abs(cols - rows), 0)
-        if periodic:
-            dist = np.minimum(dist, n - dist)
-        bw = int(np.max(dist)) if n else 0
-        bw = max(bw, 1)
-        n_local = -(-n // P_)
-        n_pad = n_local * P_
-        halo = s_max * bw
-        if halo >= n_local:
-            raise ValueError(
-                f"halo {halo} (s_max={s_max} x bandwidth {bw}) >= rows/shard "
-                f"{n_local}: reduce bandwidth (e.g. RCM reorder) or lower s"
-            )
-        if periodic:
-            if n_pad != n:
-                raise ValueError(
-                    f"periodic operator: n={n} must divide evenly over {P_} shards"
-                )
-            if P_ > 1 and n_local + 2 * halo > n:
-                raise ValueError(
-                    "periodic window exceeds the ring: increase rows/device"
-                )
-        gv = np.zeros((n_pad + 2 * halo, kk), vals.dtype)
-        gc = np.zeros((n_pad + 2 * halo, kk), np.int64)
-        gv[halo : halo + n] = vals
-        gc[halo : halo + n] = cols
-        if periodic:
-            gv[:halo] = vals[n - halo :]
-            gc[:halo] = cols[n - halo :]
-            gv[halo + n :] = vals[:halo]
-            gc[halo + n :] = cols[:halo]
-        sv, sc = [], []
-        for p in range(P_):
-            lo = p * n_local  # global row of padded-window start (row lo - halo)
-            v = gv[lo : lo + n_local + 2 * halo]
-            c = gc[lo : lo + n_local + 2 * halo].copy()
-            # Rebase global columns to the local window [lo - halo, ...).
-            if periodic:
-                c = (c - (lo - halo)) % n
-            else:
-                c = c - (lo - halo)
-            # Structural zeros and (for edge shards) columns outside the
-            # window are masked to value 0 / index 0.
-            valid = (v != 0) & (c >= 0) & (c < n_local + 2 * halo)
-            c = np.where(valid, c, 0)
-            v = np.where(valid, v, 0)
-            sv.append(v)
-            sc.append(c)
+        sv, sc, halo, n = ell_shard_planes(A, mesh.devices.size, s_max, periodic)
         sharding = NamedSharding(mesh, PartitionSpec(ROWS))
         return DistEll(
-            vals=jax.device_put(jnp.asarray(np.stack(sv)), sharding),
-            cols=jax.device_put(jnp.asarray(np.stack(sc), jnp.int32), sharding),
+            vals=jax.device_put(jnp.asarray(sv), sharding),
+            cols=jax.device_put(jnp.asarray(sc, jnp.int32), sharding),
             halo=halo,
             n=n,
             periodic=periodic,
@@ -140,6 +87,71 @@ class DistEll:
         xp = np.zeros((n_pad,) + x.shape[1:], x.dtype)
         xp[: self.n] = x
         return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
+
+
+def ell_shard_planes(A: EllMatrix, P_: int, s_max: int, periodic: bool = False):
+    """Host-side partition of an ELL operator into per-shard padded
+    windows: returns (vals (P, m, k), cols (P, m, k) window-local,
+    halo, n) as numpy — shared by DistEll (device_put as-is) and
+    DistPell (re-encoded per shard) without any device round-trip."""
+    hp = getattr(A, "host_planes", None)  # set by EllMatrix.from_scipy
+    if hp is not None:
+        vals, cols = np.asarray(hp[0]), np.asarray(hp[1])
+    else:
+        vals = np.asarray(A.vals)
+        cols = np.asarray(A.cols)
+    n, kk = vals.shape
+    # Effective bandwidth over structural nonzeros.
+    rows = np.arange(n)[:, None]
+    dist = np.where(vals != 0, np.abs(cols - rows), 0)
+    if periodic:
+        dist = np.minimum(dist, n - dist)
+    bw = int(np.max(dist)) if n else 0
+    bw = max(bw, 1)
+    n_local = -(-n // P_)
+    n_pad = n_local * P_
+    halo = s_max * bw
+    if halo >= n_local:
+        raise ValueError(
+            f"halo {halo} (s_max={s_max} x bandwidth {bw}) >= rows/shard "
+            f"{n_local}: reduce bandwidth (e.g. RCM reorder) or lower s"
+        )
+    if periodic:
+        if n_pad != n:
+            raise ValueError(
+                f"periodic operator: n={n} must divide evenly over {P_} shards"
+            )
+        if P_ > 1 and n_local + 2 * halo > n:
+            raise ValueError(
+                "periodic window exceeds the ring: increase rows/device"
+            )
+    gv = np.zeros((n_pad + 2 * halo, kk), vals.dtype)
+    gc = np.zeros((n_pad + 2 * halo, kk), np.int64)
+    gv[halo : halo + n] = vals
+    gc[halo : halo + n] = cols
+    if periodic:
+        gv[:halo] = vals[n - halo :]
+        gc[:halo] = cols[n - halo :]
+        gv[halo + n :] = vals[:halo]
+        gc[halo + n :] = cols[:halo]
+    sv, sc = [], []
+    for p in range(P_):
+        lo = p * n_local  # global row of padded-window start (row lo - halo)
+        v = gv[lo : lo + n_local + 2 * halo]
+        c = gc[lo : lo + n_local + 2 * halo].copy()
+        # Rebase global columns to the local window [lo - halo, ...).
+        if periodic:
+            c = (c - (lo - halo)) % n
+        else:
+            c = c - (lo - halo)
+        # Structural zeros and (for edge shards) columns outside the
+        # window are masked to value 0 / index 0.
+        valid = (v != 0) & (c >= 0) & (c < n_local + 2 * halo)
+        c = np.where(valid, c, 0)
+        v = np.where(valid, v, 0)
+        sv.append(v)
+        sc.append(c)
+    return np.stack(sv), np.stack(sc), halo, n
 
 
 def _ell_powers_local(

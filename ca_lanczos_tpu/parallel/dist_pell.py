@@ -29,7 +29,7 @@ from jax.tree_util import register_dataclass
 
 from ca_lanczos_tpu.ops.pell import LANES, PellMatrix, _pell_step
 from ca_lanczos_tpu.ops.spmv import EllMatrix
-from ca_lanczos_tpu.parallel.dist_ell import DistEll
+from ca_lanczos_tpu.parallel.dist_ell import ell_shard_planes
 from ca_lanczos_tpu.parallel.distributed import _halo_exchange
 from ca_lanczos_tpu.parallel.mesh import ROWS
 
@@ -91,14 +91,16 @@ class DistPell:
         max_windows: int = 16,
     ) -> "DistPell":
         """Partition an ELL operator and PELL-encode each shard's padded
-        window.  Reuses DistEll.from_ell for the bandwidth/halo/rebase
-        semantics (including periodic ring windows), then converts each
-        shard's rebased ELL rows to a PellMatrix."""
+        window.  Reuses DistEll's host-side plane partition
+        (ell_shard_planes) for the bandwidth/halo/rebase semantics
+        (including periodic ring windows) — numpy only, no device
+        round-trip — then converts each shard's rebased ELL rows to a
+        PellMatrix."""
         import scipy.sparse as sp
 
-        de = DistEll.from_ell(A, mesh, s_max, periodic)
-        vals = np.asarray(de.vals)
-        cols = np.asarray(de.cols)
+        vals, cols, halo, n = ell_shard_planes(
+            A, mesh.devices.size, s_max, periodic
+        )
         P_, m, kk = vals.shape
 
         shards = []
@@ -110,14 +112,16 @@ class DistPell:
                 sp.csr_matrix((v[mask], (rows[mask], c[mask])), shape=(m, m))
             )
         enc = [
-            PellMatrix.from_scipy(csr, tile=tile, max_windows=max_windows)
+            PellMatrix.from_scipy(csr, tile=tile, max_windows=max_windows,
+                                  device=False)
             for csr in shards
         ]
         sw = max(e.sw for e in enc)
         enc = [
             e
             if e.sw == sw
-            else PellMatrix.from_scipy(csr, tile=tile, sw=sw, max_windows=max_windows)
+            else PellMatrix.from_scipy(csr, tile=tile, sw=sw,
+                                       max_windows=max_windows, device=False)
             for e, csr in zip(enc, shards)
         ]
         K = max(e.k_slots for e in enc)
@@ -125,24 +129,24 @@ class DistPell:
         ntiles = enc[0].ntiles
         B = tile // LANES
         ntiles_pad8 = 8 * (-(-ntiles // 8))
-        dtype = np.asarray(enc[0].vals).dtype
+        # host_planes (set by PellMatrix.from_scipy) avoids fetching the
+        # device planes back through the relay (minutes-slow per shard).
+        planes = [getattr(e, "host_planes", None) or
+                  tuple(np.asarray(x) for x in (e.vals, e.lidx, e.cbase, e.span_row))
+                  for e in enc]
+        dtype = planes[0][0].dtype
 
         sv = np.zeros((P_, ntiles * K, tile), dtype)
         sl = np.zeros((P_, ntiles * K, tile), np.int8)
         scb = np.zeros((P_, ntiles_pad8, B * K), np.int32)
         ssp = np.zeros((P_, ntiles, W), np.int64)
-        for p, e in enumerate(enc):
+        for p, (e, (ev, el, ecb, esp)) in enumerate(zip(enc, planes)):
             Kp, Wp = e.k_slots, e.n_win
-            sv[p].reshape(ntiles, K, tile)[:, :Kp] = np.asarray(e.vals).reshape(
-                ntiles, Kp, tile
-            )
-            sl[p].reshape(ntiles, K, tile)[:, :Kp] = np.asarray(e.lidx).reshape(
-                ntiles, Kp, tile
-            )
-            scb[p].reshape(ntiles_pad8, B, K)[:, :, :Kp] = np.asarray(e.cbase).reshape(
+            sv[p].reshape(ntiles, K, tile)[:, :Kp] = ev.reshape(ntiles, Kp, tile)
+            sl[p].reshape(ntiles, K, tile)[:, :Kp] = el.reshape(ntiles, Kp, tile)
+            scb[p].reshape(ntiles_pad8, B, K)[:, :, :Kp] = ecb.reshape(
                 ntiles_pad8, B, Kp
             )
-            esp = np.asarray(e.span_row)
             ssp[p, :, :Wp] = esp
             ssp[p, :, Wp:] = esp[:, -1:]
 
@@ -152,8 +156,8 @@ class DistPell:
             lidx=jax.device_put(jnp.asarray(sl), sharding),
             cbase=jax.device_put(jnp.asarray(scb), sharding),
             span_row=jax.device_put(jnp.asarray(ssp, jnp.int32), sharding),
-            halo=de.halo,
-            n=de.n,
+            halo=halo,
+            n=n,
             m=m,
             tile=tile,
             k_slots=K,
