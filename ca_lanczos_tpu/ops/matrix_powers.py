@@ -138,12 +138,10 @@ def _pallas_eligible(A: Operator, q: jax.Array) -> bool:
 
     if not isinstance(A, DiaMatrix) or q.dtype != jnp.float32:
         return False
-    if jax.config.jax_enable_x64:
-        # Mosaic lowering of these kernels breaks under jax_enable_x64
-        # (unbounded recursion in its convert-element-type rule); the
-        # mixed-precision drivers that need x64 for f64 reductions take
-        # the XLA powers path instead.
-        return False
+    # x64 processes are served too: the kernels trace under
+    # ops._mosaic.x64_trace_off (Mosaic's convert-element-type rule
+    # recurses on 64-bit literals; tracing with x64 off avoids them),
+    # so the mixed-precision drivers (f64 Gram math) keep this path.
     try:
         if jax.default_backend() == "cpu":
             return False

@@ -31,6 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ca_lanczos_tpu.ops._mosaic import x64_trace_off
 from ca_lanczos_tpu.ops.spmv import DiaMatrix
 
 
@@ -95,7 +96,8 @@ def _dia_power_step(
 
     xpad = jnp.pad(x, (W, W))
     kernel = partial(_dia_step_kernel, offsets=offsets, T=T, W=W)
-    return pl.pallas_call(
+    with x64_trace_off(x.dtype):
+        return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -355,7 +357,8 @@ def _dia_powers_fused(
             compute(d1, x1)
 
     vma = getattr(jax.typeof(x), "vma", frozenset())
-    return pl.pallas_call(
+    with x64_trace_off(x.dtype):
+        return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[

@@ -47,6 +47,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.tree_util import register_dataclass
 
+from ca_lanczos_tpu.ops._mosaic import x64_trace_off
+
 LANES = 128
 SLOTS = 8  # slot-tile depth (f32 sublane count)
 
@@ -423,7 +425,8 @@ def _pell_step(
     W = n_win
     g_out = ntiles * B
     kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
-    return pl.pallas_call(
+    with x64_trace_off(x2.dtype):
+        return pl.pallas_call(
         kern,
         grid=(ntiles,),
         in_specs=[

@@ -147,10 +147,10 @@ class DistDia:
             jnp.asarray(shards), NamedSharding(mesh, PartitionSpec(ROWS))
         )
         if fused is None:
-            fused = (
-                not interpret
-                and not jax.config.jax_enable_x64  # Mosaic x64 lowering bug
-                and all(d.platform == "tpu" for d in mesh.devices.flat)
+            # x64 processes are fine: the kernels trace under
+            # ops._mosaic.x64_trace_off, which keeps every literal i32.
+            fused = not interpret and all(
+                d.platform == "tpu" for d in mesh.devices.flat
             )
         dflat = None
         W = m_pad = ftile = 0

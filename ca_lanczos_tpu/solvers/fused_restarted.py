@@ -40,14 +40,17 @@ import numpy as np
 from jax import lax
 
 from ca_lanczos_tpu.config import Basis
-from ca_lanczos_tpu.ops.qr import cholqr2
+from ca_lanczos_tpu.ops.qr import cholqr2, cholqr2_mp
 from ca_lanczos_tpu.ops.spmv import Operator, normest, spmv
 from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
 
 
 def _rdiv(X, Y):
-    """X @ inv(Y) via a solve (small operands)."""
-    return jnp.linalg.solve(Y.T, X.T).T
+    """X @ inv(Y) for an UPPER-TRIANGULAR Y (every caller passes an R
+    factor).  solve_triangular instead of an LU solve: the TPU backend
+    has no f64 LuDecomposition, and the mixed-precision path runs this
+    small math in f64 on device."""
+    return jax.scipy.linalg.solve_triangular(Y.T, X.T, lower=True).T
 
 
 def _block_T_jnp(Rkk_s, Rk_s, Bk, b_prev, s):
@@ -81,55 +84,95 @@ class FusedRestartedResult:
     converged: bool
 
 
-@partial(jax.jit, static_argnames=("s", "iters", "n_wanted", "max_restarts"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "s", "iters", "n_wanted", "max_restarts", "mixed_precision",
+        "pallas_tile", "pallas_W",
+    ),
+)
 def _fused_restarted(
     A: Operator,
     q0: jax.Array,
     Bk: jax.Array,  # (s+1, s)
     tol: jax.Array,
     lam_bound: jax.Array,
+    coefs: Optional[jax.Array],  # (s, 2) powers coefficients (Pallas path)
+    dflat: Optional[jax.Array],  # dia_flat_padded layout (Pallas path)
     s: int,
     iters: int,
     n_wanted: int,
     max_restarts: int,
+    mixed_precision: bool = False,
+    pallas_tile: int = 0,  # 0 = XLA scan powers
+    pallas_W: int = 0,
 ):
     n = q0.shape[0]
     dtype = q0.dtype
+    # mixed_precision (OrthParams.mixed_precision semantics, on device):
+    # basis/SpMV/Q storage stay in `dtype` (f32), the small reductions —
+    # Gram products, Cholesky, R factors, T recovery, eigh, residual
+    # norms — run float64.  The f32 Gram is the eigenvalue error floor
+    # the plain-f32 flagship hits (~2^-24 relative); promoting the
+    # O(n m^2) reductions fixes it at small cost next to the SpMV stream.
+    ctype = jnp.float64 if mixed_precision else dtype
     m = s * iters
     W2 = 2 * n_wanted
+    qr2 = cholqr2_mp if mixed_precision else cholqr2
+
+    def proj(Q, X):
+        """One CGS pass X <- X - Q (Q^T X); f64 under mixed precision
+        (mirror of ops.orth._proj_block_mp)."""
+        if mixed_precision:
+            Qw = Q.astype(jnp.float64)
+            Xw = X.astype(jnp.float64)
+            R = Qw.T @ Xw
+            return (Xw - Qw @ R).astype(X.dtype), R
+        R = Q.T @ X
+        return X - Q @ R, R
 
     def cycle_body(state):
         q, Qconv, eigs_acc, nconv, cycle = state
 
         # ---- inner CA blocks -------------------------------------------
-        Tmat = jnp.zeros((m, m), dtype)
-        betas = jnp.zeros(iters, dtype)
+        Tmat = jnp.zeros((m, m), ctype)
+        betas = jnp.zeros(iters, ctype)
         Q_cycle = jnp.zeros((n, m), dtype)
 
         # powers through the generic recurrence driven by Bk columns
-        diag = jnp.diagonal(Bk)[:s]
+        diag = jnp.diagonal(Bk)[:s].astype(dtype)
         sup = jnp.zeros(s, dtype)
         if s > 1:
-            sup = sup.at[1:].set(jnp.diagonal(Bk, 1)[: s - 1])
+            sup = sup.at[1:].set(jnp.diagonal(Bk, 1)[: s - 1].astype(dtype))
 
-        def powers(qv):
-            def step(carry, coeffs):
-                v_km1, v_k = carry
-                d, sb = coeffs
-                w = spmv(A, v_k) - d * v_k - sb * v_km1
-                return (v_k, w), w
+        if pallas_tile:
+            from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused
 
-            zero = jnp.zeros_like(qv)
-            _, ws = lax.scan(step, (zero, qv), (diag, sup))
-            return jnp.concatenate([qv[None], ws], axis=0).T  # (n, s+1)
+            def powers(qv):
+                V, _ = _dia_powers_fused(
+                    dflat, qv, coefs, A.offsets, s,
+                    tile=pallas_tile, W=pallas_W,
+                )
+                return jnp.concatenate([qv[:, None], V.T], axis=1)
+        else:
+            def powers(qv):
+                def step(carry, coeffs_k):
+                    v_km1, v_k = carry
+                    d, sb = coeffs_k
+                    w = spmv(A, v_k) - d * v_k - sb * v_km1
+                    return (v_k, w), w
+
+                zero = jnp.zeros_like(qv)
+                _, ws = lax.scan(step, (zero, qv), (diag, sup))
+                return jnp.concatenate([qv[None], ws], axis=0).T  # (n, s+1)
 
         # first block
         Vb = powers(q)
-        Qb, Rk = cholqr2(Vb)
+        Qb, Rk = qr2(Vb)
         # lock against Qconv (zero columns are no-ops), then re-normalize
         for _ in range(2):
-            Qb = Qb - Qconv @ (Qconv.T @ Qb)
-        Qb, _ = cholqr2(Qb)
+            Qb, _ = proj(Qconv, Qb)
+        Qb, _ = qr2(Qb)
         T1 = _rdiv(Rk @ Bk, Rk[:s, :s])
         Tmat = Tmat.at[:s, :s].set(T1[:s, :s])
         betas = betas.at[0].set(T1[s, s - 1])
@@ -140,14 +183,12 @@ def _fused_restarted(
         for k in range(2, iters + 1):
             Vb = powers(Q_prev[:, -1])
             X = Vb[:, 1:]
-            Rkk = jnp.zeros((s + 1, s), dtype)
+            Rkk = jnp.zeros((s + 1, s), ctype)
             for _ in range(2):
-                Rp = Q_prev.T @ X
-                X = X - Q_prev @ Rp
+                X, Rp = proj(Q_prev, X)
                 Rkk = Rkk + Rp
-            for _ in range(1):
-                X = X - Qconv @ (Qconv.T @ X)
-            Q_new, Rn = cholqr2(X)
+            X, _ = proj(Qconv, X)
+            Q_new, Rn = qr2(X)
             Tk, b_k = _block_T_jnp(Rkk, Rn, Bk, betas[k - 2], s)
             lo = (k - 1) * s
             Tmat = Tmat.at[lo : lo + s, lo : lo + s].set(Tk)
@@ -167,11 +208,14 @@ def _fused_restarted(
         order = jnp.argsort(d)[::-1][:n_wanted]
         d_top = d[order]
         rn_top = rn[order]
-        X_top = Q_cycle @ Vp[:, order]  # (n, n_wanted)
+        X_top = Q_cycle @ Vp[:, order].astype(dtype)  # (n, n_wanted)
 
-        # true residuals (multivector SpMV) — catastrophic-lie guard
-        R_true = spmv(A, X_top) - X_top * d_top[None, :]
-        true_abs = jnp.sqrt(jnp.sum(R_true * R_true, axis=0))
+        # true residuals (multivector SpMV) — catastrophic-lie guard;
+        # the norm reduction accumulates in ctype (f64 under mp).
+        R_true = spmv(A, X_top) - X_top * d_top.astype(dtype)[None, :]
+        true_abs = jnp.sqrt(
+            jnp.einsum("ij,ij->j", R_true, R_true, preferred_element_type=ctype)
+        )
 
         passed = (rn_top < tol) & (true_abs < 0.01 * lam_bound) & (jnp.abs(d_top) <= 1.05 * lam_bound)
         # Compact ANY passing candidates to the front (stable: descending
@@ -208,10 +252,50 @@ def _fused_restarted(
         return (nconv < n_wanted) & (cycle < max_restarts)
 
     Qconv0 = jnp.zeros((n, W2), dtype)
-    eigs0 = jnp.full((W2,), jnp.nan, dtype)
+    eigs0 = jnp.full((W2,), jnp.nan, ctype)
     state = (q0, Qconv0, eigs0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     q, Qconv, eigs_acc, nconv, cycles = lax.while_loop(cond, cycle_body, state)
-    return Qconv[:, :n_wanted], eigs_acc[:n_wanted], nconv, cycles
+
+    def refine(args):
+        """Final refinement of the locked block: pairs lock off the
+        loose estimate+catastrophic-lie guard (host verify_locked
+        semantics), so a locked value's error is set by its true residual
+        at lock time.  A Rayleigh–Ritz pass on the converged subspace
+        replaces each value with the subspace Rayleigh quotient
+        (residual^2-level error, f64 Gram under mixed precision), and two
+        residual-augmented RR iterations (RR on [X, AX - XΛ] — the
+        LOBPCG expansion without the P block) drive the subspace residual
+        toward the storage-dtype floor first."""
+        Qc, _ = args
+        k = n_wanted
+
+        def gram(Za, Zb):
+            if mixed_precision:
+                return jnp.matmul(Za.T, Zb, preferred_element_type=ctype)
+            return Za.T @ Zb
+
+        def rr_top(Z, AZ):
+            G = gram(Z, AZ)
+            w, U = jnp.linalg.eigh((G + G.T) / 2)  # ascending
+            order = jnp.argsort(w)[::-1][:k]
+            Uk = U[:, order].astype(dtype)
+            return Z @ Uk, AZ @ Uk, w[order]
+
+        Qb, _ = qr2(Qc)
+        Qb, AQ, w = rr_top(Qb, spmv(A, Qb))
+        for _ in range(2):
+            Rres = AQ - Qb * w.astype(dtype)[None, :]
+            Z = jnp.concatenate([Qb, Rres], axis=1)
+            Z, _ = qr2(Z)
+            Qb, AQ, w = rr_top(Z, spmv(A, Z))
+        return Qb, w.astype(ctype)
+
+    Qc_w = Qconv[:, :n_wanted]
+    ei_w = eigs_acc[:n_wanted]
+    Qc_w, ei_w = lax.cond(
+        nconv >= n_wanted, refine, lambda a: a, (Qc_w, ei_w)
+    )
+    return Qc_w, ei_w, nconv, cycles
 
 
 def fused_restarted_ca_lanczos(
@@ -223,11 +307,19 @@ def fused_restarted_ca_lanczos(
     basis: Basis = Basis.NEWTON,
     tol: float = 1.0e-8,
     max_restarts: int = 200,
+    mixed_precision: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> FusedRestartedResult:
     """One-XLA-call restarted CA-Lanczos (see module docstring).
 
     The Newton bootstrap (2s-step standard Lanczos + Leja ordering,
     restarted_ca_lanczos.m:61-71) stays on the host — it runs once.
+
+    mixed_precision: f32 basis/SpMV storage with f64 Gram/R/T/eigh
+    reductions on device (requires jax_enable_x64); combined with the
+    Pallas powers path (auto-selected for aligned f32 DIA operators on
+    TPU, force with use_pallas) this is the production single-chip
+    configuration: reference accuracy at kernel speed in one XLA call.
     """
     basis = Basis(basis)
     norm_A = normest(A)
@@ -241,16 +333,45 @@ def fused_restarted_ca_lanczos(
     if iters == 0:
         raise ValueError(f"max_lanczos={max_lanczos} < s={s}")
 
+    Bk_np = np.asarray(Bk, np.float64)
+    pallas_tile = pallas_W = 0
+    dflat = coefs = None
+    if use_pallas is None:
+        from ca_lanczos_tpu.ops.matrix_powers import _pallas_eligible
+
+        use_pallas = _pallas_eligible(A, q0) and not np.iscomplexobj(Bk_np)
+    if use_pallas:
+        from ca_lanczos_tpu.ops.pallas_spmv import dia_flat_padded, fused_tile
+
+        nd = A.data.shape[0]
+        wmax = max(max(abs(o) for o in A.offsets), 1)
+        Wp = ((s * wmax + 1023) // 1024) * 1024
+        t = fused_tile(q0.shape[0], nd, Wp, s, q0.dtype)
+        if t:
+            pallas_tile, pallas_W = t, Wp
+            dflat = dia_flat_padded(A, Wp)
+            cof = np.zeros((s, 2))
+            cof[:, 0] = np.diagonal(Bk_np)[:s]
+            if s > 1:
+                cof[1:, 1] = np.diagonal(Bk_np, 1)[: s - 1]
+            coefs = jnp.asarray(cof, q0.dtype)
+
+    ctype = jnp.float64 if mixed_precision else q0.dtype
     Qc, eigs, nconv, cycles = _fused_restarted(
         A,
         q0,
-        jnp.asarray(np.asarray(Bk, np.float64), q0.dtype),
-        jnp.asarray(tol * norm_A, q0.dtype),
-        jnp.asarray(norm_A, q0.dtype),
+        jnp.asarray(Bk_np, ctype),
+        jnp.asarray(tol * norm_A, ctype),
+        jnp.asarray(norm_A, ctype),
+        coefs,
+        dflat,
         s,
         iters,
         n_wanted,
         max_restarts,
+        mixed_precision=mixed_precision,
+        pallas_tile=pallas_tile,
+        pallas_W=pallas_W,
     )
     nconv = int(nconv)
     return FusedRestartedResult(

@@ -74,3 +74,49 @@ class TestMpFlagship:
                 np.abs(np.sort(res_32.eigs)[::-1] - exact)
             ) / 100.0
             assert err_mp <= err_32 + 1e-12
+
+
+class TestFusedMixedPrecision:
+    """Mixed precision inside the one-XLA-call fused driver: f32
+    basis/SpMV with f64 Gram/R/T/eigh on device, plus the final
+    residual-augmented Rayleigh-Ritz polish of the locked block."""
+
+    def _problem(self, n=4000):
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+        vals = np.linspace(1.0, 90.0, n)
+        vals[-10:] = np.linspace(95.0, 100.0, 10)  # separated top cluster
+        A = DiaMatrix(data=jnp.asarray(vals, jnp.float32)[None, :], offsets=(0,))
+        return A, np.sort(vals)[::-1][:10]
+
+    def test_fused_mp_beats_plain_f32(self):
+        from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
+
+        A, exact = self._problem()
+        r = jnp.ones(4000, jnp.float32)
+        res = fused_restarted_ca_lanczos(
+            A, r, 48, n_wanted=10, s=8, tol=1e-7, mixed_precision=True
+        )
+        assert res.converged
+        got = np.sort(res.eigs)[::-1]
+        # Plain f32 is chaotic on this problem (1.7e-7 on the 8-device
+        # CPU build, 5.5e-3 single-device, 0.85 on hardware — rounding-
+        # order dependent), which is exactly why mixed precision exists;
+        # assert only the deterministic mp bound (measured 3.1e-6).
+        assert np.max(np.abs(got - exact)) / 100.0 < 1e-4
+
+    def test_fused_f64_polish_reaches_machine_accuracy(self):
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
+
+        n = 4000
+        vals = np.linspace(1.0, 90.0, n)
+        vals[-10:] = np.linspace(95.0, 100.0, 10)
+        A = DiaMatrix(data=jnp.asarray(vals, jnp.float64)[None, :], offsets=(0,))
+        exact = np.sort(vals)[::-1][:10]
+        res = fused_restarted_ca_lanczos(
+            A, jnp.ones(n, jnp.float64), 48, n_wanted=10, s=8, tol=1e-10
+        )
+        assert res.converged
+        got = np.sort(res.eigs)[::-1]
+        assert np.max(np.abs(got - exact)) / 100.0 < 1e-13  # measured 8.5e-16
