@@ -45,7 +45,8 @@ def _powers_chain(A, q, s, reps, use_pallas=True):
         coefs = jnp.zeros((s, 2), q.dtype)
 
         def body(i, v):
-            _, last = _dia_powers_fused(dflat, v, coefs, A.offsets, s)
+            # Monomial powers: the shift corrections compile out.
+            _, last = _dia_powers_fused(dflat, v, coefs, A.offsets, s, with_coefs=False)
             return last
 
         v = lax.fori_loop(0, reps, body, q)

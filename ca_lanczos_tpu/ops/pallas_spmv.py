@@ -196,7 +196,10 @@ def fused_tile(n: int, nd: int, W: int, s: int, dtype, tile: int = 65536) -> int
     return t
 
 
-@partial(jax.jit, static_argnames=("offsets", "s", "tile", "interpret", "W"))
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "s", "tile", "interpret", "W", "with_coefs"),
+)
 def _dia_powers_fused(
     dflat: jax.Array,  # from dia_flat_padded
     x: jax.Array,  # (n,) UNPADDED
@@ -206,6 +209,7 @@ def _dia_powers_fused(
     tile: int = 65536,
     interpret: bool = False,
     W: Optional[int] = None,
+    with_coefs: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (V (s, n), last (n,)): the s recurrence vectors (excluding
     x itself) plus the final vector as its own contiguous output.
@@ -333,17 +337,33 @@ def _dia_powers_fused(
             xcur = xscr[:]
             prev = jnp.zeros_like(xcur)
 
-            def shifted(v, off):
-                vp = jnp.pad(v, (wmax, wmax))
-                return jax.lax.slice_in_dim(vp, wmax + off, wmax + off + L, axis=0)
-
             for j in range(s):
-                acc = jnp.zeros((L,), xcur.dtype)
-                for d, off in enumerate(offsets):
-                    acc = acc + dscr[pl.ds(d * L, L)] * shifted(xcur, off)
-                w_new = acc - coef_ref[j, 0] * xcur - coef_ref[j, 1] * prev
+                # One pad per step (not per diagonal): all nd shifted
+                # reads are static slices of the same padded vector.
+                vp = jnp.pad(xcur, (wmax, wmax))
+                # Balanced tree sum: a linear accumulate chains nd serial
+                # FMA latencies per vector register; pairing halves the
+                # dependency depth to log2(nd).
+                terms = [
+                    dscr[pl.ds(d * L, L)]
+                    * jax.lax.slice_in_dim(vp, wmax + off, wmax + off + L, axis=0)
+                    for d, off in enumerate(offsets)
+                ]
+                while len(terms) > 1:
+                    terms = [
+                        terms[t] + terms[t + 1] if t + 1 < len(terms) else terms[t]
+                        for t in range(0, len(terms), 2)
+                    ]
+                acc = terms[0]
+                if with_coefs:
+                    # Newton three-term corrections; the monomial path
+                    # (coefs == 0) compiles them out entirely.
+                    w_new = acc - coef_ref[j, 0] * xcur - coef_ref[j, 1] * prev
+                    prev = xcur
+                else:
+                    w_new = acc
                 out_ref[j, :] = w_new[W : W + T]
-                prev, xcur = xcur, w_new
+                xcur = w_new
             last_ref[:] = xcur[W : W + T]
 
         @pl.when(slot == 0)
@@ -419,5 +439,8 @@ def matrix_powers_dia_fused(
     coefs_j = jnp.asarray(coefs, q.dtype)
     if dflat is None:
         dflat = dia_flat_padded(A, W)
-    V, _ = _dia_powers_fused(dflat, q, coefs_j, A.offsets, s, tile=t, interpret=interpret)
+    V, _ = _dia_powers_fused(
+        dflat, q, coefs_j, A.offsets, s, tile=t, interpret=interpret,
+        with_coefs=bool(np.any(coefs)),
+    )
     return jnp.concatenate([q[:, None], V.T], axis=1)
