@@ -1,0 +1,92 @@
+"""Escalation-routed eigensolve: the production "just solve it" entry.
+
+The round-2 corpus campaign (results/corpus_sweep.jsonl) showed that no
+cheap spectral probe reliably PREDICTS which corpus families defeat the
+explicit-restart flagship at the reference budget (clustered-top
+families like stiff_1d have probe-invisible 1e-5 gaps, while exactly
+degenerate mesh spectra converge fine) — so instead of predicting,
+``solve_auto`` guarantees by escalation: run the driver the probe
+prefers first, and if it returns unconverged at the budget, rerun with
+the other driver (explicit thick restart <-> implicitly-restarted with
+locking) at the SAME budget.  The probe (``recommend_solver``) only
+chooses the ORDER, saving the first solve on clearly clustered spectra.
+
+Reference seam: test_restarted_ca_lanczos_all_matrices.m:59 drives one
+solver over the corpus and reports failures; this module is the TPU
+framework's answer for making the whole corpus converge unattended.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ca_lanczos_tpu.config import LanczosConfig
+from ca_lanczos_tpu.harness.matrix_info import recommend_solver
+from ca_lanczos_tpu.ops.spmv import Operator
+
+
+@dataclasses.dataclass
+class AutoResult:
+    eigs: np.ndarray
+    Q_conv: Optional[jax.Array]
+    converged: bool
+    n_restarts: int
+    solver: str  # driver that produced the result
+    escalated: bool  # True when the first-choice driver failed
+
+
+def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig):
+    if solver == "restarted_ca_lanczos":
+        from ca_lanczos_tpu.solvers.restarted import restarted_ca_lanczos
+
+        return restarted_ca_lanczos(A, r, max_lanczos, cfg)
+    from ca_lanczos_tpu.solvers.implicitly_restarted import (
+        impl_restarted_ca_lanczos,
+    )
+
+    return impl_restarted_ca_lanczos(
+        A, r, max_lanczos,
+        n_wanted=cfg.n_wanted, s=cfg.s, basis=cfg.basis, orth=cfg.orth,
+        tol=cfg.tol, max_restarts=cfg.max_restarts,
+    )
+
+
+def solve_auto(
+    A: Operator,
+    r,
+    max_lanczos: int,
+    cfg: Optional[LanczosConfig] = None,
+    probe_steps: int = 40,
+) -> AutoResult:
+    """Solve for ``cfg.n_wanted`` extreme eigenpairs, escalating between
+    the explicit-restart and implicitly-restarted drivers until one
+    converges (see module docstring).  Both drivers see the same budget
+    (``max_lanczos`` basis vectors per cycle, ``cfg.max_restarts``)."""
+    cfg = cfg or LanczosConfig()
+    rec = recommend_solver(A, n_wanted=cfg.n_wanted, probe_steps=probe_steps)
+    first = rec["driver"]
+    second = (
+        "impl_restarted_ca_lanczos"
+        if first == "restarted_ca_lanczos"
+        else "restarted_ca_lanczos"
+    )
+    res = _run(first, A, r, max_lanczos, cfg)
+    escalated = False
+    solver = first
+    if not res.converged:
+        res2 = _run(second, A, r, max_lanczos, cfg)
+        if res2.converged or len(np.atleast_1d(res2.eigs)) > len(
+            np.atleast_1d(res.eigs)
+        ):
+            res, solver, escalated = res2, second, True
+    return AutoResult(
+        eigs=np.asarray(res.eigs),
+        Q_conv=res.Q_conv,
+        converged=bool(res.converged),
+        n_restarts=int(res.n_restarts),
+        solver=solver,
+        escalated=escalated,
+    )

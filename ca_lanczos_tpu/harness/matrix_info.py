@@ -18,17 +18,25 @@ def recommend_solver(
     cluster_rel_gap: float = 1.0e-3,
     seed: int = 0,
 ) -> Dict[str, Any]:
-    """Driver-selection guidance from a cheap spectral probe.
+    """Driver-selection PRIOR from a cheap spectral probe.
 
     The round-2 corpus campaign (results/corpus_sweep.jsonl +
-    corpus_hard_irl.jsonl) found a clean split: explicit thick restart
-    (``restarted_ca_lanczos``) converges every corpus family at the
-    reference budget EXCEPT clustered-top spectra, where single-vector
-    restart cannot re-discover near-degenerate partners — while the
-    implicitly-restarted driver with locking (``impl_restarted_ca_
-    lanczos``) converges those at the same budget.  This helper runs a
-    short full-orth Lanczos probe, measures the relative gaps among the
-    top ``n_wanted`` Ritz values, and recommends the driver.
+    corpus_hard_irl.jsonl) found that explicit thick restart
+    (``restarted_ca_lanczos``) fails exactly on clustered-top spectra,
+    where single-vector restart cannot re-discover near-degenerate
+    partners — while the implicitly-restarted driver with locking
+    (``impl_restarted_ca_lanczos``) converges those at the same budget.
+    This helper runs a short full-orth Lanczos probe, measures the
+    relative gaps among the top ``n_wanted`` Ritz values, and recommends
+    the driver accordingly.
+
+    CAVEAT (measured, round 2): the probe is a prior, not a guarantee —
+    sub-probe-resolution clusters (e.g. the stiff_1d family's 7e-6 top
+    gaps) look well-separated at 40 probe steps and route to the
+    explicit driver, which then stalls.  The production entry point is
+    ``harness.solve_auto``, which uses this recommendation only to
+    order the attempts and escalates to the other driver on
+    non-convergence (results/corpus_routed.jsonl).
 
     Returns {"driver", "clustered", "min_rel_gap", "top_ritz"}.
     """

@@ -115,6 +115,42 @@ class TestMatrixInfo:
         assert rec["driver"] == "impl_restarted_ca_lanczos"
         assert rec["clustered"]
 
+    def test_solve_auto_escalates(self):
+        """solve_auto rescues a case the probe routes wrong: a top
+        cluster just below probe resolution recommends the explicit
+        driver, which stalls; escalation converges it at the same
+        budget (module docstring of harness/auto.py)."""
+        from ca_lanczos_tpu.config import LanczosConfig, Orth
+        from ca_lanczos_tpu.harness import solve_auto
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+        n = 400
+        vals = np.concatenate([np.linspace(1.0, 50.0, n - 4),
+                               100.0 + 2e-4 * np.arange(4)])
+        A = DiaMatrix(data=jnp.asarray(vals)[None, :], offsets=(0,))
+        r = jnp.asarray(np.random.default_rng(0).random(n))
+        cfg = LanczosConfig(s=4, n_wanted=4, orth=Orth.FULL, tol=1e-9,
+                            max_restarts=60)
+        res = solve_auto(A, r, 24, cfg)
+        assert res.converged
+        exact = np.sort(vals)[::-1][:4]
+        got = np.sort(res.eigs)[::-1][:4]
+        np.testing.assert_allclose(got, exact, rtol=1e-8)
+
+    def test_solve_auto_fast_path(self):
+        """A well-separated spectrum stays on the explicit driver with
+        no escalation."""
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness import solve_auto
+
+        A = diag_spectrum(400, 1.0, 100.0)
+        r = jnp.asarray(np.random.default_rng(1).random(400))
+        cfg = LanczosConfig(s=4, n_wanted=4, tol=1e-9)
+        res = solve_auto(A, r, 32, cfg)
+        assert res.converged
+        assert res.solver == "restarted_ca_lanczos"
+        assert not res.escalated
+
 
 class TestExperiments:
     def test_propagation_small(self):
