@@ -32,6 +32,23 @@ PELL is built around exactly that primitive:
 
 The fused three-term recurrence (Newton shifts, matrix_powers_newton.m:
 25-47) rides the same kernel: y = A x - d*x - sb*v_prev.
+
+GROUPED encoding (round 2, ``encoding="grouped"``): the unit encoding's
+8 dynamic single-row reads per slot-tile cost ~47% of kernel runtime
+(exp/pell_probe2.py).  The grouped variant replaces them with TWO
+unaligned (4, 128) dynamic slices per slot-tile ("spread-4 windows")
+plus one same-shape sublane gather: each ELEMENT carries a packed int16
+(sub<<7 | lane) index, where ``sub`` selects among the tile's 8 fetched
+scratch rows (4 from each window) at the element's SOURCE lane and
+``lane`` is col % 128 as before.  Constraints: per slot-tile-unit <=1
+entry per row, entries sharing a source lane share a chunk, and the
+tile's chunk set must be coverable by the two 4-row windows — met by a
+cluster-segmented rank layout with conflict bumping (encoder below).
+Wins measured on the benchmark patterns: K drops (40->32 Laplacian,
+24->16 random banded, 48->24 w16 band, 16->8 ring penta) AND the
+mechanism is ~30% cheaper, at 6 B/slot vs 5 (one int16 plane instead of
+int8).  ``encoding="auto"`` encodes both ways and keeps the smaller
+K*bytes.
 """
 
 from __future__ import annotations
@@ -79,8 +96,8 @@ class PellMatrix:
     """
 
     vals: jax.Array
-    lidx: jax.Array
-    cbase: jax.Array
+    lidx: jax.Array  # unit enc: int8 lanes; grouped enc: int16 (sub<<7|lane)
+    cbase: jax.Array  # unit: (tp8, B*K) chunk rows; grouped: (tp8, B*KT*2) bases
     span_row: jax.Array
     n: int = dataclasses.field(metadata=dict(static=True))
     tile: int = dataclasses.field(metadata=dict(static=True))
@@ -88,6 +105,7 @@ class PellMatrix:
     sw: int = dataclasses.field(metadata=dict(static=True))
     nnz_count: int = dataclasses.field(metadata=dict(static=True))
     n_win: int = dataclasses.field(default=1, metadata=dict(static=True))
+    enc: str = dataclasses.field(default="unit", metadata=dict(static=True))
 
     @property
     def ntiles(self) -> int:
@@ -127,10 +145,33 @@ class PellMatrix:
         B = T // LANES
         vals = np.asarray(self.vals).reshape(self.ntiles, K, T)
         lidx = np.asarray(self.lidx).reshape(self.ntiles, K, T)
-        cbase = np.asarray(self.cbase)[: self.ntiles].reshape(self.ntiles, B, K)
         span = np.asarray(self.span_row).reshape(self.ntiles, self.n_win)
         sr = self.sw // LANES
         out = np.zeros((self.n, self.n), vals.dtype)
+        if self.enc == "grouped":
+            KT = K // SLOTS
+            cb2 = np.asarray(self.cbase)[: self.ntiles].reshape(
+                self.ntiles, B, KT, 2
+            )
+            for t in range(self.ntiles):
+                for s in range(K):
+                    for c in range(T):
+                        v = vals[t, s, c]
+                        if v == 0.0:
+                            continue
+                        b, r = divmod(c, LANES)
+                        lane = int(lidx[t, s, c]) & 127
+                        sub = (int(lidx[t, s, b * LANES + lane]) >> 7) & 7
+                        b00, b01 = cb2[t, b, s // SLOTS]
+                        scr = b00 + sub if sub < 4 else b01 + sub - 4
+                        w, rel = divmod(int(scr), sr)
+                        chunk = span[t, w] + rel
+                        row = t * T + c
+                        col = chunk * LANES + lane
+                        if row < self.n and col < self.n:
+                            out[row, col] += v
+            return out
+        cbase = np.asarray(self.cbase)[: self.ntiles].reshape(self.ntiles, B, K)
         for t in range(self.ntiles):
             for u in range(K):
                 for c in range(T):
@@ -154,6 +195,7 @@ class PellMatrix:
         sw: Optional[int] = None,
         max_windows: int = 16,
         device: bool = True,  # False: keep planes as numpy (host-only use)
+        encoding: str = "unit",
     ) -> "PellMatrix":
         """Encode a scipy.sparse matrix (vectorized, O(nnz log nnz)).
 
@@ -167,6 +209,10 @@ class PellMatrix:
         in VMEM) is rejected.
         cmax is ignored: the unit encoding always carries 8 chunk bindings
         per slot-tile.
+        encoding: "unit", "grouped", or "auto" (encode both, keep the one
+        with less HBM traffic per SpMV — grouped moves 6 B/slot vs unit's
+        5, but usually needs fewer slots AND runs a cheaper inner loop,
+        see module docstring).
         """
         import scipy.sparse as sp
 
@@ -232,6 +278,14 @@ class PellMatrix:
         # int64 accumulate/gather paths are ~100x slower.
         nnz = int(csr.nnz)
 
+        grouped = None
+        if encoding in ("grouped", "auto") and nnz:
+            grouped = _encode_grouped(
+                indptr, indices, data, n, tile, win_lists, sw, dtype
+            )
+        if encoding == "grouped" and grouped is None:
+            raise ValueError("grouped PELL encoding failed; use encoding='unit'")
+
         def run_rank(brk, ar):
             """Per-element offset within runs delimited by brk (int32)."""
             ar = ar[: len(brk)]
@@ -293,19 +347,27 @@ class PellMatrix:
             u_max = 1
 
         K = SLOTS * (-(-u_max // SLOTS))
+        use_grouped = grouped is not None and (
+            encoding == "grouped" or 6 * grouped[3] < 5 * K
+        )
         ntiles_pad8 = 8 * (-(-ntiles // 8))
-        vals = np.zeros((ntiles * K, tile), dtype)
-        lidx = np.zeros((ntiles * K, tile), np.int8)
-        cbase = np.zeros((ntiles_pad8, B * K), np.int32)
-        if nnz:
-            uord_s = uord[uid_s]  # per sorted entry
-            t_s = block_s // B
-            b_s = block_s % B
-            rix = t_s * np.int32(K) + uord_s
-            cix = b_s * np.int32(LANES) + lane[order]
-            vals[rix, cix] = data[order]
-            lidx[rix, cix] = ln[order]
-            cbase[ublock // B, (ublock % B) * np.int32(K) + uord] = uch
+        if use_grouped:
+            vals, lidx, cbase, K = grouped
+            enc = "grouped"
+        else:
+            enc = "unit"
+            vals = np.zeros((ntiles * K, tile), dtype)
+            lidx = np.zeros((ntiles * K, tile), np.int8)
+            cbase = np.zeros((ntiles_pad8, B * K), np.int32)
+            if nnz:
+                uord_s = uord[uid_s]  # per sorted entry
+                t_s = block_s // B
+                b_s = block_s % B
+                rix = t_s * np.int32(K) + uord_s
+                cix = b_s * np.int32(LANES) + lane[order]
+                vals[rix, cix] = data[order]
+                lidx[rix, cix] = ln[order]
+                cbase[ublock // B, (ublock % B) * np.int32(K) + uord] = uch
 
         put = jnp.asarray if device else np.asarray
         M = PellMatrix(
@@ -319,6 +381,7 @@ class PellMatrix:
             sw=sw,
             nnz_count=nnz,
             n_win=W,
+            enc=enc,
         )
         # Host copies for consumers that repack the planes (DistPell):
         # fetching device arrays back through the axon relay is
@@ -334,6 +397,249 @@ class PellMatrix:
         import scipy.sparse as sp
 
         return PellMatrix.from_scipy(sp.csr_matrix(np.asarray(a)), **kw)
+
+
+def _cover2(chunks) -> bool:
+    """True if the sorted chunk iterable fits two 4-row spread windows."""
+    cs = sorted(set(chunks))
+    if not cs or cs[-1] - cs[0] < 4:
+        return True
+    rest = [c for c in cs if c - cs[0] >= 4]
+    return rest[-1] - rest[0] < 4
+
+
+def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
+                    max_iter=64, max_units=512):
+    """Grouped (two-spread-4-window, per-element) PELL encoding.
+
+    Returns (vals, idx16, cbase2, K2) or None when the constraints do
+    not converge (caller falls back to the unit encoding).  See module
+    docstring for the layout; the assignment is:
+
+      1. cluster = per-block run of touched scratch chunks (gap >= 3
+         splits), per-(row, cluster) rank, cluster-segmented unit ids;
+      2. conflict bumping until every unit has <=1 entry per row and
+         one chunk per source lane;
+      3. per-block greedy packing of units into slot-tiles of 8 under
+         the two-window cover, recording (b00, b01) bases;
+      4. plane emission: vals + ONE int16 plane with the lane (low 7
+         bits, at the entry's OUT-row position) and the chunk-window
+         offset (bits 7-9, at the entry's SOURCE-lane position).
+    """
+    nnz = int(indptr[-1])
+    sr = sw // LANES
+    ntiles = len(win_lists)
+    B = tile // LANES
+    nblocks = ntiles * B
+
+    rowcounts = np.diff(indptr).astype(np.int32)
+    r_glob = np.repeat(np.arange(n, dtype=np.int32), rowcounts)
+    idx32 = indices.astype(np.int32)
+    chunk_g = idx32 // np.int32(LANES)
+    ch = np.empty(nnz, np.int32)
+    for t in range(ntiles):
+        e0, e1 = indptr[t * tile], indptr[min((t + 1) * tile, n)]
+        wins = win_lists[t]
+        cg = chunk_g[e0:e1]
+        w = np.searchsorted(wins, cg, side="right") - 1
+        ch[e0:e1] = (w * sr + (cg - wins[w])).astype(np.int32)
+    lane = idx32 % np.int32(LANES)
+    block = r_glob // np.int32(LANES)
+    row_l = r_glob % np.int32(LANES)
+    ar = np.arange(nnz, dtype=np.int32)
+
+    # -- 1. clusters and per-(row, cluster) ranks ------------------------
+    S_ch = int(ch.max()) + 1
+    pkey = block.astype(np.int64) * S_ch + ch
+    order_p = np.argsort(pkey, kind="stable")
+    pk_s = pkey[order_p]
+    ubrk = np.empty(nnz, bool)
+    ubrk[0] = True
+    np.not_equal(pk_s[1:], pk_s[:-1], out=ubrk[1:])
+    pb = block[order_p][ubrk]
+    pc = ch[order_p][ubrk]
+    cbrk = np.empty(len(pb), bool)
+    cbrk[0] = True
+    cbrk[1:] = (pb[1:] != pb[:-1]) | (pc[1:] - pc[:-1] >= 3)
+    cid_of_pair = np.cumsum(cbrk, dtype=np.int32) - 1
+    pair_of_sorted = np.cumsum(ubrk, dtype=np.int32) - 1
+    cid = np.empty(nnz, np.int32)
+    cid[order_p] = cid_of_pair[pair_of_sorted]
+    ncl = int(cid_of_pair[-1]) + 1
+    cl_block = pb[cbrk].astype(np.int64)
+
+    # CSR order is row-major with ch ascending inside a row, so
+    # (row, cid) runs are contiguous.
+    brk = np.empty(nnz, bool)
+    brk[0] = True
+    brk[1:] = (r_glob[1:] != r_glob[:-1]) | (cid[1:] != cid[:-1])
+    first = np.maximum.accumulate(np.where(brk, ar, np.int32(0)))
+    rank = ar - first
+
+    # -- 2. conflict resolution --------------------------------------------
+    # Ranks collide when per-row patterns are not locally-shifted copies
+    # (e.g. lattice-boundary rows with missing neighbors).  A few cheap
+    # vectorized +1 bumps fix sparse collisions; anything left gets a
+    # guaranteed-terminating sequential repair: each conflicted entry
+    # walks up to the first rank in its (row-cluster) segment that is
+    # free for its (lane -> chunk) binding and row.
+    bb = np.empty(ncl, bool)
+    bb[0] = True
+    bb[1:] = cl_block[1:] != cl_block[:-1]
+
+    def conflicts(rank):
+        width = np.zeros(ncl, np.int32)
+        np.maximum.at(width, cid, rank + np.int32(1))
+        csum = np.cumsum(width, dtype=np.int64)
+        base = csum - width
+        blk_first = np.maximum.accumulate(np.where(bb, base, 0))
+        base_in_blk = (base - blk_first).astype(np.int32)
+        unit = base_in_blk[cid] + rank
+        S_u = int(unit.max()) + 1
+        if S_u > max_units:
+            return None, None, S_u
+        # A: same (block, unit, source lane) must share the chunk
+        kA = (block.astype(np.int64) * S_u + unit) * LANES + lane
+        oA = np.argsort(kA, kind="stable")
+        kA_s = kA[oA]
+        gbrk = np.empty(nnz, bool)
+        gbrk[0] = True
+        np.not_equal(kA_s[1:], kA_s[:-1], out=gbrk[1:])
+        runstart = np.maximum.accumulate(np.where(gbrk, ar, np.int32(0)))
+        conf = np.zeros(nnz, bool)
+        conf[oA] = ch[oA] != ch[oA][runstart]
+        # B: same (block, unit, row) — possible only after bumps
+        kB = (block.astype(np.int64) * S_u + unit) * LANES + row_l
+        oB = np.argsort(kB, kind="stable")
+        kB_s = kB[oB]
+        gbrkB = np.empty(nnz, bool)
+        gbrkB[0] = True
+        np.not_equal(kB_s[1:], kB_s[:-1], out=gbrkB[1:])
+        conf[oB] |= ~gbrkB
+        return conf, unit, S_u
+
+    conf = None
+    for _ in range(4):
+        conf, unit, S_u = conflicts(rank)
+        if conf is None:
+            return None
+        if not conf.any():
+            break
+        rank = rank + conf.astype(np.int32)
+    if conf is not None and conf.any():
+        # Sequential repair over the conflicted segments only.
+        bad_cid = np.unique(cid[conf])
+        in_bad = np.isin(cid, bad_cid)
+        taken_lane = {}  # (cid, rank, lane) -> chunk
+        taken_row = set()  # (cid, rank, row)
+        keep = in_bad & ~conf
+        for i in np.nonzero(keep)[0]:
+            key = (int(cid[i]), int(rank[i]))
+            taken_lane[key + (int(lane[i]),)] = int(ch[i])
+            taken_row.add(key + (int(row_l[i]),))
+        for i in np.nonzero(conf)[0]:
+            ci, li, ri, hi_c = int(cid[i]), int(lane[i]), int(row_l[i]), int(ch[i])
+            rk = int(rank[i])
+            while True:
+                kl = (ci, rk, li)
+                kr = (ci, rk, ri)
+                if kr not in taken_row and taken_lane.get(kl, hi_c) == hi_c:
+                    taken_lane[kl] = hi_c
+                    taken_row.add(kr)
+                    rank[i] = rk
+                    break
+                rk += 1
+                if rk > max_units:
+                    return None
+        conf, unit, S_u = conflicts(rank)
+        if conf is None or conf.any():
+            return None
+
+    # -- 3. per-block tile packing under the 2-window cover --------------
+    kU = (block.astype(np.int64) * S_u + unit) * S_ch + ch
+    oU = np.argsort(kU, kind="stable")
+    kU_s = kU[oU]
+    tbrk = np.empty(nnz, bool)
+    tbrk[0] = True
+    np.not_equal(kU_s[1:], kU_s[:-1], out=tbrk[1:])
+    tb = block[oU][tbrk]
+    tu = unit[oU][tbrk]
+    tc = ch[oU][tbrk]
+    blk_starts = np.searchsorted(tb, np.arange(nblocks + 1))
+    slot_map = np.full((nblocks, S_u), -1, np.int32)
+    per_block_bases = []
+    K2 = 0
+    for bk in range(nblocks):
+        lo, hi = blk_starts[bk], blk_starts[bk + 1]
+        if lo == hi:
+            per_block_bases.append([])
+            continue
+        units_u = tu[lo:hi]
+        chs = tc[lo:hi]
+        ub = np.empty(hi - lo, bool)
+        ub[0] = True
+        ub[1:] = units_u[1:] != units_u[:-1]
+        ustarts = np.nonzero(ub)[0]
+        uends = np.append(ustarts[1:], hi - lo)
+        btiles = []
+        cur_units, cur_chunks = [], []
+        for k in range(len(ustarts)):
+            u = int(units_u[ustarts[k]])
+            cset = list(chs[ustarts[k] : uends[k]])
+            if len(cur_units) < SLOTS and _cover2(cur_chunks + cset):
+                cur_units.append(u)
+                cur_chunks += cset
+            else:
+                btiles.append((cur_units, cur_chunks))
+                cur_units, cur_chunks = [u], cset
+        btiles.append((cur_units, cur_chunks))
+        bases = []
+        for s_t, (us, cks) in enumerate(btiles):
+            cs = sorted(set(cks))
+            b00 = cs[0]
+            rest = [c for c in cs if c - b00 >= 4]
+            b01 = rest[0] if rest else b00
+            bases.append((b00, b01))
+            for j, u in enumerate(us):
+                slot_map[bk, u] = s_t * SLOTS + j
+        per_block_bases.append(bases)
+        K2 = max(K2, len(btiles) * SLOTS)
+    if K2 == 0:
+        return None
+    KT2 = K2 // SLOTS
+
+    # -- 4. plane emission -------------------------------------------------
+    base_arr = np.zeros((nblocks, KT2, 2), np.int32)
+    for bk, bases in enumerate(per_block_bases):
+        for kt, (b00, b01) in enumerate(bases):
+            base_arr[bk, kt, 0] = b00
+            base_arr[bk, kt, 1] = b01
+    slot_e = slot_map[block, unit]
+    assert (slot_e >= 0).all()
+    kt_e = slot_e // SLOTS
+    b00_e = base_arr[block, kt_e, 0]
+    b01_e = base_arr[block, kt_e, 1]
+    sub_e = np.where(ch - b00_e < 4, ch - b00_e, 4 + ch - b01_e)
+    if not ((sub_e >= 0) & (sub_e < 8)).all():
+        return None  # cover bookkeeping failure; fall back
+    t_e = block // B
+    bl_e = block % B
+    rix = t_e * np.int32(K2) + slot_e
+    vals_p = np.zeros((ntiles * K2, tile), dtype)
+    idx16 = np.zeros((ntiles * K2, tile), np.int16)
+    cix_out = bl_e * np.int32(LANES) + row_l
+    cix_src = bl_e * np.int32(LANES) + lane
+    vals_p[rix, cix_out] = data
+    idx16[rix, cix_out] |= lane.astype(np.int16)
+    idx16[rix, cix_src] |= (sub_e.astype(np.int16) << 7)
+    ntiles_pad8 = 8 * (-(-ntiles // 8))
+    cbase2 = np.zeros((ntiles_pad8, B * KT2 * 2), np.int32)
+    for bk, bases in enumerate(per_block_bases):
+        t, b_l = divmod(bk, B)
+        for kt, (b00, b01) in enumerate(bases):
+            cbase2[t, (b_l * KT2 + kt) * 2] = b00
+            cbase2[t, (b_l * KT2 + kt) * 2 + 1] = b01
+    return vals_p, idx16, cbase2, K2
 
 
 def _pell_kernel(
@@ -404,7 +710,76 @@ def _pell_kernel(
         out_ref[b, :] = y - d * xblk_ref[b, :] - sb * vprev_ref[b, :]
 
 
-@partial(jax.jit, static_argnames=("tile", "k_slots", "sw", "n_win", "interpret"))
+def _pell_kernel_g2(
+    coef_ref,  # SMEM (2,)
+    span_ref,  # SMEM (ntiles, W) whole
+    cbase_ref,  # SMEM (8, B*KT*2) block — (b00, b01) per (block, slot-tile)
+    vals_ref,  # VMEM (K, T)
+    idx_ref,  # VMEM (K, T) int16: sub<<7 | lane (see module docstring)
+    xblk_ref,  # VMEM (B, 128)
+    vprev_ref,  # VMEM (B, 128)
+    x_ref,  # ANY (Gtot, 128)
+    out_ref,  # VMEM (B, 128)
+    xspan,  # VMEM (2*W*SR + 4, 128) scratch (+4: spread-4 slice overrun)
+    sems,
+    *,
+    B: int,
+    KT: int,
+    SR: int,
+    NT: int,
+    W: int,
+):
+    """Grouped-encoding inner loop: per slot-tile, TWO unaligned (4, 128)
+    dynamic slices replace the unit kernel's 8 scattered row reads; a
+    same-shape sublane gather (idx>>7) then a lane gather (idx&127)
+    place each element.  exp/pell_probe3.py prices the mechanism."""
+    g = pl.program_id(0)
+    slot = g % 2
+
+    def span_dma(i, w, sl):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(span_ref[i, w], SR), :],
+            xspan.at[pl.ds((sl * W + w) * SR, SR), :],
+            sems.at[sl * W + w],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        for w in range(W):
+            span_dma(0, w, 0).start()
+
+    @pl.when(g + 1 < NT)
+    def _():
+        for w in range(W):
+            span_dma(g + 1, w, (g + 1) % 2).start()
+
+    for w in range(W):
+        span_dma(g, w, slot).wait()
+
+    d = coef_ref[0]
+    sb = coef_ref[1]
+    off = slot * W * SR
+    for b in range(B):
+        acc = jnp.zeros((SLOTS, LANES), out_ref.dtype)
+        for kt in range(KT):
+            vals = vals_ref[kt * SLOTS : (kt + 1) * SLOTS,
+                            b * LANES : (b + 1) * LANES]
+            idx = idx_ref[kt * SLOTS : (kt + 1) * SLOTS,
+                          b * LANES : (b + 1) * LANES].astype(jnp.int32)
+            base = (b * KT + kt) * 2
+            b0 = cbase_ref[g % 8, base]
+            b1 = cbase_ref[g % 8, base + 1]
+            Cg = jnp.concatenate(
+                [xspan[pl.ds(off + b0, 4), :], xspan[pl.ds(off + b1, 4), :]],
+                axis=0,
+            )
+            C = jnp.take_along_axis(Cg, idx >> 7, axis=0)
+            acc = acc + vals * jnp.take_along_axis(C, idx & 127, axis=1)
+        y = jnp.sum(acc, axis=0)
+        out_ref[b, :] = y - d * xblk_ref[b, :] - sb * vprev_ref[b, :]
+
+
+@partial(jax.jit, static_argnames=("tile", "k_slots", "sw", "n_win", "interpret", "enc"))
 def _pell_step(
     vals, lidx, cbase, span_row,
     x2,  # (Gtot, 128)
@@ -415,6 +790,7 @@ def _pell_step(
     sw: int,
     n_win: int = 1,
     interpret: bool = False,
+    enc: str = "unit",
 ):
     """One PELL recurrence step on 2-D-blocked vectors: returns
     y2 = A x - coefs[0] x - coefs[1] v_prev, shape (Gtot, 128)."""
@@ -424,7 +800,12 @@ def _pell_step(
     SR = sw // LANES
     W = n_win
     g_out = ntiles * B
-    kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
+    if enc == "grouped":
+        kern = partial(_pell_kernel_g2, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
+        scratch_rows = 2 * W * SR + 4  # spread-4 slices may overrun by 3
+    else:
+        kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
+        scratch_rows = 2 * W * SR
     with x64_trace_off(x2.dtype):
         return pl.pallas_call(
         kern,
@@ -446,7 +827,7 @@ def _pell_step(
             (g_out, LANES), x2.dtype, vma=getattr(jax.typeof(x2), "vma", frozenset())
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * W * SR, LANES), x2.dtype),
+            pltpu.VMEM((scratch_rows, LANES), x2.dtype),
             pltpu.SemaphoreType.DMA((2 * W,)),
         ],
         interpret=interpret,
@@ -473,7 +854,7 @@ def pell_apply(
     coefs = jnp.asarray([d, sb], dt)
     y2 = _pell_step(
         A.vals.astype(dt), A.lidx, A.cbase, A.span_row, x2, vp, coefs,
-        A.tile, A.k_slots, A.sw, A.n_win, interpret,
+        A.tile, A.k_slots, A.sw, A.n_win, interpret, A.enc,
     )
     return y2.reshape(-1)[:n]
 
@@ -504,7 +885,7 @@ def matrix_powers_pell(
         coefs = jnp.asarray([diag[k], sub[k]], dt)
         y2 = _pell_step(
             vals, A.lidx, A.cbase, A.span_row, x2, vp, coefs,
-            A.tile, A.k_slots, A.sw, A.n_win, interpret,
+            A.tile, A.k_slots, A.sw, A.n_win, interpret, A.enc,
         )
         y2 = jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
         cols.append(y2)

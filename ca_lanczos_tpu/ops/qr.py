@@ -90,6 +90,94 @@ def tsqr_mp(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return Q.astype(X.dtype), R
 
 
+# Mixed-precision reductions above this many rows run CHUNKED so the
+# f64 promotion of an (n, m) block never materializes (at the 10M-row
+# north-star scale a promoted 48-vector basis is 4.2 GB — it OOMed the
+# fused flagship).  The chunk results are mathematically identical up
+# to f64 summation order.
+_MP_CHUNK_ROWS = 1 << 21
+
+
+def _mp_chunk_shape(n: int):
+    """(chunks, rows_per_chunk) with chunks*rows == n, or None to run
+    direct.  Prefers the smallest chunk count that divides n; a prime n
+    falls back to direct (the corpus/benchmarks use power-of-two-ish n,
+    and correctness never depends on chunking)."""
+    if n <= _MP_CHUNK_ROWS:
+        return None
+    c0 = -(-n // _MP_CHUNK_ROWS)
+    for c in range(c0, min(4 * c0, n) + 1):
+        if n % c == 0:
+            return c, n // c
+    return None
+
+
+def gram_f64(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """X^H Y accumulated in float64 without materializing promoted
+    copies of the (n, .) operands: row-chunked scan, f64 temps of one
+    chunk only."""
+    ck = _mp_chunk_shape(X.shape[0])
+    if ck is None:
+        return X.astype(jnp.float64).conj().T @ Y.astype(jnp.float64)
+    c, L = ck
+    Xr = X.reshape(c, L, X.shape[1])
+    Yr = Y.reshape(c, L, Y.shape[1])
+    from jax import lax
+
+    def body(acc, xy):
+        xc, yc = xy
+        return acc + xc.astype(jnp.float64).conj().T @ yc.astype(jnp.float64), None
+
+    G0 = jnp.zeros((X.shape[1], Y.shape[1]), jnp.float64)
+    G, _ = lax.scan(body, G0, (Xr, Yr))
+    return G
+
+
+def sub_proj_f64(X: jax.Array, Q: jax.Array, R: jax.Array) -> jax.Array:
+    """(X - Q R) computed in float64 per row chunk, returned in X's
+    storage dtype."""
+    ck = _mp_chunk_shape(X.shape[0])
+    if ck is None:
+        return (
+            X.astype(jnp.float64) - Q.astype(jnp.float64) @ R
+        ).astype(X.dtype)
+    c, L = ck
+    Xr = X.reshape(c, L, X.shape[1])
+    Qr = Q.reshape(c, L, Q.shape[1])
+    from jax import lax
+
+    def body(_, xq):
+        xc, qc = xq
+        out = (xc.astype(jnp.float64) - qc.astype(jnp.float64) @ R).astype(X.dtype)
+        return None, out
+
+    _, out = lax.scan(body, None, (Xr, Qr))
+    return out.reshape(X.shape)
+
+
+def rsolve_f64(X: jax.Array, R: jax.Array) -> jax.Array:
+    """X R^{-1} with the triangular solve in float64 per row chunk,
+    returned in X's storage dtype."""
+    ck = _mp_chunk_shape(X.shape[0])
+    if ck is None:
+        Qt = jax.scipy.linalg.solve_triangular(
+            R.T, X.astype(jnp.float64).T, lower=True
+        )
+        return Qt.T.astype(X.dtype)
+    c, L = ck
+    Xr = X.reshape(c, L, X.shape[1])
+    from jax import lax
+
+    def body(_, xc):
+        qt = jax.scipy.linalg.solve_triangular(
+            R.T, xc.astype(jnp.float64).T, lower=True
+        )
+        return None, qt.T.astype(X.dtype)
+
+    _, out = lax.scan(body, None, Xr)
+    return out.reshape(X.shape)
+
+
 @jax.jit
 def cholqr_mp(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """cholqr with the Gram product, Cholesky, and triangular solve in
@@ -98,14 +186,14 @@ def cholqr_mp(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
     The f64 Gram is the accuracy lever: G = X^H X in f32 loses ~2^-24
     relative, which is exactly the eigenvalue error floor the f32
     flagship showed on hardware; promoting the O(n m^2) reduction fixes
-    it at negligible cost next to the SpMV stream.
+    it at negligible cost next to the SpMV stream.  Above _MP_CHUNK_ROWS
+    the reductions run row-chunked (see gram_f64) so no f64 copy of X is
+    ever resident.
     """
-    Xw = X.astype(jnp.float64)
-    G = Xw.conj().T @ Xw
+    G = gram_f64(X, X)
     L = _chol_safe(G)
     R = L.conj().T
-    Qt = jax.scipy.linalg.solve_triangular(R.T, Xw.T, lower=True)
-    return Qt.T.astype(X.dtype), R
+    return rsolve_f64(X, R), R
 
 
 @jax.jit

@@ -122,12 +122,15 @@ def _fused_restarted(
 
     def proj(Q, X):
         """One CGS pass X <- X - Q (Q^T X); f64 under mixed precision
-        (mirror of ops.orth._proj_block_mp)."""
+        (mirror of ops.orth._proj_block_mp).  The f64 products run
+        row-chunked (ops.qr.gram_f64/sub_proj_f64) so no promoted copy
+        of the (n, m) basis is ever resident — required at the 10M-row
+        scale."""
         if mixed_precision:
-            Qw = Q.astype(jnp.float64)
-            Xw = X.astype(jnp.float64)
-            R = Qw.T @ Xw
-            return (Xw - Qw @ R).astype(X.dtype), R
+            from ca_lanczos_tpu.ops.qr import gram_f64, sub_proj_f64
+
+            R = gram_f64(Q, X)
+            return sub_proj_f64(X, Q, R), R
         R = Q.T @ X
         return X - Q @ R, R
 

@@ -39,10 +39,18 @@ def main():
     off = (rng.standard_normal(n) * 1e-3).astype(np.float64)
 
     t0 = time.perf_counter()
-    a = sp.diags([off[:-1], d, off[:-1]], [-1, 0, 1], format="csr")
-    exact = np.sort(spla.eigsh(a, k=10, which="LA",
-                               return_eigenvectors=False))[::-1]
-    print(f"oracle eigsh on {n} rows: {time.perf_counter()-t0:.1f}s", flush=True)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f"flagship_10m_oracle_{n}.npz")
+    if os.path.exists(cache):
+        exact = np.load(cache)["exact"]
+        print("oracle (cached)", flush=True)
+    else:
+        a = sp.diags([off[:-1], d, off[:-1]], [-1, 0, 1], format="csr")
+        exact = np.sort(spla.eigsh(a, k=10, which="LA",
+                                   return_eigenvectors=False))[::-1]
+        np.savez(cache, exact=exact)
+        print(f"oracle eigsh on {n} rows: {time.perf_counter()-t0:.1f}s",
+              flush=True)
 
     # DIA planes: data[k, i] = A[i, i + offsets[k]] (ops/spmv.py:43-49)
     data = np.zeros((3, n), np.float32)
@@ -52,12 +60,14 @@ def main():
     A = DiaMatrix(data=jnp.asarray(data), offsets=(-1, 0, 1))
 
     r = jnp.ones(n, jnp.float32)
+    # m=32 basis: the 48-vector config's compile-time plan wants 24.5 GB
+    # (> 15.75 HBM); 32 vectors fit and restarts make up the depth.
     kw = dict(n_wanted=10, s=8, tol=1e-7, mixed_precision=True)
     t0 = time.perf_counter()
-    res = fused_restarted_ca_lanczos(A, r, 48, **kw)
+    res = fused_restarted_ca_lanczos(A, r, 32, **kw)
     print(f"cold (incl compile): {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    res = fused_restarted_ca_lanczos(A, r, 48, **kw)
+    res = fused_restarted_ca_lanczos(A, r, 32, **kw)
     wall = time.perf_counter() - t0
     got = np.sort(res.eigs)[::-1]
     err = np.nanmax(np.abs(got - exact)) / 100.0

@@ -35,6 +35,33 @@ class TestMpQr:
         )
         assert orth_err(Qmp) <= orth_err(Q32) * 1.5 + 1e-6
 
+    def test_chunked_f64_reductions_match_direct(self, monkeypatch):
+        """Above _MP_CHUNK_ROWS the f64 reductions run row-chunked so no
+        promoted basis copy is resident (the 10M-row flagship OOMed on
+        the direct path); results must match the direct computation to
+        f64 summation order."""
+        import ca_lanczos_tpu.ops.qr as qr
+
+        rng = np.random.default_rng(1)
+        X = jnp.asarray(rng.standard_normal((2048, 9)), jnp.float32)
+        Y = jnp.asarray(rng.standard_normal((2048, 5)), jnp.float32)
+        R = jnp.asarray(rng.standard_normal((9, 5)))
+        G_dir = np.asarray(qr.gram_f64(X, Y))
+        S_dir = np.asarray(qr.sub_proj_f64(Y, X, R))
+        monkeypatch.setattr(qr, "_MP_CHUNK_ROWS", 128)
+        assert qr._mp_chunk_shape(2048) is not None
+        np.testing.assert_allclose(np.asarray(qr.gram_f64(X, Y)), G_dir,
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(qr.sub_proj_f64(Y, X, R)),
+                                      S_dir)
+        Xw = np.asarray(X, np.float64)
+        Qc, Rc = qr.cholqr_mp(X)
+        np.testing.assert_allclose(
+            np.asarray(Qc, np.float64) @ np.asarray(Rc), Xw, atol=5e-5
+        )
+        # prime row count falls back to the direct path
+        assert qr._mp_chunk_shape(2053) is None
+
 
 class TestMpFlagship:
     def test_f32_storage_f64_reductions_beats_plain_f32(self):

@@ -69,6 +69,75 @@ class TestEncoder:
             PellMatrix.from_scipy(a.tocsr(), tile=1024, sw=1024, max_windows=2)
 
 
+class TestGroupedEncoding:
+    """Grouped (two-spread-4-window, per-element) encoding: round-trip,
+    interpret-mode kernel parity, and the K reduction that motivates it
+    (ops/pell.py module docstring, exp/pell_probe3.py)."""
+
+    def _patterns(self):
+        n = 2048
+        rng = np.random.default_rng(3)
+        o = np.ones(n)
+        ring = sp.diags([o, o, 4 * o, o, o], [-2, -1, 0, 1, 2], (n, n)).tolil()
+        ring[0, n - 1] = ring[n - 1, 0] = 1.0
+        ring[0, n - 2] = ring[n - 2, 0] = 1.0
+        m = 12
+        d1 = sp.diags([1.0, 1.0, 1.0], [-1, 0, 1], (m, m))
+        lap27 = sp.kron(sp.kron(d1, d1), d1) / 27.0
+        return {
+            "banded": random_banded(n, 8, 4, 0),
+            "ring": ring.tocsr(),
+            "lap27": lap27.tocsr(),
+        }
+
+    def test_roundtrip(self):
+        for name, a in self._patterns().items():
+            a = sp.csr_matrix(a).astype(np.float32)
+            A = PellMatrix.from_scipy(a, tile=1024, encoding="grouped",
+                                      device=False)
+            assert A.enc == "grouped"
+            np.testing.assert_allclose(A.to_dense(), a.toarray(), atol=0,
+                                       err_msg=name)
+
+    def test_matvec_and_powers_parity(self):
+        for name, a in self._patterns().items():
+            a = sp.csr_matrix(a).astype(np.float32)
+            n = a.shape[0]
+            A = PellMatrix.from_scipy(a, tile=1024, encoding="grouped")
+            x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+            y = np.asarray(pell_apply(A, jnp.asarray(x), interpret=True))
+            y_ref = a @ x
+            scale = max(np.max(np.abs(y_ref)), 1e-30)
+            np.testing.assert_allclose(y / scale, y_ref / scale, atol=1e-6,
+                                       err_msg=name)
+            V = np.asarray(matrix_powers_pell(A, jnp.asarray(x), 3,
+                                              interpret=True))
+            v = x.copy()
+            for k in range(1, 4):
+                v = a @ v
+                s = max(np.max(np.abs(v)), 1e-30)
+                np.testing.assert_allclose(V[:, k] / s, v / s, atol=2e-6,
+                                           err_msg=f"{name} power {k}")
+
+    def test_k_reduction(self):
+        """The grouped encoding needs fewer slots on the benchmark
+        patterns (the whole point: less HBM traffic + cheaper loop)."""
+        for name, a in self._patterns().items():
+            a = sp.csr_matrix(a).astype(np.float32)
+            Au = PellMatrix.from_scipy(a, tile=1024, encoding="unit",
+                                       device=False)
+            Ag = PellMatrix.from_scipy(a, tile=1024, encoding="grouped",
+                                       device=False)
+            assert Ag.k_slots <= Au.k_slots, name
+
+    def test_auto_picks_lower_traffic(self):
+        a = sp.csr_matrix(self._patterns()["ring"]).astype(np.float32)
+        A = PellMatrix.from_scipy(a, tile=1024, encoding="auto", device=False)
+        # ring: K 16 -> 8; 6*8 < 5*16 so auto must pick grouped
+        assert A.enc == "grouped"
+        np.testing.assert_allclose(A.to_dense(), a.toarray(), atol=0)
+
+
 class TestKernelInterpret:
     @pytest.mark.parametrize("seed", [0, 1])
     def test_matvec_matches_dense(self, seed):
