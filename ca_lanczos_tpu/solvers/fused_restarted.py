@@ -274,7 +274,9 @@ def _fused_restarted(
 
         def gram(Za, Zb):
             if mixed_precision:
-                return jnp.matmul(Za.T, Zb, preferred_element_type=ctype)
+                from ca_lanczos_tpu.ops.qr import gram_f64
+
+                return gram_f64(Za, Zb)
             return Za.T @ Zb
 
         def rr_top(Z, AZ):
