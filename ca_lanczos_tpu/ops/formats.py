@@ -1,0 +1,244 @@
+"""Automatic operator-format routing: scipy/dense input -> the fastest
+TPU format this framework has for its sparsity.
+
+The reference's SpMV abstraction takes whatever sparse matrix MATLAB
+hands it (SpMV.m:1-9) and the corpus harness feeds it arbitrary
+SuiteSparse structure (test_restarted_ca_lanczos_all_matrices.m:6-14).
+On TPU the format choice IS the performance story (see ops/spmv.py), so
+``make_operator`` is the production entry for "I have a matrix, give me
+an operator":
+
+  1. tiny           -> DenseMatrix        (MXU matmul beats any sparse path)
+  2. few diagonals  -> DiaMatrix          (fused Pallas s-step kernel,
+                                           ~460 Gnnz/s/chip)
+  3. windowed nnz   -> PellMatrix         (general-sparsity Pallas kernel,
+                                           ~8-33 Gnnz/s/chip)
+  4. scattered      -> RCM reorder, then re-route the permuted matrix
+                       through 2-3 (returns the permutation for vector
+                       encode/decode)
+  5. everything else-> EllMatrix          (XLA gather; correct but slow)
+
+The returned ``OperatorRoute`` records the decision and carries the
+permutation (identity passthrough when none), so eigenvectors map back
+with ``route.restore(V)`` regardless of which branch fired.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ca_lanczos_tpu.ops.pell import PellMatrix
+from ca_lanczos_tpu.ops.spmv import DenseMatrix, DiaMatrix, EllMatrix
+
+Routable = Union[DenseMatrix, DiaMatrix, EllMatrix, PellMatrix]
+
+
+def dia_from_scipy(
+    a,
+    max_diags: int = 64,
+    waste_cap: float = 8.0,
+    dtype=None,
+) -> Optional[DiaMatrix]:
+    """Build DIA storage from a scipy matrix when it is diagonal-sparse.
+
+    Returns None unless the matrix lives on <= ``max_diags`` distinct
+    diagonals AND the dense-plane padding waste ``len(offsets) * n`` stays
+    within ``waste_cap`` x nnz (DIA stores every diagonal densely; the
+    fused kernel's ~14x throughput edge over PELL makes moderate waste a
+    win, but unbounded waste would just stream zeros).  Vectorized
+    O(nnz log nnz) — corpus-scale safe, unlike the per-entry loop in
+    ``utils.reorder.rcm_reorder``.
+
+    Plane convention (ops/spmv.py DiaMatrix): data[k, i] = A[i, i + off_k].
+    """
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(a)
+    coo.sum_duplicates()
+    n = coo.shape[0]
+    if coo.shape[0] != coo.shape[1]:
+        raise ValueError("square matrices only")
+    if dtype is None:
+        dtype = np.float64 if coo.data.dtype == np.float64 else np.float32
+    if coo.nnz == 0:
+        return DiaMatrix(data=jnp.zeros((1, n), dtype), offsets=(0,))
+    offs_e = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+    offsets = np.unique(offs_e)
+    if len(offsets) > max_diags or len(offsets) * n > waste_cap * coo.nnz:
+        return None
+    data = np.zeros((len(offsets), n), dtype)
+    k = np.searchsorted(offsets, offs_e)
+    data[k, coo.row] = coo.data.astype(dtype)
+    return DiaMatrix(
+        data=jnp.asarray(data), offsets=tuple(int(d) for d in offsets)
+    )
+
+
+@dataclasses.dataclass
+class OperatorRoute:
+    """Record of a ``make_operator`` decision.
+
+    perm is new_index -> old_index (as in utils.reorder.Reordering);
+    None means no reordering was applied and apply/restore are identity.
+    """
+
+    format: str  # "dense" | "dia" | "pell" | "ell"
+    perm: Optional[np.ndarray]
+    notes: List[str]
+    nnz: int
+    bandwidth_before: Optional[int] = None
+    bandwidth_after: Optional[int] = None
+
+    def apply(self, x) -> np.ndarray:
+        """Map original-order vectors/multivectors into operator order."""
+        x = np.asarray(x)
+        return x if self.perm is None else x[self.perm]
+
+    def restore(self, x) -> np.ndarray:
+        """Map operator-order vectors/multivectors back to original order."""
+        x = np.asarray(x)
+        if self.perm is None:
+            return x
+        out = np.empty_like(x)
+        out[self.perm] = x
+        return out
+
+
+def _route_csr(
+    csr,
+    notes: List[str],
+    *,
+    max_diags: int,
+    dia_waste_cap: float,
+    tile: int,
+    encoding: str,
+    max_windows: int,
+    sw: Optional[int],
+) -> Tuple[Optional[Routable], str]:
+    A = dia_from_scipy(csr, max_diags=max_diags, waste_cap=dia_waste_cap)
+    if A is not None:
+        return A, "dia"
+    try:
+        A = PellMatrix.from_scipy(
+            csr, tile=tile, encoding=encoding, max_windows=max_windows, sw=sw
+        )
+        return A, "pell"
+    except ValueError as e:  # window overflow
+        notes.append(f"pell rejected: {e}")
+        return None, ""
+
+
+def make_operator(
+    a,
+    *,
+    prefer: str = "auto",
+    dense_cutoff: int = 2048,
+    max_diags: int = 64,
+    dia_waste_cap: float = 8.0,
+    tile: int = 1024,
+    encoding: str = "auto",
+    max_windows: int = 16,
+    sw: Optional[int] = None,
+    allow_reorder: bool = True,
+    allow_ell_fallback: bool = True,
+) -> Tuple[Routable, OperatorRoute]:
+    """Route any square scipy.sparse / dense matrix to a TPU operator.
+
+    prefer: "auto" routes per the module docstring; "dense" / "dia" /
+    "pell" / "ell" force that format (dia raises if the matrix does not
+    qualify under ``max_diags`` / ``dia_waste_cap``).
+
+    Returns (operator, route).  When routing reordered the matrix
+    (route.perm is not None) the caller must run the solver on
+    ``route.apply(r0)`` and map Ritz vectors back with
+    ``route.restore(V)``; eigenVALUES are permutation-invariant.
+    """
+    import scipy.sparse as sp
+
+    if sp.issparse(a):
+        csr = sp.csr_matrix(a)
+    else:
+        csr = sp.csr_matrix(np.asarray(a))
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError("square matrices only")
+    csr.sum_duplicates()
+    csr.sort_indices()
+    n = csr.shape[0]
+    nnz = int(csr.nnz)
+    notes: List[str] = []
+
+    if prefer == "dense" or (prefer == "auto" and n <= dense_cutoff):
+        dtype = np.float64 if csr.dtype == np.float64 else np.float32
+        A = DenseMatrix(a=jnp.asarray(csr.toarray().astype(dtype)))
+        notes.append(f"n={n} <= dense_cutoff={dense_cutoff}"
+                     if prefer == "auto" else "forced dense")
+        return A, OperatorRoute("dense", None, notes, nnz)
+    if prefer == "dia":
+        A = dia_from_scipy(csr, max_diags=max_diags, waste_cap=dia_waste_cap)
+        if A is None:
+            raise ValueError(
+                f"matrix does not qualify for DIA (max_diags={max_diags},"
+                f" waste_cap={dia_waste_cap})"
+            )
+        return A, OperatorRoute("dia", None, ["forced dia"], nnz)
+    if prefer == "pell":
+        A = PellMatrix.from_scipy(
+            csr, tile=tile, encoding=encoding, max_windows=max_windows, sw=sw
+        )
+        return A, OperatorRoute("pell", None, ["forced pell"], nnz)
+    if prefer == "ell":
+        return (
+            EllMatrix.from_scipy(csr),
+            OperatorRoute("ell", None, ["forced ell"], nnz),
+        )
+    if prefer != "auto":
+        raise ValueError(f"unknown prefer={prefer!r}")
+
+    kw = dict(
+        max_diags=max_diags,
+        dia_waste_cap=dia_waste_cap,
+        tile=tile,
+        encoding=encoding,
+        max_windows=max_windows,
+        sw=sw,
+    )
+    A, fmt = _route_csr(csr, notes, **kw)
+    if A is not None:
+        return A, OperatorRoute(fmt, None, notes, nnz)
+
+    bw_before = bw_after = None
+    if allow_reorder and nnz:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        perm = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
+        csr_p = csr[perm][:, perm].tocsr()
+        csr_p.sort_indices()
+        coo0, coo1 = csr.tocoo(), csr_p.tocoo()
+        bw_before = int(np.max(np.abs(coo0.row - coo0.col)))
+        bw_after = int(np.max(np.abs(coo1.row - coo1.col)))
+        notes.append(f"rcm: bandwidth {bw_before} -> {bw_after}")
+        A, fmt = _route_csr(csr_p, notes, **kw)
+        if A is not None:
+            return A, OperatorRoute(
+                fmt, perm, notes, nnz, bw_before, bw_after
+            )
+        if allow_ell_fallback:
+            notes.append("ell fallback (XLA gather path — slow on TPU)")
+            return (
+                EllMatrix.from_scipy(csr_p),
+                OperatorRoute("ell", perm, notes, nnz, bw_before, bw_after),
+            )
+    if allow_ell_fallback:
+        notes.append("ell fallback (XLA gather path — slow on TPU)")
+        return (
+            EllMatrix.from_scipy(csr),
+            OperatorRoute("ell", None, notes, nnz, bw_before, bw_after),
+        )
+    raise ValueError(
+        "no TPU-fast format fits this sparsity and fallbacks are disabled: "
+        + "; ".join(notes)
+    )

@@ -590,6 +590,13 @@ def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
                 cur_units.append(u)
                 cur_chunks += cset
             else:
+                if not cur_units or not _cover2(cset):
+                    # A single unit whose own chunk spread exceeds the
+                    # two 4-row windows (a >=3-gap-free cluster wider
+                    # than 8 chunks) cannot be grouped at all — fall
+                    # back to the unit encoding rather than emit an
+                    # empty slot-tile.
+                    return None
                 btiles.append((cur_units, cur_chunks))
                 cur_units, cur_chunks = [u], cset
         btiles.append((cur_units, cur_chunks))

@@ -1,0 +1,177 @@
+"""make_operator routing: every branch lands the right format and the
+routed operator multiplies like the original matrix (reference seam:
+SpMV.m:1-9 takes arbitrary sparse input; the corpus harness feeds it
+SuiteSparse structure)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from ca_lanczos_tpu.ops.formats import (
+    OperatorRoute,
+    dia_from_scipy,
+    make_operator,
+)
+from ca_lanczos_tpu.ops.spmv import DenseMatrix, DiaMatrix, EllMatrix
+from ca_lanczos_tpu.ops.pell import PellMatrix
+
+
+def _matvec_parity(A, csr, rtol=1e-5, atol=1e-6, perm=None):
+    n = csr.shape[0]
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n)
+    want = csr @ x
+    x_op = x if perm is None else x[perm]
+    got = np.asarray(A.matvec(jnp.asarray(x_op, A.dtype)))
+    if perm is not None:
+        out = np.empty_like(got)
+        out[perm] = got
+        got = out
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
+def tridiag(n, lo=-1.0, di=2.0, hi=-1.0):
+    o = np.ones(n)
+    return sp.diags([lo * o[:-1], di * o, hi * o[:-1]], [-1, 0, 1]).tocsr()
+
+
+class TestDiaFromScipy:
+    def test_planes_match_dense(self):
+        n = 300
+        a = tridiag(n)
+        A = dia_from_scipy(a)
+        assert isinstance(A, DiaMatrix)
+        np.testing.assert_allclose(np.asarray(A.to_dense()), a.toarray())
+
+    def test_rejects_scatter(self):
+        n = 4096
+        rng = np.random.default_rng(0)
+        rows = np.repeat(np.arange(n), 4)
+        cols = rng.integers(0, n, rows.shape)
+        a = sp.csr_matrix((np.ones(rows.shape), (rows, cols)), (n, n))
+        assert dia_from_scipy(a) is None  # ~16k distinct offsets
+
+    def test_waste_cap(self):
+        # 3 diagonals but only the main one populated beyond a few entries
+        n = 1024
+        a = sp.lil_matrix((n, n))
+        a.setdiag(np.ones(n))
+        a[0, 5] = 1.0
+        a[7, 2] = 1.0
+        # offsets {-5, 0, 5}: 3n planes vs nnz = n + 2
+        assert dia_from_scipy(a.tocsr(), waste_cap=2.0) is None
+        assert dia_from_scipy(a.tocsr(), waste_cap=4.0) is not None
+
+
+class TestMakeOperator:
+    def test_dense_cutoff(self):
+        a = tridiag(256)
+        A, route = make_operator(a)
+        assert isinstance(A, DenseMatrix) and route.format == "dense"
+        _matvec_parity(A, a)
+
+    def test_banded_to_dia(self):
+        a = tridiag(5000)
+        A, route = make_operator(a)
+        assert isinstance(A, DiaMatrix) and route.format == "dia"
+        assert route.perm is None
+        _matvec_parity(A, a)
+
+    def test_scattered_band_to_pell(self):
+        # 8 nnz/row scattered in a wide band: too many distinct offsets
+        # for DIA, single PELL window
+        n = 8192
+        rng = np.random.default_rng(1)
+        rows = np.repeat(np.arange(n), 8)
+        cols = np.clip(rows + rng.integers(-512, 512, rows.shape), 0, n - 1)
+        a = sp.csr_matrix(
+            (rng.standard_normal(rows.shape), (rows, cols)), (n, n)
+        )
+        a.sum_duplicates()
+        A, route = make_operator(a)
+        assert isinstance(A, PellMatrix) and route.format == "pell"
+        _matvec_parity(A, a, rtol=1e-4, atol=1e-5)
+
+    def test_hidden_band_reordered(self):
+        # randomly permuted banded matrix: scattered as given, banded
+        # under RCM — the route must reorder and still multiply right
+        n = 6144
+        band = tridiag(n) + sp.diags(
+            [np.ones(n - 3), np.ones(n - 3)], [-3, 3]
+        )
+        rng = np.random.default_rng(2)
+        p = rng.permutation(n)
+        scat = sp.csr_matrix(band.tocsr()[p][:, p])
+        A, route = make_operator(scat, max_windows=2, sw=1024)
+        assert route.perm is not None
+        assert route.format in ("dia", "pell")
+        assert route.bandwidth_after < route.bandwidth_before
+        _matvec_parity(A, scat, perm=route.perm)
+
+    def test_apply_restore_roundtrip(self):
+        route = OperatorRoute(
+            "dia", np.asarray([2, 0, 1, 3]), [], 4
+        )
+        v = np.arange(8.0).reshape(4, 2)
+        np.testing.assert_array_equal(route.restore(route.apply(v)), v)
+        ident = OperatorRoute("dia", None, [], 4)
+        np.testing.assert_array_equal(ident.apply(v), v)
+        np.testing.assert_array_equal(ident.restore(v), v)
+
+    def test_ell_fallback_and_disable(self):
+        # uniform random scatter: RCM cannot band it -> ELL fallback
+        n = 4096
+        rng = np.random.default_rng(4)
+        rows = np.repeat(np.arange(n), 3)
+        cols = rng.integers(0, n, rows.shape)
+        a = sp.csr_matrix((np.ones(rows.shape), (rows, cols)), (n, n))
+        a = (a + a.T).tocsr()  # symmetric so RCM is meaningful
+        a.sum_duplicates()
+        A, route = make_operator(a, max_windows=2, sw=1024)
+        assert isinstance(A, EllMatrix) and route.format == "ell"
+        assert any("fallback" in s for s in route.notes)
+        _matvec_parity(A, a, perm=route.perm)
+        with pytest.raises(ValueError):
+            make_operator(
+                a, max_windows=2, sw=1024, allow_ell_fallback=False
+            )
+
+    def test_prefer_forced(self):
+        a = tridiag(3000)
+        A, route = make_operator(a, prefer="ell")
+        assert isinstance(A, EllMatrix)
+        _matvec_parity(A, a)
+        A, route = make_operator(a, prefer="dense")
+        assert isinstance(A, DenseMatrix)
+        with pytest.raises(ValueError):
+            make_operator(a, prefer="nope")
+
+    def test_eigensolve_through_route(self):
+        # end to end: routed operator (reordered branch) feeds the CA
+        # driver; Ritz values match the original matrix's spectrum
+        n = 3072
+        d = np.linspace(1.0, 2.0, n)
+        d[-1] = 3.0
+        band = sp.diags([d, 0.01 * np.ones(n - 1), 0.01 * np.ones(n - 1)],
+                        [0, -1, 1]).tocsr()
+        rng = np.random.default_rng(5)
+        p = rng.permutation(n)
+        scat = sp.csr_matrix(band[p][:, p])
+        A, route = make_operator(scat, max_windows=1, sw=1024)
+        assert route.perm is not None
+        from ca_lanczos_tpu.config import Basis, Orth
+        from ca_lanczos_tpu.solvers.ca_lanczos import ca_lanczos
+
+        r0 = route.apply(rng.standard_normal(n))
+        res = ca_lanczos(
+            A, jnp.asarray(r0, A.dtype), 4, 24,
+            basis=Basis.MONOMIAL, orth=Orth.FULL,
+        )
+        T = np.asarray(res.T)
+        top = np.max(np.linalg.eigvalsh((T + T.T) / 2))
+        from scipy.sparse.linalg import eigsh
+
+        oracle = eigsh(band, k=1, which="LA", return_eigenvectors=False)[0]
+        assert abs(top - oracle) < 1e-8

@@ -278,3 +278,21 @@ class TestPellInSolvers:
         d_p = np.sort(np.linalg.eigvalsh(res_p.T))
         d_d = np.sort(np.linalg.eigvalsh(res_d.T))
         np.testing.assert_allclose(d_p, d_d, rtol=1e-9, atol=1e-9)
+
+
+class TestGroupedFallback:
+    def test_wide_cluster_falls_back_to_unit(self):
+        """A single row touching a contiguous >8-chunk cluster cannot be
+        grouped (two spread-4 windows max); encoding='auto' must fall
+        back to the unit encoding, not crash (round-2 regression: the
+        grouped packer emitted an empty slot-tile and IndexError'd)."""
+        n = 2048
+        a = sp.lil_matrix((n, n))
+        a.setdiag(2.0 * np.ones(n))
+        a[5, 100:100 + 10 * 128:1] = 1.0  # 10 consecutive chunks in row 5
+        csr = sp.csr_matrix(a)
+        A = PellMatrix.from_scipy(csr, tile=256, encoding="auto")
+        assert A.enc == "unit"
+        x = np.random.default_rng(0).standard_normal(n)
+        got = np.asarray(pell_apply(A, jnp.asarray(x, jnp.float32), interpret=True))
+        np.testing.assert_allclose(got, csr @ x, rtol=1e-5, atol=1e-5)
