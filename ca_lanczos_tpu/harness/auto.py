@@ -25,7 +25,6 @@ import numpy as np
 
 from ca_lanczos_tpu.config import LanczosConfig
 from ca_lanczos_tpu.harness.matrix_info import recommend_solver
-from ca_lanczos_tpu.ops.spmv import Operator
 
 
 @dataclasses.dataclass
@@ -36,6 +35,7 @@ class AutoResult:
     n_restarts: int
     solver: str  # driver that produced the result
     escalated: bool  # True when the first-choice driver failed
+    route: Optional[object] = None  # OperatorRoute when A was raw input
 
 
 def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig):
@@ -55,17 +55,33 @@ def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig):
 
 
 def solve_auto(
-    A: Operator,
+    A,
     r,
     max_lanczos: int,
     cfg: Optional[LanczosConfig] = None,
     probe_steps: int = 40,
+    **route_kwargs,
 ) -> AutoResult:
     """Solve for ``cfg.n_wanted`` extreme eigenpairs, escalating between
     the explicit-restart and implicitly-restarted drivers until one
     converges (see module docstring).  Both drivers see the same budget
-    (``max_lanczos`` basis vectors per cycle, ``cfg.max_restarts``)."""
+    (``max_lanczos`` basis vectors per cycle, ``cfg.max_restarts``).
+
+    ``A`` may be a framework Operator, OR any square scipy.sparse /
+    dense matrix — raw input is routed to the fastest TPU format via
+    ``ops.formats.make_operator`` (``route_kwargs`` forwarded); when the
+    route reorders, ``r`` is encoded and ``Q_conv`` decoded here, so the
+    caller never sees the permutation (result.route records it)."""
+    import jax.numpy as jnp
+
     cfg = cfg or LanczosConfig()
+    route = None
+    # framework operators (incl. PellMatrix) are duck-typed on .matvec
+    if not hasattr(A, "matvec"):
+        from ca_lanczos_tpu.ops.formats import make_operator
+
+        A, route = make_operator(A, **route_kwargs)
+        r = jnp.asarray(route.apply(r), A.dtype)
     rec = recommend_solver(A, n_wanted=cfg.n_wanted, probe_steps=probe_steps)
     first = rec["driver"]
     second = (
@@ -82,11 +98,15 @@ def solve_auto(
             np.atleast_1d(res.eigs)
         ):
             res, solver, escalated = res2, second, True
+    Q = res.Q_conv
+    if route is not None and route.perm is not None and Q is not None:
+        Q = route.restore(Q)
     return AutoResult(
         eigs=np.asarray(res.eigs),
-        Q_conv=res.Q_conv,
+        Q_conv=Q,
         converged=bool(res.converged),
         n_restarts=int(res.n_restarts),
         solver=solver,
         escalated=escalated,
+        route=route,
     )

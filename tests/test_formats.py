@@ -175,3 +175,37 @@ class TestMakeOperator:
 
         oracle = eigsh(band, k=1, which="LA", return_eigenvectors=False)[0]
         assert abs(top - oracle) < 1e-8
+
+    def test_solve_auto_raw_scipy(self):
+        # the one-call production path: raw scattered scipy matrix in,
+        # eigenpairs in ORIGINAL ordering out (Q_conv decoded through
+        # the route's permutation)
+        n = 3072
+        d = np.linspace(1.0, 2.0, n)
+        d[-3:] = [3.0, 3.5, 4.0]
+        band = sp.diags([d, 0.01 * np.ones(n - 1), 0.01 * np.ones(n - 1)],
+                        [0, -1, 1]).tocsr()
+        rng = np.random.default_rng(6)
+        p = rng.permutation(n)
+        scat = sp.csr_matrix(band[p][:, p])
+
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness.auto import solve_auto
+
+        res = solve_auto(
+            scat, rng.standard_normal(n), 48,
+            LanczosConfig(n_wanted=3),
+            max_windows=1, sw=1024,
+        )
+        assert res.converged and res.route is not None
+        assert res.route.perm is not None
+        # residuals in the ORIGINAL (scat) ordering: each decoded Ritz
+        # vector must be an eigenvector of the ORIGINAL matrix (Rayleigh
+        # quotient residual — robust to column/eig ordering)
+        Q = np.asarray(res.Q_conv)
+        for j in range(Q.shape[1]):
+            q = Q[:, j] / np.linalg.norm(Q[:, j])
+            lam = q @ (scat @ q)
+            r = scat @ q - lam * q
+            assert np.linalg.norm(r) < 1e-6, (j, lam)
+        assert np.max(np.asarray(res.eigs)) > 3.9  # found the 4.0 pair
