@@ -8,6 +8,8 @@ Commands:
   sweep        — restarted CA-Lanczos (s, orth) sweep over a matrix set
   info         — corpus metadata (get_matrix_info.m analogue)
   scaling      — weak-scaling sweep of the distributed matrix-powers kernel
+  solve        — one-call production eigensolve: .mtx in, eigenvalues out
+                 (format routing + driver escalation, harness.solve_auto)
 """
 
 from __future__ import annotations
@@ -63,6 +65,31 @@ def main(argv=None):
 
     p = sub.add_parser("info", help="matrix metadata")
     p.add_argument("--mtx", nargs="*", default=[])
+    _add_common(p)
+
+    p = sub.add_parser(
+        "solve",
+        help="route a matrix to the fastest TPU format and solve for "
+        "extreme eigenpairs, escalating drivers until converged",
+    )
+    p.add_argument("--mtx", default=None, help=".mtx file (default: a synthetic spectrum)")
+    p.add_argument("--n", type=int, default=2000, help="synthetic matrix size")
+    p.add_argument("--cond", type=float, default=1e2, help="synthetic condition number")
+    p.add_argument("--n-wanted", type=int, default=10)
+    p.add_argument("--s", type=int, default=6)
+    p.add_argument("--orth", default="full",
+                   choices=["local", "full", "periodic", "selective"])
+    p.add_argument("--basis", default="newton", choices=["newton", "monomial"])
+    p.add_argument("--tol", type=float, default=1e-10)
+    p.add_argument("--max-lanczos", type=int, default=60)
+    p.add_argument("--max-restarts", type=int, default=200)
+    p.add_argument("--prefer", default="auto",
+                   choices=["auto", "dense", "dia", "pell", "ell"])
+    p.add_argument("--max-windows", type=int, default=16)
+    p.add_argument("--sw", type=int, default=None, help="PELL window width")
+    p.add_argument("--no-reorder", action="store_true",
+                   help="disable the RCM reorder-and-retry branch")
+    p.add_argument("--seed", type=int, default=0)
     _add_common(p)
 
     p = sub.add_parser("scaling", help="weak-scaling sweep on the local mesh")
@@ -124,6 +151,51 @@ def main(argv=None):
         else:
             recs = [matrix_info(diag_spectrum(1000, 1.0, 1e2), "diag_1e2")]
         _emit(recs, args.out)
+
+    elif args.cmd == "solve":
+        import numpy as np
+        import scipy.sparse as sp
+
+        from ca_lanczos_tpu.config import Basis, LanczosConfig, Orth
+        from ca_lanczos_tpu.harness.auto import solve_auto
+
+        if args.mtx:
+            from ca_lanczos_tpu.utils.mmio import load_mtx
+
+            ri, ci, vi, (rows, cols) = load_mtx(args.mtx)
+            if rows != cols:
+                raise SystemExit(f"{args.mtx}: square matrices only")
+            a = sp.csr_matrix((vi, (ri, ci)), shape=(rows, cols))
+            name = args.mtx
+        else:
+            d = np.linspace(1.0, args.cond, args.n)
+            a = sp.diags(d).tocsr()
+            name = f"synthetic diag n={args.n} cond={args.cond:g}"
+        cfg = LanczosConfig(
+            n_wanted=args.n_wanted, s=args.s,
+            orth=Orth[args.orth.upper()], basis=Basis[args.basis.upper()],
+            tol=args.tol, max_restarts=args.max_restarts,
+        )
+        rng = np.random.default_rng(args.seed)
+        res = solve_auto(
+            a, rng.standard_normal(a.shape[0]), args.max_lanczos, cfg,
+            prefer=args.prefer, max_windows=args.max_windows, sw=args.sw,
+            allow_reorder=not args.no_reorder,
+        )
+        rec = {
+            "matrix": name,
+            "n": int(a.shape[0]),
+            "nnz": int(a.nnz),
+            "format": res.route.format if res.route else None,
+            "reordered": bool(res.route and res.route.perm is not None),
+            "route_notes": res.route.notes if res.route else [],
+            "solver": res.solver,
+            "escalated": res.escalated,
+            "converged": res.converged,
+            "n_restarts": res.n_restarts,
+            "eigs": [float(v) for v in np.sort(np.asarray(res.eigs))[::-1]],
+        }
+        _emit([rec], args.out)
 
     elif args.cmd == "scaling":
         import jax

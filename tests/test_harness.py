@@ -238,3 +238,28 @@ class TestRcmReorder:
         assert res.converged
         exact = np.sort(np.linalg.eigvalsh(band.toarray()))[::-1][:4]
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-7)
+
+
+class TestSolveCli:
+    def test_solve_mtx_end_to_end(self, tmp_path):
+        """python -m ca_lanczos_tpu solve --mtx <file>: loader -> router ->
+        escalating drivers -> JSON record (the reference user's "give me
+        eigenvalues of this Matrix Market file" path)."""
+        import json
+
+        from ca_lanczos_tpu.__main__ import main
+
+        n = 400
+        d = np.linspace(1.0, 50.0, n)
+        a = sp.diags([d, 0.05 * np.ones(n - 1), 0.05 * np.ones(n - 1)],
+                     [0, -1, 1])
+        path = str(tmp_path / "band.mtx")
+        save_mtx(path, a)
+        out = str(tmp_path / "rec.json")
+        rc = main(["solve", "--mtx", path, "--n-wanted", "4",
+                   "--max-lanczos", "32", "--s", "4", "--out", out])
+        assert rc == 0
+        rec = json.loads(open(out).read().strip())
+        assert rec["converged"] and rec["n"] == n
+        exact = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:4]
+        np.testing.assert_allclose(rec["eigs"][:4], exact, rtol=1e-7)
