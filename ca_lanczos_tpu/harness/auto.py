@@ -38,8 +38,20 @@ class AutoResult:
     route: Optional[object] = None  # OperatorRoute when A was raw input
 
 
-def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig):
+def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig,
+         engine: str = "host"):
     if solver == "restarted_ca_lanczos":
+        if engine == "fused":
+            from ca_lanczos_tpu.solvers.fused_restarted import (
+                fused_restarted_ca_lanczos,
+            )
+
+            return fused_restarted_ca_lanczos(
+                A, r, max_lanczos,
+                n_wanted=cfg.n_wanted, s=cfg.s, basis=cfg.basis,
+                tol=cfg.tol, max_restarts=cfg.max_restarts,
+                mixed_precision=cfg.orth_params.mixed_precision,
+            )
         from ca_lanczos_tpu.solvers.restarted import restarted_ca_lanczos
 
         return restarted_ca_lanczos(A, r, max_lanczos, cfg)
@@ -60,6 +72,7 @@ def solve_auto(
     max_lanczos: int,
     cfg: Optional[LanczosConfig] = None,
     probe_steps: int = 40,
+    engine: str = "host",
     **route_kwargs,
 ) -> AutoResult:
     """Solve for ``cfg.n_wanted`` extreme eigenpairs, escalating between
@@ -71,7 +84,13 @@ def solve_auto(
     dense matrix — raw input is routed to the fastest TPU format via
     ``ops.formats.make_operator`` (``route_kwargs`` forwarded); when the
     route reorders, ``r`` is encoded and ``Q_conv`` decoded here, so the
-    caller never sees the permutation (result.route records it)."""
+    caller never sees the permutation (result.route records it).
+
+    ``engine="fused"`` runs the explicit-restart leg as the one-XLA-call
+    ``fused_restarted_ca_lanczos`` (production single-chip TPU config:
+    Pallas powers kernel auto-selected, mixed precision per
+    ``cfg.orth_params.mixed_precision``); the IRL escalation leg stays
+    on the host driver either way."""
     import jax.numpy as jnp
 
     cfg = cfg or LanczosConfig()
@@ -89,11 +108,11 @@ def solve_auto(
         if first == "restarted_ca_lanczos"
         else "restarted_ca_lanczos"
     )
-    res = _run(first, A, r, max_lanczos, cfg)
+    res = _run(first, A, r, max_lanczos, cfg, engine)
     escalated = False
     solver = first
     if not res.converged:
-        res2 = _run(second, A, r, max_lanczos, cfg)
+        res2 = _run(second, A, r, max_lanczos, cfg, engine)
         if res2.converged or len(np.atleast_1d(res2.eigs)) > len(
             np.atleast_1d(res.eigs)
         ):
