@@ -12,7 +12,13 @@ from ca_lanczos_tpu.parallel.dist_orth import (
     local_project,
     local_norm,
 )
-from ca_lanczos_tpu.parallel.step import dist_first_block, dist_ca_block, newton_coeffs
+from ca_lanczos_tpu.parallel.step import (
+    dist_first_block,
+    dist_ca_block,
+    newton_coeffs,
+    partition_operator,
+)
+from ca_lanczos_tpu.parallel.auto import dist_solve_auto, route_dist_operator
 from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos, dist_lanczos, DistCaLanczosResult
 from ca_lanczos_tpu.parallel.dist_ell import DistEll, dist_ell_matrix_powers
 from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
@@ -38,6 +44,9 @@ __all__ = [
     "dist_first_block",
     "dist_ca_block",
     "newton_coeffs",
+    "partition_operator",
+    "dist_solve_auto",
+    "route_dist_operator",
     "dist_ca_lanczos",
     "dist_lanczos",
     "DistCaLanczosResult",

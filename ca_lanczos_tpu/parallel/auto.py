@@ -1,0 +1,168 @@
+"""Distributed one-call eigensolve: raw matrix -> routed dist drivers.
+
+The single-chip production entry (harness.auto.solve_auto) routes any
+scipy matrix to the fastest operator format and escalates between the
+explicit-restart and implicitly-restarted drivers; this module is its
+multi-chip counterpart over a ``('rows',)`` mesh.  Routing differs from
+the single-chip case because the distributed operators are row-sharded
+with s-deep matrix halos (parallel.distributed:1-19): the halo design
+requires BOUNDED column spread (|col - row| <= bw with s*bw < rows per
+shard), so the route is
+
+  1. diagonal-sparse      -> DistDia   (fused Pallas local step)
+  2. bounded bandwidth    -> DistPell when each shard's padded window
+                             PELL-encodes (Pallas gather local step),
+                             else DistEll (XLA gather — slow but correct)
+  3. unbounded spread     -> RCM reorder, then 1-2 on the permuted
+                             matrix (route.perm carries the decode)
+
+Reference seam: the corpus harness drives one solver over arbitrary
+SuiteSparse sparsity (test_restarted_ca_lanczos_all_matrices.m:6-14,59);
+the MATLAB reference has no distribution layer at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ca_lanczos_tpu.config import LanczosConfig
+from ca_lanczos_tpu.harness.auto import AutoResult
+from ca_lanczos_tpu.ops.formats import OperatorRoute, dia_from_scipy
+from ca_lanczos_tpu.ops.spmv import DiaMatrix, EllMatrix
+
+
+def route_dist_operator(
+    a,
+    mesh,
+    s_max: int,
+    *,
+    max_diags: int = 64,
+    dia_waste_cap: float = 8.0,
+    allow_reorder: bool = True,
+) -> Tuple[object, str, OperatorRoute]:
+    """Route a square scipy/dense matrix for row-sharded distribution.
+
+    Returns (host_operator, dist_format, route): the host operator to
+    hand a dist driver, the ``dist_format`` string to pass along
+    ("dia" is implied by a DiaMatrix; "pell"/"ell" select the shard-
+    local kernel for an EllMatrix carrier), and the OperatorRoute
+    (perm is None unless RCM fired).
+
+    Feasibility rule: the halo design needs s_max * bandwidth < rows
+    per shard; matrices violating it are RCM-reordered, and a matrix
+    neither form can host raises ValueError.
+    """
+    import scipy.sparse as sp
+
+    P_ = int(mesh.devices.size)
+    csr = sp.csr_matrix(a) if sp.issparse(a) else sp.csr_matrix(np.asarray(a))
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError("square matrices only")
+    csr.sum_duplicates()
+    csr.sort_indices()
+    n = csr.shape[0]
+    nnz = int(csr.nnz)
+    n_local = -(-n // P_)
+    notes = []
+
+    def _try(csr_x):
+        A = dia_from_scipy(csr_x, max_diags=max_diags, waste_cap=dia_waste_cap)
+        coo = csr_x.tocoo()
+        bw = int(np.max(np.abs(coo.row - coo.col))) if nnz else 0
+        if A is not None and s_max * bw < n_local:
+            return A, "dia", bw
+        if s_max * bw < n_local:
+            E = EllMatrix.from_scipy(csr_x)
+            # DistPell re-encodes per shard; probe feasibility with a
+            # host-only encode of the full matrix (same window logic).
+            from ca_lanczos_tpu.ops.pell import PellMatrix
+
+            try:
+                PellMatrix.from_scipy(csr_x, device=False)
+                return E, "pell", bw
+            except ValueError as e:
+                notes.append(f"pell rejected: {e}")
+                return E, "ell", bw
+        return None, "", bw
+
+    A, fmt, bw0 = _try(csr)
+    if A is not None:
+        notes.append(f"bandwidth {bw0} fits {P_}-shard halo (s_max={s_max})")
+        return A, fmt, OperatorRoute(fmt, None, notes, nnz, bw0, bw0)
+    if not allow_reorder:
+        raise ValueError(
+            f"bandwidth {bw0}: s_max*bw >= {n_local} rows/shard and "
+            "reordering is disabled"
+        )
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    perm = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
+    csr_p = csr[perm][:, perm].tocsr()
+    csr_p.sort_indices()
+    A, fmt, bw1 = _try(csr_p)
+    notes.append(f"rcm: bandwidth {bw0} -> {bw1}")
+    if A is None:
+        raise ValueError(
+            f"matrix cannot be row-sharded over {P_} devices: RCM "
+            f"bandwidth {bw1} still needs halo {s_max * bw1} >= "
+            f"{n_local} rows/shard (lower s, use fewer shards, or run "
+            "the single-chip route)"
+        )
+    return A, fmt, OperatorRoute(fmt, perm, notes, nnz, bw0, bw1)
+
+
+def dist_solve_auto(
+    a,
+    r,
+    max_lanczos: int,
+    mesh,
+    cfg: Optional[LanczosConfig] = None,
+    **route_kwargs,
+) -> AutoResult:
+    """Multi-chip solve_auto: route ``a`` for distribution, run the
+    distributed explicit-restart flagship, escalate to the distributed
+    IRL driver when unconverged at the budget (same escalation contract
+    as harness.auto.solve_auto; Q_conv decoded through any RCM perm)."""
+    from ca_lanczos_tpu.parallel.dist_irl import dist_impl_restarted_ca_lanczos
+    from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+    cfg = cfg or LanczosConfig()
+    route = None
+    dist_format = "auto"
+    if not hasattr(a, "matvec"):
+        a, dist_format, route = route_dist_operator(
+            a, mesh, cfg.s, **route_kwargs
+        )
+        r = route.apply(r)
+
+    res = dist_restarted_ca_lanczos(
+        a, r, max_lanczos, mesh, cfg, dist_format=dist_format
+    )
+    solver, escalated = "dist_restarted_ca_lanczos", False
+    if not res.converged:
+        res2 = dist_impl_restarted_ca_lanczos(
+            a, r, max_lanczos, mesh,
+            n_wanted=cfg.n_wanted, s=cfg.s, basis=cfg.basis,
+            tol=cfg.tol, max_restarts=cfg.max_restarts,
+            dist_format=dist_format,
+        )
+        if res2.converged or len(np.atleast_1d(res2.eigs)) > len(
+            np.atleast_1d(res.eigs)
+        ):
+            res, solver, escalated = (
+                res2, "dist_impl_restarted_ca_lanczos", True
+            )
+    Q = res.Q_conv
+    if route is not None and route.perm is not None and Q is not None:
+        Q = route.restore(Q)
+    return AutoResult(
+        eigs=np.asarray(res.eigs),
+        Q_conv=Q,
+        converged=bool(res.converged),
+        n_restarts=int(res.n_restarts),
+        solver=solver,
+        escalated=escalated,
+        route=route,
+    )

@@ -22,18 +22,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ca_lanczos_tpu.config import Basis
-from ca_lanczos_tpu.ops.spmv import DiaMatrix, normest
-from ca_lanczos_tpu.parallel.distributed import DistDia
+from ca_lanczos_tpu.ops.spmv import normest
 from ca_lanczos_tpu.parallel.mesh import ROWS
 from ca_lanczos_tpu.parallel.restarted import _dist_reorth
-from ca_lanczos_tpu.parallel.step import dist_ca_block, dist_first_block, newton_coeffs
+from ca_lanczos_tpu.parallel.step import (
+    dist_ca_block,
+    dist_first_block,
+    newton_coeffs,
+    partition_operator,
+)
 from ca_lanczos_tpu.solvers._block import block_T, first_block_T
 from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
 from ca_lanczos_tpu.solvers.implicitly_restarted import IRLResult, qrstep
 
 
 def dist_impl_restarted_ca_lanczos(
-    A: DiaMatrix,
+    A,
     r,
     max_lanczos: int,
     mesh: Mesh,
@@ -43,12 +47,14 @@ def dist_impl_restarted_ca_lanczos(
     tol: float = 1.0e-6,
     max_restarts: int = 40,
     qr_method: str = "tsqr",
+    dist_format: str = "auto",
 ) -> IRLResult:
     """Distributed IRL (impl_restarted_ca_lanczos.m intended design): CA
     inner iteration with a full-history cleanup pass per block (the IRL
     compression makes the retained columns dense mixtures, so local-only
     orthogonalization is insufficient — mirrors the single-chip driver's
-    orth=FULL)."""
+    orth=FULL).  A may be a DiaMatrix or an EllMatrix
+    (``dist_format="pell"`` selects the PELL Pallas local step)."""
     basis = Basis(basis)
     norm_A = normest(A)
     tol = tol * norm_A
@@ -68,7 +74,7 @@ def dist_impl_restarted_ca_lanczos(
         Bk = build_basis_matrix(A, jnp.asarray(q_host), s, basis)
     diag_np, sub_np = newton_coeffs(Bk)
 
-    Adist = DistDia.from_dia(A, mesh, s_max=s)
+    Adist = partition_operator(A, mesh, s_max=s, dist_format=dist_format)
     n, n_pad = A.n, Adist.n_shards * Adist.n_local
     q = Adist.shard_vector(q_host, mesh)
     dtype = q.dtype

@@ -104,12 +104,17 @@ def local_qr_safe(
     Deficient directions (sigma_i <= rank_tol * sigma_1; the reference
     uses 1e-8 at normalize.m:17-24, but a monomial powers block is
     legitimately 1e-8-conditioned, so true-breakdown detection here sits
-    near roundoff instead) are replaced by per-shard
-    random vectors, projected against the surviving columns with two
-    masked CGS passes, and re-orthonormalized — all at fixed shape, so
-    the jitted shard_map step recovers from breakdown without host
-    round-trips.  Returns (Q, R, rank) with the deficient columns of R
-    zeroed (randomized directions carry no component of X).
+    near roundoff instead) are counted into the returned ``rank``; the
+    RANDOMIZED basis refresh fires only on CATASTROPHIC breakdown
+    (rank <= 1, i.e. the start vector was an invariant direction).
+    Merely ill-conditioned blocks — a restart from a nearly-converged
+    Ritz vector makes sigma_min/sigma_1 ~ (residual * basis condition),
+    down to 1e-13..1e-15 — pass through unrefreshed: Householder QR
+    keeps range(X) in the leading columns and the pinv T recovery
+    regularizes the small solves, whereas a wholesale refresh would
+    destroy the Q/R pairing and wipe the cycle's refinement (observed
+    as a convergence stall at ~1e-5 residuals).
+    Returns (Q, R, rank).
     """
     m = X_local.shape[1]
     Q, R = local_qr(X_local, qr_method)
@@ -136,8 +141,8 @@ def local_qr_safe(
     # returned Q no longer pairs columnwise with R (the basis has been
     # refreshed); R is returned unchanged so callers can regularize their
     # small solves, exactly as with the reference's randomizeNullSpace.
-    any_bad = jnp.any(bad)
-    Q_out = jnp.where(any_bad, Q2, Q)
+    severe = rank <= 1  # catastrophic only — see docstring
+    Q_out = jnp.where(severe, Q2, Q)
     return Q_out, R, rank
 
 

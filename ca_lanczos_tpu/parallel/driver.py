@@ -95,17 +95,9 @@ def dist_ca_lanczos(
         Bk = monomial_basis_matrix(s)
     diag_np, sub_np = newton_coeffs(Bk)
 
-    if isinstance(A, EllMatrix):
-        if dist_format == "pell":
-            # General sparsity on the Pallas kernel (ops/pell.py) instead
-            # of the XLA gather lowering.
-            from ca_lanczos_tpu.parallel.dist_pell import DistPell
+    from ca_lanczos_tpu.parallel.step import partition_operator
 
-            Adist = DistPell.from_ell(A, mesh, s_max=s)
-        else:
-            Adist = DistEll.from_ell(A, mesh, s_max=s)
-    else:
-        Adist = DistDia.from_dia(A, mesh, s_max=s)
+    Adist = partition_operator(A, mesh, s_max=s, dist_format=dist_format)
     r = np.asarray(r)
     n = A.n
     q = Adist.shard_vector(r / np.linalg.norm(r), mesh)

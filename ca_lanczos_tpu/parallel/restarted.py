@@ -52,6 +52,10 @@ from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis
 from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_converged
 
 
+# Lockless cycles tolerated before a random restart (stagnation guard).
+_STALL_CYCLES = 5
+
+
 @partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "safe"))
 def _dist_first_block_locked(
     A, q, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr",
@@ -229,17 +233,9 @@ def dist_restarted_ca_lanczos(
         Bk = build_basis_matrix(A, jnp.asarray(q_host), s, basis)
     diag_np, sub_np = newton_coeffs(Bk)
 
-    from ca_lanczos_tpu.ops.spmv import EllMatrix
+    from ca_lanczos_tpu.parallel.step import partition_operator
 
-    if isinstance(A, EllMatrix):
-        if dist_format == "pell":
-            from ca_lanczos_tpu.parallel.dist_pell import DistPell
-
-            Adist = DistPell.from_ell(A, mesh, s_max=s)
-        else:
-            Adist = DistEll.from_ell(A, mesh, s_max=s)
-    else:
-        Adist = DistDia.from_dia(A, mesh, s_max=s)
+    Adist = partition_operator(A, mesh, s_max=s, dist_format=dist_format)
     n, n_pad = A.n, Adist.n_shards * Adist.n_local
     q = Adist.shard_vector(q_host, mesh)
     dtype = q.dtype
@@ -261,6 +257,7 @@ def dist_restarted_ca_lanczos(
     nconv = 0
     n_restarts = 0
     restart = True
+    stall = 0  # consecutive lockless cycles (see stagnation note below)
 
     if resume_from is not None:
         from ca_lanczos_tpu.utils.checkpoint import RestartCheckpoint
@@ -333,7 +330,10 @@ def dist_restarted_ca_lanczos(
             Adist, q, _proj_basis(Qconv), diag, sub, s, mesh, qr_m,
             safe=safe_qr, key=k1,
         )
-        breakdown = safe_qr and int(first_rank) < s + 1
+        # Random-restart only on catastrophic first-block breakdown (the
+        # start was an invariant direction); partial rank loss is ordinary
+        # near-convergence conditioning and the cycle is still useful.
+        breakdown = safe_qr and int(first_rank) <= 1
         blocks.append(Qb)
         # safe_qr: pinv-based T recovery keeps null directions at zero so
         # breakdown cannot fabricate plausible Ritz pairs (see _block._rdiv).
@@ -389,15 +389,28 @@ def dist_restarted_ca_lanczos(
                         y = _dist_ritz_vector(Qhist, jnp.asarray(w, dtype), mesh)
                         QRpad = QRpad.at[:, j].set(y)
 
-        # Basis of this cycle (sharded): block 0 cols 0..s-1, later blocks'
-        # new s columns each.
+        # Basis of this cycle (sharded), aligned with T's q0..q_{m-1}:
+        # block 0 contributes ALL s+1 columns (q0..qs) and later blocks
+        # their s new columns (first column repeats the previous block's
+        # last).  Dropping block 0's last column instead would shift
+        # every column >= s off by one against T — Ritz VALUES still come
+        # out right (host math on T), but Ritz vectors assembled from the
+        # shifted basis carry O(1) errors that the residual ESTIMATE
+        # beta_m*|Vp[m-1]| cannot see (round-2 regression caught by
+        # test_dist_auto's true-residual check).
         Q_cycle = jnp.concatenate(
-            [blocks[0][:, :s]] + [B[:, 1 : s + 1] for B in blocks[1:]], axis=1
+            [blocks[0]] + [B[:, 1:] for B in blocks[1:]], axis=1
         )[:, :m]
 
         d, Vp = np.linalg.eigh(T[:m, :m])
         beta_m = T[m, m - 1]
         ritz_norms = beta_m * np.abs(Vp[m - 1, :])
+        import os as _os
+        if _os.environ.get("CAL_DEBUG_DIST"):
+            _top = np.argsort(d)[::-1][:6]
+            print(f"[cycle {n_restarts}] nconv={nconv} beta_m={beta_m:.2e} "
+                  f"top d={np.round(d[_top],5)} rn={ritz_norms[_top]}",
+                  flush=True)
         k_new, d, Vp, ritz_norms = _lock_converged(
             d, Vp, ritz_norms, tol, lam_bound=1.05 * norm_A
         )
@@ -429,9 +442,19 @@ def dist_restarted_ca_lanczos(
             ]
         )
         nconv += k_new
+        # Stagnation detection (safe_qr mode only): the pinv-regularized
+        # T recovery caps how far a Ritz-vector restart can refine, so a
+        # safe run can orbit locklessly near the tolerance.  After
+        # several lockless cycles, fall back to the reference's random
+        # restart (restarted_ca_lanczos.m:204-248) instead of grinding
+        # the same near-invariant start.  Plain runs keep unlimited
+        # Ritz-refinement cycles — multi-cycle lockless stretches are
+        # ordinary there and a random restart would discard progress.
+        stall = stall + 1 if (safe_qr and k_new == 0) else 0
 
         restart = nconv < config.n_wanted
-        if restart and breakdown:
+        if restart and (breakdown or stall >= _STALL_CYCLES):
+            stall = 0
             # The cycle started on an (near-)invariant subspace: its
             # randomized T does not represent A on the refreshed columns,
             # so a Ritz restart vector would stall.  Start the next cycle
@@ -447,16 +470,25 @@ def dist_restarted_ca_lanczos(
             # (restarted_ca_lanczos.m:177-180), computed on the mesh.
             strategy = RestartStrategy(config.restart_strategy)
             cand = d[k_new:]
+            # Spectral-bound guard, same rationale as _lock_converged:
+            # safe_qr basis refreshes can leave spurious Ritz values
+            # beyond the spectrum (|d| > ||A||); restarting LARGEST onto
+            # one wastes the next cycle on a junk direction.
+            ok = np.abs(cand) <= 1.05 * norm_A
+            if not np.any(ok):
+                ok = np.ones(len(cand), bool)
             if len(cand) == 0:
                 idx = m - 1
             elif strategy == RestartStrategy.SMALLEST:
-                idx = k_new + int(np.argmin(cand))
+                idx = k_new + int(np.argmin(np.where(ok, cand, np.inf)))
             elif strategy == RestartStrategy.CLOSEST_CONV:
-                idx = k_new + int(np.argmin(ritz_norms[k_new:]))
+                idx = k_new + int(
+                    np.argmin(np.where(ok, ritz_norms[k_new:], np.inf))
+                )
             elif strategy == RestartStrategy.RANDOM:
-                idx = k_new + int(rng.integers(0, len(cand)))
+                idx = k_new + int(rng.choice(np.flatnonzero(ok)))
             else:
-                idx = k_new + int(np.argmax(cand))
+                idx = k_new + int(np.argmax(np.where(ok, cand, -np.inf)))
             q = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, idx], dtype), mesh)
             nrm = float(jnp.linalg.norm(q))
             q = q / nrm

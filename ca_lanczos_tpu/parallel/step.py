@@ -27,6 +27,31 @@ from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
 from ca_lanczos_tpu.parallel.mesh import ROWS
 
 
+def partition_operator(A, mesh: Mesh, s_max: int, dist_format: str = "auto"):
+    """Partition a host operator for row-sharded distribution.
+
+    DiaMatrix -> DistDia (fused Pallas local step when the shard shape
+    admits it); EllMatrix -> DistPell when ``dist_format="pell"`` (PELL
+    Pallas gather local step) else DistEll; an already-distributed
+    operator passes through.  Shared by every dist driver so they agree
+    on format semantics (reference seam: SpMV.m:1-9 takes any format)."""
+    from ca_lanczos_tpu.ops.spmv import DiaMatrix, EllMatrix
+
+    if isinstance(A, (DistDia, DistEll, DistPell)):
+        return A
+    if isinstance(A, EllMatrix):
+        if dist_format == "pell":
+            return DistPell.from_ell(A, mesh, s_max=s_max)
+        return DistEll.from_ell(A, mesh, s_max=s_max)
+    if isinstance(A, DiaMatrix):
+        return DistDia.from_dia(A, mesh, s_max=s_max)
+    raise TypeError(
+        f"cannot distribute operator of type {type(A).__name__}; pass a "
+        "DiaMatrix or EllMatrix (route raw matrices via "
+        "parallel.auto.route_dist_operator)"
+    )
+
+
 def _local_powers_fn(A, s: int):
     """Uniform (operand_blocks..., x_local, diag, sub) -> (n_local, s+1)
     powers closure for DistDia / DistEll / DistPell shards, plus the

@@ -328,6 +328,7 @@ def bench_hw():
     from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused, dia_flat_padded
 
     n, s = 1 << 22, 8
+    print("building operator...", flush=True)
     A = make_op(n)
     nnz = 9 * n
     rng = np.random.default_rng(1)
@@ -337,8 +338,9 @@ def bench_hw():
     W = ((s * 4 + 1023) // 1024) * 1024
     dflat = dia_flat_padded(A, W)
     x0 = jnp.asarray(x)
+    print("operator on device", flush=True)
 
-    @partial(jax.jit, static_argnames=("reps",))
+    @jax.jit
     def chain0(v, reps):
         def body(i, v):
             _, last = _dia_powers_fused(dflat, v, coefs, A.offsets, s,
@@ -350,26 +352,31 @@ def bench_hw():
     lo, hi = 5, 45
 
     def run_timed(chain, v):
-        float(chain(v, lo)); float(chain(v, hi))
+        t0 = time.perf_counter()
+        float(chain(v, jnp.int32(lo)))
+        print(f"  compiled+warm in {time.perf_counter()-t0:.0f}s", flush=True)
+        float(chain(v, jnp.int32(hi)))
         def timed(reps, trials=3):
             ts = []
             for _ in range(trials):
                 t0 = time.perf_counter()
-                float(chain(v, reps))
+                float(chain(v, jnp.int32(reps)))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
         t_lo, t_hi = timed(lo), timed(hi)
         return nnz * s * (hi - lo) / (t_hi - t_lo) / 1e9
 
+    print("compiling baseline chain...", flush=True)
     results["baseline"] = run_timed(chain0, x0)
     print(f"baseline: {results['baseline']:.1f} Gnnz/s", flush=True)
 
     for Tq in (16384, 8192):
         try:
+            print(f"encoding ilv Tq={Tq}...", flush=True)
             dfl = jnp.asarray(ilv_data_tiled(A, Tq))
             x_il = jnp.asarray(ilv_encode(x))
 
-            @partial(jax.jit, static_argnames=("reps",))
+            @jax.jit
             def chain1(v, reps, dfl=dfl, Tq=Tq):
                 def body(i, v):
                     _, last = dia_powers_ilv(dfl, v, coefs, A.offsets, s,
@@ -377,6 +384,7 @@ def bench_hw():
                     return last
                 return jnp.sum(lax.fori_loop(0, reps, body, v))
 
+            print(f"compiling ilv Tq={Tq} chain...", flush=True)
             r = run_timed(chain1, x_il)
             print(f"ilv Tq={Tq}: {r:.1f} Gnnz/s", flush=True)
             # hardware correctness spot check
