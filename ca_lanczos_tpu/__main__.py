@@ -90,6 +90,12 @@ def main(argv=None):
     p.add_argument("--no-reorder", action="store_true",
                    help="disable the RCM reorder-and-retry branch")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="solve row-sharded over an N-device ('rows',) mesh "
+        "(parallel.dist_solve_auto; on CPU this forces N virtual "
+        "devices, on a pod it uses the first N real chips)",
+    )
     _add_common(p)
 
     p = sub.add_parser("scaling", help="weak-scaling sweep on the local mesh")
@@ -99,6 +105,17 @@ def main(argv=None):
     _add_common(p)
 
     args = ap.parse_args(argv)
+
+    import os
+
+    if getattr(args, "mesh", 0) and args.platform == "cpu":
+        # Virtual devices must be requested before the CPU backend is
+        # instantiated (tests/conftest.py does the same).
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
 
     import jax
 
@@ -177,11 +194,21 @@ def main(argv=None):
             tol=args.tol, max_restarts=args.max_restarts,
         )
         rng = np.random.default_rng(args.seed)
-        res = solve_auto(
-            a, rng.standard_normal(a.shape[0]), args.max_lanczos, cfg,
-            prefer=args.prefer, max_windows=args.max_windows, sw=args.sw,
-            allow_reorder=not args.no_reorder,
-        )
+        if args.mesh:
+            from ca_lanczos_tpu.parallel import make_mesh
+            from ca_lanczos_tpu.parallel.auto import dist_solve_auto
+
+            res = dist_solve_auto(
+                a, rng.standard_normal(a.shape[0]), args.max_lanczos,
+                make_mesh(args.mesh), cfg,
+                allow_reorder=not args.no_reorder,
+            )
+        else:
+            res = solve_auto(
+                a, rng.standard_normal(a.shape[0]), args.max_lanczos, cfg,
+                prefer=args.prefer, max_windows=args.max_windows, sw=args.sw,
+                allow_reorder=not args.no_reorder,
+            )
         rec = {
             "matrix": name,
             "n": int(a.shape[0]),
