@@ -132,6 +132,85 @@ def _route_csr(
         return None, ""
 
 
+def save_operator(path: str, A: Routable, route: Optional[OperatorRoute] = None) -> None:
+    """Serialize an encoded operator (+ its route) to one ``.npz`` file.
+
+    Production encode-once/solve-many: the PELL encoder is host numpy at
+    ~8 s per 295k-row window and DIA/ELL conversion is O(nnz) — at
+    corpus scale the encodings dominate startup, so deployments encode
+    on a CPU host once and ship the planes.  Round-trips DiaMatrix /
+    EllMatrix / DenseMatrix / PellMatrix bit-exactly.
+    """
+    from ca_lanczos_tpu.ops.pell import PellMatrix as _P
+
+    arrs = {}
+    if isinstance(A, DiaMatrix):
+        arrs = dict(kind="dia", data=np.asarray(A.data),
+                    offsets=np.asarray(A.offsets, np.int64))
+    elif isinstance(A, EllMatrix):
+        arrs = dict(kind="ell", vals=np.asarray(A.vals),
+                    cols=np.asarray(A.cols))
+    elif isinstance(A, DenseMatrix):
+        arrs = dict(kind="dense", a=np.asarray(A.a))
+    elif isinstance(A, _P):
+        arrs = dict(
+            kind="pell", vals=np.asarray(A.vals), lidx=np.asarray(A.lidx),
+            cbase=np.asarray(A.cbase), span_row=np.asarray(A.span_row),
+            statics=np.asarray(
+                [A.n, A.tile, A.k_slots, A.sw, A.nnz_count, A.n_win], np.int64
+            ),
+            enc=np.asarray(A.enc),
+        )
+    else:
+        raise TypeError(f"cannot serialize {type(A).__name__}")
+    if route is not None:
+        arrs["route_format"] = np.asarray(route.format)
+        arrs["route_nnz"] = np.asarray(route.nnz, np.int64)
+        arrs["route_notes"] = np.asarray("\n".join(route.notes))
+        if route.perm is not None:
+            arrs["route_perm"] = np.asarray(route.perm, np.int64)
+    np.savez_compressed(path, **arrs)
+
+
+def load_operator_npz(
+    path: str,
+) -> Tuple[Routable, Optional[OperatorRoute]]:
+    """Inverse of :func:`save_operator`."""
+    from ca_lanczos_tpu.ops.pell import PellMatrix as _P
+
+    z = np.load(path, allow_pickle=False)
+    kind = str(z["kind"])
+    if kind == "dia":
+        A: Routable = DiaMatrix(
+            data=jnp.asarray(z["data"]),
+            offsets=tuple(int(o) for o in z["offsets"]),
+        )
+    elif kind == "ell":
+        A = EllMatrix(vals=jnp.asarray(z["vals"]), cols=jnp.asarray(z["cols"]))
+    elif kind == "dense":
+        A = DenseMatrix(a=jnp.asarray(z["a"]))
+    elif kind == "pell":
+        n, tile, k_slots, sw, nnz_count, n_win = (int(v) for v in z["statics"])
+        A = _P(
+            vals=jnp.asarray(z["vals"]), lidx=jnp.asarray(z["lidx"]),
+            cbase=jnp.asarray(z["cbase"]), span_row=jnp.asarray(z["span_row"]),
+            n=n, tile=tile, k_slots=k_slots, sw=sw, nnz_count=nnz_count,
+            n_win=n_win, enc=str(z["enc"]),
+        )
+    else:
+        raise ValueError(f"unknown operator kind {kind!r} in {path}")
+    route = None
+    if "route_format" in z:
+        notes = str(z["route_notes"])
+        route = OperatorRoute(
+            format=str(z["route_format"]),
+            perm=np.asarray(z["route_perm"]) if "route_perm" in z else None,
+            notes=notes.split("\n") if notes else [],
+            nnz=int(z["route_nnz"]),
+        )
+    return A, route
+
+
 def make_operator(
     a,
     *,

@@ -209,3 +209,47 @@ class TestMakeOperator:
             r = scat @ q - lam * q
             assert np.linalg.norm(r) < 1e-6, (j, lam)
         assert np.max(np.asarray(res.eigs)) > 3.9  # found the 4.0 pair
+
+
+class TestOperatorSerialization:
+    def test_roundtrip_all_formats(self, tmp_path):
+        from ca_lanczos_tpu.ops.formats import load_operator_npz, save_operator
+
+        rng = np.random.default_rng(8)
+        n = 2048
+        x = rng.standard_normal(n)
+
+        # one matrix per format via forced routes
+        band = tridiag(n)
+        scattered = sp.csr_matrix(
+            (rng.standard_normal(4 * n),
+             (np.repeat(np.arange(n), 4),
+              np.clip(np.repeat(np.arange(n), 4)
+                      + rng.integers(-300, 300, 4 * n), 0, n - 1))),
+            (n, n))
+        scattered.sum_duplicates()
+        cases = [
+            make_operator(band, prefer="dia"),
+            make_operator(band, prefer="ell"),
+            make_operator(band, prefer="dense"),
+            make_operator(scattered, prefer="pell"),
+        ]
+        # and one ROUTED case with a permutation
+        p = rng.permutation(n)
+        scat = sp.csr_matrix(band[p][:, p])
+        cases.append(make_operator(scat, max_windows=1, sw=1024))
+
+        for i, (A, route) in enumerate(cases):
+            path = str(tmp_path / f"op{i}.npz")
+            save_operator(path, A, route)
+            B, route2 = load_operator_npz(path)
+            assert type(B) is type(A)
+            ya = np.asarray(A.matvec(jnp.asarray(x, A.dtype)))
+            yb = np.asarray(B.matvec(jnp.asarray(x, B.dtype)))
+            np.testing.assert_array_equal(ya, yb)  # bit-exact round-trip
+            assert (route2.format == route.format
+                    and route2.nnz == route.nnz)
+            if route.perm is None:
+                assert route2.perm is None
+            else:
+                np.testing.assert_array_equal(route2.perm, route.perm)
