@@ -72,22 +72,36 @@ def _generate_start_vector(
     k: int,
     strategy: RestartStrategy,
     rng: np.random.Generator,
+    lam_bound: float = None,
 ) -> jax.Array:
     """Next restart vector from the non-converged Ritz vectors
-    (restarted_ca_lanczos.m:204-248); indices >= k are non-converged."""
+    (restarted_ca_lanczos.m:204-248); indices >= k are non-converged.
+
+    lam_bound: Ritz values with |d| > lam_bound are never chosen —
+    basis breakdown (low precision, ill-conditioned monomial blocks)
+    can fabricate Ritz values beyond the spectral interval, and
+    restarting LARGEST onto one wastes the next cycle on a junk
+    direction (same guard rationale as _lock_converged)."""
     m = len(d)
     strategy = RestartStrategy(strategy)
+    ok = (
+        np.abs(d[k:]) <= lam_bound
+        if lam_bound is not None
+        else np.ones(max(m - k, 0), bool)
+    )
+    if not np.any(ok):
+        ok = np.ones(max(m - k, 0), bool)
     if k >= m:  # everything converged this sweep; caller stops anyway
         idx = m - 1
     elif strategy == RestartStrategy.LARGEST:
-        idx = k + int(np.argmax(d[k:]))
+        idx = k + int(np.argmax(np.where(ok, d[k:], -np.inf)))
     elif strategy == RestartStrategy.SMALLEST:
-        idx = k + int(np.argmin(d[k:]))
+        idx = k + int(np.argmin(np.where(ok, d[k:], np.inf)))
     elif strategy == RestartStrategy.CLOSEST_CONV:
         # Reference scans k+2..m seeded at ix=k+1 (restarted_ca_lanczos.m:231-239).
-        idx = k + int(np.argmin(ritz_norms[k:]))
+        idx = k + int(np.argmin(np.where(ok, ritz_norms[k:], np.inf)))
     else:  # RANDOM
-        idx = k + int(rng.integers(0, m - k))
+        idx = k + int(rng.choice(np.flatnonzero(ok)))
     q = Q_new @ jnp.asarray(Vp[:, idx], Q_new.dtype)
     return q / jnp.linalg.norm(q)
 
@@ -264,7 +278,8 @@ def restarted_lanczos(
 
         restart = nconv < n_wanted
         if restart:
-            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k, restart_strategy, rng)
+            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k, restart_strategy, rng,
+                                       lam_bound=1.05 * norm_A)
             # Purge converged directions (restarted_lanczos.m:129).
             if Q_conv is not None:
                 q, _ = project([Q_conv], q, reorth=True, params=params)
@@ -503,7 +518,8 @@ def restarted_ca_lanczos(
         nconv += k
         restart = nconv < config.n_wanted
         if restart:
-            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k, config.restart_strategy, rng)
+            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k, config.restart_strategy, rng,
+                                       lam_bound=1.05 * norm_A)
 
         if checkpoint_path is not None:
             RestartCheckpoint(
