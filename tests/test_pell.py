@@ -296,3 +296,60 @@ class TestGroupedFallback:
         x = np.random.default_rng(0).standard_normal(n)
         got = np.asarray(pell_apply(A, jnp.asarray(x, jnp.float32), interpret=True))
         np.testing.assert_allclose(got, csr @ x, rtol=1e-5, atol=1e-5)
+
+
+class TestEncodingSweepCorpusPatterns:
+    """Every encoding (unit/grouped/auto) must reproduce the matrix
+    exactly across the corpus's sparsity families — the grouped packer's
+    wide-cluster fallback bug showed structural edge cases hide in
+    pattern diversity, not size."""
+
+    def _patterns(self):
+        rng = np.random.default_rng(11)
+        n = 1024
+        pats = {}
+        o = np.ones(n)
+        pats["tridiag"] = sp.diags([-o[:-1], 2 * o, -o[:-1]], [-1, 0, 1])
+        pats["beam4"] = sp.diags([1.0, -4.0, 6.0, -4.0, 1.0],
+                                 [-2, -1, 0, 1, 2], (n, n))
+        nx = 32
+        t = sp.diags([-1, 2, -1], [-1, 0, 1], (nx, nx))
+        pats["mesh2d"] = sp.kron(sp.eye(nx), t) + sp.kron(t, sp.eye(nx))
+        pats["band_random"] = random_banded(n, 16, 6, 3)
+        # ring-periodic pentadiagonal (wrap columns -> far cluster)
+        ring = sp.diags([2 * o, o[:-1], o[:-1]], [0, -1, 1]).tolil()
+        ring[0, n - 1] = 1.0
+        ring[n - 1, 0] = 1.0
+        pats["ring"] = ring
+        # arrow: dense first row/col + band
+        arrow = sp.lil_matrix((n, n))
+        arrow.setdiag(2 * np.ones(n))
+        arrow[0, :] = 0.01
+        arrow[:, 0] = 0.01
+        arrow[0, 0] = 2.0
+        pats["arrow"] = arrow
+        return {k: sp.csr_matrix(v) for k, v in pats.items()}
+
+    @pytest.mark.parametrize("enc", ["unit", "grouped", "auto"])
+    def test_matvec_parity_all_patterns(self, enc):
+        rng = np.random.default_rng(5)
+        for name, csr in self._patterns().items():
+            csr.sum_duplicates()
+            try:
+                A = PellMatrix.from_scipy(csr, tile=256, encoding=enc)
+            except ValueError as e:
+                if enc == "grouped":
+                    # forcing grouped may legitimately fail (e.g. the
+                    # arrow's dense row exceeds the two spread-4
+                    # windows); "auto" must fall back instead
+                    assert "grouped" in str(e)
+                    continue
+                pytest.fail(f"{name}/{enc} rejected: {e}")
+            x = rng.standard_normal(csr.shape[0])
+            got = np.asarray(
+                pell_apply(A, jnp.asarray(x, jnp.float32), interpret=True)
+            )
+            np.testing.assert_allclose(
+                got, csr @ x, rtol=2e-5, atol=2e-5,
+                err_msg=f"{name} enc={enc} (landed enc={A.enc})",
+            )
