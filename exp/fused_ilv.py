@@ -44,248 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ca_lanczos_tpu.ops._mosaic import x64_trace_off
 from ca_lanczos_tpu.ops.spmv import DiaMatrix
 
-J = 8
-WQ = 1024  # per-row q-halo (alignment unit; pollution depth is only ~s)
-KPAD = 1024  # buffer end rims for cross-row carry reads
-
-
-def ilv_encode(x: np.ndarray) -> np.ndarray:
-    """x (n,) -> interleaved (n,): out[r*nq + q] = x[J*q + r]."""
-    n = x.shape[0]
-    return np.ascontiguousarray(np.asarray(x).reshape(n // J, J).T).reshape(-1)
-
-
-def ilv_decode(y: np.ndarray) -> np.ndarray:
-    n = y.shape[0]
-    return np.ascontiguousarray(np.asarray(y).reshape(J, n // J).T).reshape(-1)
-
-
-def ilv_data_tiled(A: DiaMatrix, Tq: int) -> np.ndarray:
-    """Tile-major interleaved data planes: flat
-    (ntiles * nd * J * Lq,) with dataI[i,d,r,q'] = data[d, J*(i*Tq - WQ
-    + q') + r] (zero outside [0, nq))."""
-    data = np.asarray(A.data)
-    nd, n = data.shape
-    nq = n // J
-    Lq = Tq + 2 * WQ
-    ntiles = nq // Tq
-    # (nd, nq, J) -> (nd, J, nq) -> pad q
-    dI = np.ascontiguousarray(data.reshape(nd, nq, J).transpose(0, 2, 1))
-    dIp = np.pad(dI, ((0, 0), (0, 0), (WQ, WQ)))
-    out = np.empty((ntiles, nd, J, Lq), data.dtype)
-    for i in range(ntiles):
-        out[i] = dIp[:, :, i * Tq : i * Tq + Lq]
-    return out.reshape(-1)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("offsets", "s", "Tq", "n", "interpret", "with_coefs"),
+from ca_lanczos_tpu.ops.pallas_ilv import (  # kernel productized
+    J, WQ, KPAD, dia_powers_ilv, ilv_data_tiled, ilv_decode, ilv_encode,
 )
-def dia_powers_ilv(
-    dflat_il: jax.Array,  # from ilv_data_tiled
-    x_il: jax.Array,  # (n,) interleaved
-    coefs: jax.Array,  # (s, 2)
-    offsets: Tuple[int, ...],
-    s: int,
-    Tq: int,
-    n: int,
-    interpret: bool = False,
-    with_coefs: bool = True,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (V_il (s, n), last_il (n,)) in the interleaved layout."""
-    nd = len(offsets)
-    nq = n // J
-    assert n % (J * Tq) == 0 and nq % 1024 == 0 and Tq % 1024 == 0
-    Lq = Tq + 2 * WQ
-    LB = KPAD + J * Lq + KPAD  # ping-pong buffer length
-    ntiles = nq // Tq
-    assert ntiles >= 2, "ilv kernel needs >= 2 tiles"
-    DSZ = nd * J * Lq
-
-    # static (row, offset) -> (src_row, carry) table
-    plan = []
-    for r in range(J):
-        row_terms = []
-        for d, off in enumerate(offsets):
-            src = r + off
-            carry = src // J  # floor
-            row_terms.append((d, src - carry * J, carry))
-        plan.append(row_terms)
-
-    def kernel(coef_ref, dflat_ref, x_ref, v_ref, last_ref,
-               dscr0, dscr1, a0, b0, a1, b1, dsem, xsem, vsem):
-        i = pl.program_id(0)
-        num = pl.num_programs(0)
-        slot = i % 2
-
-        def xfer(dscr, abuf, sl, tile_idx, go):
-            cp = pltpu.make_async_copy(
-                dflat_ref.at[pl.ds(tile_idx * DSZ, DSZ)], dscr, dsem.at[sl]
-            )
-            cp.start() if go else cp.wait()
-            for r in range(J):
-                dst0 = KPAD + r * Lq
-
-                def head(r=r, dst0=dst0):
-                    cp = pltpu.make_async_copy(
-                        x_ref.at[pl.ds(r * nq, Tq + WQ)],
-                        abuf.at[pl.ds(dst0 + WQ, Tq + WQ)],
-                        xsem.at[sl, r],
-                    )
-                    if go:
-                        abuf[pl.ds(dst0, WQ)] = jnp.zeros((WQ,), abuf.dtype)
-                        cp.start()
-                    else:
-                        cp.wait()
-
-                def tail(r=r, dst0=dst0):
-                    cp = pltpu.make_async_copy(
-                        x_ref.at[pl.ds(r * nq + nq - (Tq + WQ), Tq + WQ)],
-                        abuf.at[pl.ds(dst0, Tq + WQ)],
-                        xsem.at[sl, r],
-                    )
-                    if go:
-                        abuf[pl.ds(dst0 + WQ + Tq, WQ)] = jnp.zeros(
-                            (WQ,), abuf.dtype
-                        )
-                        cp.start()
-                    else:
-                        cp.wait()
-
-                def interior(r=r, dst0=dst0):
-                    off = (r * (nq // 1024) + tile_idx * (Tq // 1024)
-                           - (WQ // 1024)) * 1024
-                    cp = pltpu.make_async_copy(
-                        x_ref.at[pl.ds(off, Lq)],
-                        abuf.at[pl.ds(dst0, Lq)],
-                        xsem.at[sl, r],
-                    )
-                    cp.start() if go else cp.wait()
-
-                pl.when(tile_idx == 0)(head)
-                pl.when(tile_idx == num - 1)(tail)
-                pl.when((tile_idx > 0) & (tile_idx < num - 1))(interior)
-
-        @pl.when(i == 0)
-        def _():
-            xfer(dscr0, a0, 0, i * 0, True)
-
-        @pl.when((i + 1 < num) & ((i + 1) % 2 == 0))
-        def _():
-            xfer(dscr0, a0, 0, i + 1, True)
-
-        @pl.when((i + 1 < num) & ((i + 1) % 2 == 1))
-        def _():
-            xfer(dscr1, a1, 1, i + 1, True)
-
-        def compute(dscr, abuf, bbuf, sl):
-            # rims must be zero for the carry reads at r=0 / r=J-1
-            abuf[pl.ds(0, KPAD)] = jnp.zeros((KPAD,), abuf.dtype)
-            abuf[pl.ds(KPAD + J * Lq, KPAD)] = jnp.zeros((KPAD,), abuf.dtype)
-            bbuf[pl.ds(0, KPAD)] = jnp.zeros((KPAD,), bbuf.dtype)
-            bbuf[pl.ds(KPAD + J * Lq, KPAD)] = jnp.zeros((KPAD,), bbuf.dtype)
-            bufs = (abuf, bbuf)
-            pend = []  # python bookkeeping of un-waited V DMAs: (buf_idx, r)
-
-            for j in range(s):
-                cur, nxt = bufs[j % 2], bufs[(j + 1) % 2]
-                # before overwriting nxt rows, drain its pending V DMAs
-                for (bi, r) in [p for p in pend if p[0] == (j + 1) % 2]:
-                    pltpu.make_async_copy(
-                        nxt.at[pl.ds(KPAD + r * Lq + WQ, Tq)],
-                        v_ref.at[pl.ds(0, Tq)],  # shape-only for wait
-                        vsem.at[sl, bi, r],
-                    ).wait()
-                pend = [p for p in pend if p[0] != (j + 1) % 2]
-                for r in range(J):
-                    base = KPAD + r * Lq
-                    terms = []
-                    for d, srow, carry in plan[r]:
-                        rd = cur[pl.ds(KPAD + srow * Lq + carry, Lq)]
-                        terms.append(
-                            dscr[pl.ds((d * J + r) * Lq, Lq)] * rd
-                        )
-                    while len(terms) > 1:
-                        terms = [
-                            terms[t] + terms[t + 1]
-                            if t + 1 < len(terms) else terms[t]
-                            for t in range(0, len(terms), 2)
-                        ]
-                    w = terms[0]
-                    if with_coefs:
-                        w = w - coef_ref[j, 0] * cur[pl.ds(base, Lq)]
-                        if j > 0:
-                            w = w - coef_ref[j, 1] * nxt[pl.ds(base, Lq)]
-                    nxt[pl.ds(base, Lq)] = w
-                # stream step j's owned centers out
-                for r in range(J):
-                    cp = pltpu.make_async_copy(
-                        nxt.at[pl.ds(KPAD + r * Lq + WQ, Tq)],
-                        v_ref.at[pl.ds(j * n + r * nq + i * Tq, Tq)],
-                        vsem.at[sl, (j + 1) % 2, r],
-                    )
-                    cp.start()
-                    pend.append(((j + 1) % 2, r))
-
-            # final vector + full drain before the tile ends
-            fin = bufs[s % 2]
-            for r in range(J):
-                pltpu.make_async_copy(
-                    fin.at[pl.ds(KPAD + r * Lq + WQ, Tq)],
-                    last_ref.at[pl.ds(r * nq + i * Tq, Tq)],
-                    vsem.at[sl, s % 2, r],
-                ).start()
-                pend.append((s % 2, r))
-            for (bi, r) in pend:
-                pltpu.make_async_copy(
-                    fin.at[pl.ds(KPAD + r * Lq + WQ, Tq)],
-                    last_ref.at[pl.ds(0, Tq)],
-                    vsem.at[sl, bi, r],
-                ).wait()
-
-        @pl.when(slot == 0)
-        def _():
-            xfer(dscr0, a0, 0, i, False)
-            compute(dscr0, a0, b0, 0)
-
-        @pl.when(slot == 1)
-        def _():
-            xfer(dscr1, a1, 1, i, False)
-            compute(dscr1, a1, b1, 1)
-
-    vma = getattr(jax.typeof(x_il), "vma", frozenset())
-    with x64_trace_off(x_il.dtype):
-        return pl.pallas_call(
-            kernel,
-            grid=(ntiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((s * n,), x_il.dtype, vma=vma),
-                jax.ShapeDtypeStruct((n,), x_il.dtype, vma=vma),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((DSZ,), x_il.dtype),
-                pltpu.VMEM((DSZ,), x_il.dtype),
-                pltpu.VMEM((LB,), x_il.dtype),
-                pltpu.VMEM((LB,), x_il.dtype),
-                pltpu.VMEM((LB,), x_il.dtype),
-                pltpu.VMEM((LB,), x_il.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2, J)),
-                pltpu.SemaphoreType.DMA((2, 2, J)),
-            ],
-            interpret=interpret,
-        )(coefs, dflat_il, x_il)
-
 
 def make_op(n, nd=9, seed=0):
     rng = np.random.default_rng(seed)
