@@ -7,7 +7,13 @@ from ca_lanczos_tpu.ops.matrix_powers import (
 )
 from ca_lanczos_tpu.ops.pallas_spmv import matrix_powers_dia_pallas, pick_tile
 from ca_lanczos_tpu.ops.pell import PellMatrix, matrix_powers_pell, pell_apply
-from ca_lanczos_tpu.ops.formats import OperatorRoute, dia_from_scipy, make_operator
+from ca_lanczos_tpu.ops.formats import (
+    OperatorRoute,
+    dia_from_scipy,
+    load_operator_npz,
+    make_operator,
+    save_operator,
+)
 from ca_lanczos_tpu.ops.qr import tsqr, cholqr
 from ca_lanczos_tpu.ops.orth import normalize, project, project_and_normalize
 
@@ -28,7 +34,9 @@ __all__ = [
     "pell_apply",
     "OperatorRoute",
     "dia_from_scipy",
+    "load_operator_npz",
     "make_operator",
+    "save_operator",
     "tsqr",
     "cholqr",
     "normalize",
