@@ -60,8 +60,42 @@ def _powers_chain(A, q, s, reps, use_pallas=True):
     return jnp.sum(lax.fori_loop(0, reps, body, q))
 
 
+def _watchdog(seconds: float):
+    """Emit an honest failure record and hard-exit if the device never
+    responds (the axon relay has been observed to hang indefinitely on
+    the first device_put during outages — a silent hang would stall the
+    whole capture; a recorded error is diagnosable)."""
+    import os
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "matrix_powers_spmv_throughput",
+                    "value": 0.0,
+                    "unit": "Gnnz/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"device unresponsive for {seconds:.0f}s "
+                             "(relay outage?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+    # Disarmed after the first successful device round-trip; generous
+    # enough for a cold compile through the remote helper.
+    wd = _watchdog(1200.0)
 
     # Banded SPD operator, ~4M rows x 9 diagonals (~37.7M nnz), f32: the
     # shape-family of the reference corpus (banded Laplacians/Hamiltonians)
@@ -98,6 +132,7 @@ def main():
         use_pallas = False
     # Warm up (single compile; reps is traced).
     float(_powers_chain(A, q, s, jnp.int32(reps_hi), use_pallas=use_pallas))
+    wd.cancel()  # device is alive; timing from here is bounded
 
     def timed(reps, trials=3):
         ts = []
