@@ -48,6 +48,7 @@ def dist_impl_restarted_ca_lanczos(
     max_restarts: int = 40,
     qr_method: str = "tsqr",
     dist_format: str = "auto",
+    mixed_precision: bool = False,
 ) -> IRLResult:
     """Distributed IRL (impl_restarted_ca_lanczos.m intended design): CA
     inner iteration with a full-history cleanup pass per block (the IRL
@@ -91,7 +92,8 @@ def dist_impl_restarted_ca_lanczos(
         b_prev = T[k0, k0 - 1] if k0 > 0 else 0.0
         nvecs = k0
         if nvecs == 0:
-            Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh, qr_method)
+            Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh,
+                                      qr_method, mp=mixed_precision)
             V = jnp.zeros((n_pad, m + 1), dtype, device=shard)
             V = V.at[:, : s + 1].set(Qb)
             Tk, b_new = first_block_T(np.asarray(Rk, np.float64), Bk, s)
@@ -100,14 +102,17 @@ def dist_impl_restarted_ca_lanczos(
             nvecs = s
         while nvecs <= m - s:
             Q_prev = V[:, nvecs - s : nvecs + 1]
-            Q_new, Rkk, R = dist_ca_block(Adist, Q_prev, diag, sub, s, mesh, qr_method)
+            Q_new, Rkk, R = dist_ca_block(Adist, Q_prev, diag, sub, s,
+                                          mesh, qr_method,
+                                          mp=mixed_precision)
             # Full-history cleanup: after the implicit restart the
             # compressed V_k columns are dense mixtures, so new Krylov
             # directions must be orthogonalized against ALL of them, not
             # just the trailing block (the single-chip IRL does the same
             # via orth=FULL).  V is fixed-width with zero future columns,
             # so one static-shape reorth serves every block.
-            Q_new = _dist_reorth(V, Q_new, mesh, qr_method)
+            Q_new = _dist_reorth(V, Q_new, mesh, qr_method,
+                                 mp=mixed_precision)
             V = V.at[:, nvecs + 1 : nvecs + s + 1].set(Q_new)
             Tk, b_new, _ = block_T(
                 np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b_prev, s

@@ -62,33 +62,61 @@ def local_tsqr(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return Q1 @ Q2_mine, R
 
 
-def local_cholqr(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def local_cholqr(
+    X_local: jax.Array, mp: bool = False
+) -> Tuple[jax.Array, jax.Array]:
     """CholQR across the rows axis (cholqr.m:3-9): G = psum(X^T X),
-    R = chol(G), Q = X R^{-1}.  Call inside shard_map."""
+    R = chol(G), Q = X R^{-1}.  Call inside shard_map.
+
+    mp: accumulate the Gram psum, Cholesky, and triangular solve in
+    float64 while X (and the returned Q) stay in the storage dtype —
+    the distributed form of ops.qr.cholqr_mp (OrthParams.
+    mixed_precision).  The f64 Gram is the accuracy lever: the psum'd
+    X^T X in f32 loses ~2^-24 relative, the f32 flagship's hardware
+    eigenvalue-error floor.  R returns float64 so the host T recovery
+    keeps full precision."""
     from ca_lanczos_tpu.ops.qr import _chol_safe
 
+    if mp and X_local.dtype != jnp.float64:
+        Xw = X_local.astype(jnp.float64)
+        G = lax.psum(Xw.T @ Xw, ROWS)
+        R = _chol_safe(G).conj().T
+        Q = lax.linalg.triangular_solve(
+            R, Xw, left_side=False, lower=False
+        ).astype(X_local.dtype)
+        return Q, R
     G = lax.psum(X_local.T @ X_local, ROWS)
     R = _chol_safe(G).conj().T
     Q = lax.linalg.triangular_solve(R, X_local, left_side=False, lower=False)
     return Q, R
 
 
-def local_cholqr2(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def local_cholqr2(
+    X_local: jax.Array, mp: bool = False
+) -> Tuple[jax.Array, jax.Array]:
     """Two distributed CholQR passes — the TPU-production normalizer
     (XLA's Householder QR of tall-skinny shards is minutes-slow on TPU;
     see config.QrMethod).  Valid for cond(X) < ~eps^{-1/2}."""
-    Q1, R1 = local_cholqr(X_local)
-    Q2, R2 = local_cholqr(Q1)
+    Q1, R1 = local_cholqr(X_local, mp)
+    Q2, R2 = local_cholqr(Q1, mp)
     return Q2, R2 @ R1
 
 
-def local_qr(X_local: jax.Array, qr_method: str = "tsqr"):
-    """Dispatch on config.QrMethod value."""
+def local_tsqr_mp(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """local_tsqr with the factorization in float64; Q returns in X's
+    dtype, R stays float64 (distributed ops.qr.tsqr_mp)."""
+    Q, R = local_tsqr(X_local.astype(jnp.float64))
+    return Q.astype(X_local.dtype), R
+
+
+def local_qr(X_local: jax.Array, qr_method: str = "tsqr", mp: bool = False):
+    """Dispatch on config.QrMethod value (+ OrthParams.mixed_precision)."""
     from ca_lanczos_tpu.config import QrMethod
 
+    mp = mp and X_local.dtype != jnp.float64
     if QrMethod(qr_method) == QrMethod.CHOLQR2:
-        return local_cholqr2(X_local)
-    return local_tsqr(X_local)
+        return local_cholqr2(X_local, mp)
+    return local_tsqr_mp(X_local) if mp else local_tsqr(X_local)
 
 
 def local_qr_safe(
@@ -146,20 +174,41 @@ def local_qr_safe(
     return Q_out, R, rank
 
 
-def local_gram(Q_local: jax.Array, X_local: jax.Array) -> jax.Array:
-    """Replicated Gram product R = Q^H X via psum.  Call inside shard_map."""
+def local_gram(
+    Q_local: jax.Array, X_local: jax.Array, mp: bool = False
+) -> jax.Array:
+    """Replicated Gram product R = Q^H X via psum.  Call inside
+    shard_map.  mp: accumulate in float64 (returns float64)."""
+    if mp and X_local.dtype != jnp.float64:
+        return lax.psum(
+            Q_local.astype(jnp.float64).conj().T
+            @ X_local.astype(jnp.float64),
+            ROWS,
+        )
     return lax.psum(Q_local.conj().T @ X_local, ROWS)
 
 
-def local_project(Q_local: jax.Array, X_local: jax.Array, passes: int = 2):
+def local_project(
+    Q_local: jax.Array, X_local: jax.Array, passes: int = 2, mp: bool = False
+):
     """Block CGS of X against orthonormal Q with ``passes`` fixed passes
     (distributed project.m:32-39 with the BCGS2 second pass made
-    unconditional).  Returns (Y_local, R accumulated)."""
-    R = jnp.zeros((Q_local.shape[1], X_local.shape[1]), X_local.dtype)
+    unconditional).  Returns (Y_local, R accumulated).
+
+    mp: Gram products and corrections in float64 (distributed
+    ops.orth._proj_block_mp); Y returns in X's dtype, R in float64."""
+    mp = mp and X_local.dtype != jnp.float64
+    rdtype = jnp.float64 if mp else X_local.dtype
+    R = jnp.zeros((Q_local.shape[1], X_local.shape[1]), rdtype)
     Y = X_local
     for _ in range(passes):
-        Rp = local_gram(Q_local, Y)
-        Y = Y - Q_local @ Rp
+        Rp = local_gram(Q_local, Y, mp)
+        if mp:
+            Y = (
+                Y.astype(jnp.float64) - Q_local.astype(jnp.float64) @ Rp
+            ).astype(X_local.dtype)
+        else:
+            Y = Y - Q_local @ Rp
         R = R + Rp
     return Y, R
 

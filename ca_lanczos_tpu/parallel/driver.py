@@ -59,6 +59,7 @@ def dist_ca_lanczos(
     qr_method: str = "tsqr",
     orth=None,
     dist_format: str = "auto",
+    mixed_precision: bool = False,
 ) -> DistCaLanczosResult:
     """Row-sharded CA-Lanczos over ``mesh`` with all four orth modes
     (reference ca_lanczos.m:27-39 offers them everywhere).
@@ -127,7 +128,8 @@ def dist_ca_lanczos(
     b = np.zeros(t)
     T: Optional[np.ndarray] = None
 
-    Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh, qr_method)
+    Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh, qr_method,
+                              mp=mixed_precision)
     Q_blocks.append(Qb)
     T, b[0] = first_block_T(np.asarray(Rk, np.float64), Bk, s)
     if Qhist is not None:
@@ -136,11 +138,13 @@ def dist_ca_lanczos(
     for k in range(2, t + 1):
         if orth == Orth.SELECTIVE:
             Q_new, Rkk, R = _dist_ca_block_locked(
-                Adist, Q_blocks[-1], QRpad, diag, sub, s, mesh, qr_method
+                Adist, Q_blocks[-1], QRpad, diag, sub, s, mesh, qr_method,
+                mp=mixed_precision,
             )
         else:
             Q_new, Rkk, R = dist_ca_block(
-                Adist, Q_blocks[-1], diag, sub, s, mesh, qr_method
+                Adist, Q_blocks[-1], diag, sub, s, mesh, qr_method,
+                mp=mixed_precision,
             )
         Tk, b[k - 1], _ = block_T(
             np.asarray(Rkk, np.float64), np.asarray(R, np.float64), Bk, b[k - 2], s
@@ -148,13 +152,15 @@ def dist_ca_lanczos(
         T = extend_T(T, Tk, b[k - 2], b[k - 1], s)
 
         if orth == Orth.FULL:
-            Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_method)
+            Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_method,
+                                 mp=mixed_precision)
         elif orth == Orth.PERIODIC:
             alpha_d = np.diagonal(T[: s * k, : s * k]).copy()
             beta_d = np.diagonal(T[: s * k + 1, : s * k], -1).copy()
             omega.update(alpha_d, beta_d)
             if omega.max_error_block(s) >= np.sqrt(_EPS):
-                Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_method)
+                Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_method,
+                                 mp=mixed_precision)
                 omega.reset_block(s)
 
         if Qhist is not None:

@@ -56,10 +56,10 @@ from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_c
 _STALL_CYCLES = 5
 
 
-@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "safe"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "safe", "mp"))
 def _dist_first_block_locked(
     A, q, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr",
-    safe: bool = False, key=None,
+    safe: bool = False, key=None, mp: bool = False,
 ):
     """First CA block of a restart cycle: powers -> TSQR -> lock against
     Q_conv (restarted_ca_lanczos.m:311-319).  A: DistDia or DistEll.
@@ -80,11 +80,11 @@ def _dist_first_block_locked(
         if safe:
             Qb, R, rank = local_qr_safe(V, qr_method, key=k)
         else:
-            Qb, R = local_qr(V, qr_method)
+            Qb, R = local_qr(V, qr_method, mp)
             rank = jnp.asarray(V.shape[1])
-        Qb, _ = local_project(Qc_local, Qb, passes=2)
+        Qb, _ = local_project(Qc_local, Qb, passes=2, mp=mp)
         # Renormalize after the projection pass (projectAndNormalize).
-        Qb, _ = local_qr(Qb, qr_method)
+        Qb, _ = local_qr(Qb, qr_method, mp)
         return Qb, R, rank
 
     return jax.shard_map(
@@ -97,10 +97,10 @@ def _dist_first_block_locked(
     )(*operands, q, Qconv, diag, sub, key)
 
 
-@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "safe"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "safe", "mp"))
 def _dist_ca_block_locked(
     A, Q_prev, Qconv, diag, sub, s: int, mesh: Mesh, qr_method: str = "tsqr",
-    safe: bool = False, key=None,
+    safe: bool = False, key=None, mp: bool = False,
 ):
     """CA block k>1 with locking: project the new block against the
     previous s+1 columns AND the padded converged basis
@@ -116,12 +116,12 @@ def _dist_ca_block_locked(
         q_local = Qp_local[:, -1]
         V = powers(*op_blocks, q_local, dg, sb)
         X = V[:, 1:]
-        Y, Rkk = local_project(Qp_local, X, passes=2)
-        Y, _ = local_project(Qc_local, Y, passes=1)
+        Y, Rkk = local_project(Qp_local, X, passes=2, mp=mp)
+        Y, _ = local_project(Qc_local, Y, passes=1, mp=mp)
         if safe:
             Q_new, R, _ = local_qr_safe(Y, qr_method, key=k)
         else:
-            Q_new, R = local_qr(Y, qr_method)
+            Q_new, R = local_qr(Y, qr_method, mp)
         return Q_new, Rkk, R
 
     return jax.shard_map(
@@ -134,8 +134,9 @@ def _dist_ca_block_locked(
     )(*operands, Q_prev, Qconv, diag, sub, key)
 
 
-@partial(jax.jit, static_argnames=("mesh", "qr_method"))
-def _dist_reorth(Qhist, X, mesh: Mesh, qr_method: str = "tsqr"):
+@partial(jax.jit, static_argnames=("mesh", "qr_method", "mp"))
+def _dist_reorth(Qhist, X, mesh: Mesh, qr_method: str = "tsqr",
+                 mp: bool = False):
     """Re-orthogonalize X against the zero-padded cycle history (two CGS
     passes + renormalize) — the device step behind the distributed FULL
     and PERIODIC modes.  Unwritten (zero) history columns project as
@@ -147,8 +148,8 @@ def _dist_reorth(Qhist, X, mesh: Mesh, qr_method: str = "tsqr"):
     """
 
     def body(Qh_local, X_local):
-        Y, _ = local_project(Qh_local, X_local, passes=2)
-        Q, _ = local_qr(Y, qr_method)
+        Y, _ = local_project(Qh_local, X_local, passes=2, mp=mp)
+        Q, _ = local_qr(Y, qr_method, mp)
         return Q
 
     return jax.shard_map(
@@ -318,6 +319,7 @@ def dist_restarted_ca_lanczos(
             return jnp.concatenate([Qc, QRpad], axis=1)
 
         qr_m = str(config.orth_params.qr_method.value)
+        mp = bool(config.orth_params.mixed_precision)
         if nconv:
             # Deflate the cycle's start vector against the locked basis:
             # the powers block re-amplifies any locked component (largest
@@ -328,7 +330,7 @@ def dist_restarted_ca_lanczos(
         safe_key, k1 = jax.random.split(safe_key)
         Qb, Rk, first_rank = _dist_first_block_locked(
             Adist, q, _proj_basis(Qconv), diag, sub, s, mesh, qr_m,
-            safe=safe_qr, key=k1,
+            safe=safe_qr, key=k1, mp=mp,
         )
         # Random-restart only on catastrophic first-block breakdown (the
         # start was an invariant direction); partial rank loss is ordinary
@@ -345,7 +347,7 @@ def dist_restarted_ca_lanczos(
             safe_key, kk = jax.random.split(safe_key)
             Q_new, Rkk, R = _dist_ca_block_locked(
                 Adist, blocks[-1], _proj_basis(Qconv), diag, sub, s, mesh, qr_m,
-                safe=safe_qr, key=kk,
+                safe=safe_qr, key=kk, mp=mp,
             )
             Tk, b[k - 1], _ = block_T(
                 np.asarray(Rkk, np.float64), np.array(R, np.float64), Bk,
@@ -356,7 +358,7 @@ def dist_restarted_ca_lanczos(
             if orth == Orth.FULL:
                 # Cleanup pass against everything before the previous
                 # block (restarted_ca_lanczos.m:328-333 'fro' mode).
-                Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_m)
+                Q_new = _dist_reorth(Qhist, Q_new, mesh, qr_m, mp=mp)
             elif orth == Orth.PERIODIC:
                 alpha_d = np.diagonal(T[: s * k, : s * k]).copy()
                 beta_d = np.diagonal(T[: s * k + 1, : s * k], -1).copy()

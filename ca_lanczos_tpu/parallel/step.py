@@ -120,20 +120,21 @@ def newton_coeffs(Bk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return diag, sup
 
 
-@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "mp"))
 def dist_first_block(
     A, q: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
-    qr_method: str = "tsqr",
+    qr_method: str = "tsqr", mp: bool = False,
 ):
     """First CA block: V = powers(q); [Q, R] = TSQR(V)
     (ca_lanczos.m:176-182).  A is a DistDia or DistEll; returns
-    (Q (n, s+1) sharded, R (s+1, s+1))."""
+    (Q (n, s+1) sharded, R (s+1, s+1)).  mp: float64 Gram/R reductions
+    (OrthParams.mixed_precision) while the basis stays f32."""
     powers, operands = _local_powers_fn(A, s)
 
     def body(*args):
         *op_blocks, x_local, dg, sb = args
         V = powers(*op_blocks, x_local, dg, sb)
-        Q, R = local_qr(V, qr_method)
+        Q, R = local_qr(V, qr_method, mp)
         return Q, R
 
     return jax.shard_map(
@@ -145,10 +146,10 @@ def dist_first_block(
     )(*operands, q, diag, sub)
 
 
-@partial(jax.jit, static_argnames=("s", "mesh", "qr_method"))
+@partial(jax.jit, static_argnames=("s", "mesh", "qr_method", "mp"))
 def dist_ca_block(
     A, Q_prev: jax.Array, diag: jax.Array, sub: jax.Array, s: int, mesh: Mesh,
-    qr_method: str = "tsqr",
+    qr_method: str = "tsqr", mp: bool = False,
 ):
     """One CA block step k>1 (ca_lanczos.m:185-214 device portion).
 
@@ -166,8 +167,8 @@ def dist_ca_block(
         q_local = Qp_local[:, -1]
         V = powers(*op_blocks, q_local, dg, sb)
         X = V[:, 1:]
-        Y, Rkk = local_project(Qp_local, X, passes=2)
-        Q_new, R = local_qr(Y, qr_method)
+        Y, Rkk = local_project(Qp_local, X, passes=2, mp=mp)
+        Q_new, R = local_qr(Y, qr_method, mp)
         return Q_new, Rkk, R
 
     return jax.shard_map(

@@ -123,3 +123,86 @@ class TestDistRitzVectorAlignment:
             q = Q[:, j] / np.linalg.norm(Q[:, j])
             lam = q @ (a @ q)
             assert np.linalg.norm(a @ q - lam * q) < 1e-7, (j, lam)
+
+
+class TestDistMixedPrecision:
+    def test_dist_f32_storage_f64_reductions(self, mesh):
+        """Distributed mixed precision (f32 basis/SpMV, f64 psum'd
+        Gram/R/T): eigenvalue error well below the plain-f32 floor, and
+        the plain-f32 run never beats it (mirror of the host
+        TestMpFlagship on the 8-way mesh)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ca_lanczos_tpu.config import (
+            Basis,
+            LanczosConfig,
+            Orth,
+            OrthParams,
+            QrMethod,
+        )
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        from ca_lanczos_tpu.parallel import dist_restarted_ca_lanczos
+        from ca_lanczos_tpu.utils.matrices import diag_spectrum
+
+        n = 4096
+        A64 = diag_spectrum(n, 1.0, 100.0)
+        A32 = DiaMatrix(
+            data=jnp.asarray(np.asarray(A64.data), jnp.float32),
+            offsets=A64.offsets,
+        )
+        exact = np.linspace(1.0, 100.0, n)[::-1][:6]
+        r = np.ones(n, np.float32)
+
+        base = LanczosConfig(
+            s=6, basis=Basis.NEWTON, orth=Orth.LOCAL, n_wanted=6, tol=1e-7,
+            orth_params=OrthParams(qr_method=QrMethod.CHOLQR2),
+        )
+        cfg_mp = dataclasses.replace(
+            base,
+            orth_params=OrthParams(
+                qr_method=QrMethod.CHOLQR2, mixed_precision=True
+            ),
+        )
+
+        res_mp = dist_restarted_ca_lanczos(A32, r, 48, mesh, cfg_mp)
+        assert res_mp.converged
+        err_mp = np.max(np.abs(np.sort(res_mp.eigs)[::-1] - exact)) / 100.0
+        assert err_mp <= 1e-6, f"dist mp eig err {err_mp:.2e}"
+
+        res_32 = dist_restarted_ca_lanczos(A32, r, 48, mesh, base)
+        if res_32.converged and len(res_32.eigs) == 6:
+            err_32 = np.max(
+                np.abs(np.sort(res_32.eigs)[::-1] - exact)
+            ) / 100.0
+            assert err_mp <= err_32 + 1e-12
+
+    def test_dist_ca_lanczos_mp_T_accuracy(self, mesh):
+        """Non-restarted dist driver: mixed-precision T matches the f64
+        run far better than plain f32."""
+        from ca_lanczos_tpu.config import Basis
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        from ca_lanczos_tpu.parallel import dist_ca_lanczos
+        from ca_lanczos_tpu.utils.matrices import diag_spectrum
+
+        import jax.numpy as jnp
+
+        n = 2048
+        A64 = diag_spectrum(n, 1.0, 60.0)
+        A32 = DiaMatrix(
+            data=jnp.asarray(np.asarray(A64.data), jnp.float32),
+            offsets=A64.offsets,
+        )
+        rng = np.random.default_rng(0)
+        r = rng.standard_normal(n)
+        res64 = dist_ca_lanczos(A64, r, 4, 16, mesh, basis=Basis.MONOMIAL)
+        res32 = dist_ca_lanczos(A32, r.astype(np.float32), 4, 16, mesh,
+                                basis=Basis.MONOMIAL)
+        resmp = dist_ca_lanczos(A32, r.astype(np.float32), 4, 16, mesh,
+                                basis=Basis.MONOMIAL, mixed_precision=True)
+        t64, t32, tmp = (np.asarray(x.T) for x in (res64, res32, resmp))
+        err32 = np.max(np.abs(t32 - t64))
+        errmp = np.max(np.abs(tmp - t64))
+        assert errmp < err32
+        assert errmp < 1e-4, (errmp, err32)
