@@ -119,12 +119,15 @@ def dist_solve_auto(
     max_lanczos: int,
     mesh,
     cfg: Optional[LanczosConfig] = None,
+    probe_steps: int = 40,
     **route_kwargs,
 ) -> AutoResult:
-    """Multi-chip solve_auto: route ``a`` for distribution, run the
-    distributed explicit-restart flagship, escalate to the distributed
-    IRL driver when unconverged at the budget (same escalation contract
+    """Multi-chip solve_auto: route ``a`` for distribution, probe the
+    spectrum to ORDER the drivers (recommend_solver — same prior as the
+    host entry: clustered tops go implicit-first), run the first choice,
+    escalate to the other when unconverged at the budget (same contract
     as harness.auto.solve_auto; Q_conv decoded through any RCM perm)."""
+    from ca_lanczos_tpu.harness.matrix_info import recommend_solver
     from ca_lanczos_tpu.parallel.dist_irl import dist_impl_restarted_ca_lanczos
     from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
 
@@ -137,23 +140,34 @@ def dist_solve_auto(
         )
         r = route.apply(r)
 
-    res = dist_restarted_ca_lanczos(
-        a, r, max_lanczos, mesh, cfg, dist_format=dist_format
-    )
-    solver, escalated = "dist_restarted_ca_lanczos", False
-    if not res.converged:
-        res2 = dist_impl_restarted_ca_lanczos(
+    def _run(which):
+        if which == "restarted_ca_lanczos":
+            return dist_restarted_ca_lanczos(
+                a, r, max_lanczos, mesh, cfg, dist_format=dist_format
+            ), "dist_restarted_ca_lanczos"
+        return dist_impl_restarted_ca_lanczos(
             a, r, max_lanczos, mesh,
             n_wanted=cfg.n_wanted, s=cfg.s, basis=cfg.basis,
             tol=cfg.tol, max_restarts=cfg.max_restarts,
             dist_format=dist_format,
-        )
+            mixed_precision=bool(cfg.orth_params.mixed_precision),
+        ), "dist_impl_restarted_ca_lanczos"
+
+    rec = recommend_solver(a, n_wanted=cfg.n_wanted, probe_steps=probe_steps)
+    first = rec["driver"]
+    second = (
+        "impl_restarted_ca_lanczos"
+        if first == "restarted_ca_lanczos"
+        else "restarted_ca_lanczos"
+    )
+    res, solver = _run(first)
+    escalated = False
+    if not res.converged:
+        res2, solver2 = _run(second)
         if res2.converged or len(np.atleast_1d(res2.eigs)) > len(
             np.atleast_1d(res.eigs)
         ):
-            res, solver, escalated = (
-                res2, "dist_impl_restarted_ca_lanczos", True
-            )
+            res, solver, escalated = res2, solver2, True
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:
         Q = route.restore(Q)
