@@ -76,6 +76,9 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=2000, help="synthetic matrix size")
     p.add_argument("--cond", type=float, default=1e2, help="synthetic condition number")
     p.add_argument("--n-wanted", type=int, default=10)
+    p.add_argument("--which", default="largest",
+                   choices=["largest", "smallest"],
+                   help="end of the spectrum to target")
     p.add_argument("--s", type=int, default=6)
     p.add_argument("--orth", default="full",
                    choices=["local", "full", "periodic", "selective"])
@@ -200,13 +203,14 @@ def main(argv=None):
 
             res = dist_solve_auto(
                 a, rng.standard_normal(a.shape[0]), args.max_lanczos,
-                make_mesh(args.mesh), cfg,
+                make_mesh(args.mesh), cfg, which=args.which,
                 allow_reorder=not args.no_reorder,
             )
         else:
             res = solve_auto(
                 a, rng.standard_normal(a.shape[0]), args.max_lanczos, cfg,
                 prefer=args.prefer, max_windows=args.max_windows, sw=args.sw,
+                which=args.which,
                 allow_reorder=not args.no_reorder,
             )
         rec = {

@@ -73,6 +73,7 @@ def solve_auto(
     cfg: Optional[LanczosConfig] = None,
     probe_steps: int = 40,
     engine: str = "host",
+    which: str = "largest",
     **route_kwargs,
 ) -> AutoResult:
     """Solve for ``cfg.n_wanted`` extreme eigenpairs, escalating between
@@ -90,7 +91,11 @@ def solve_auto(
     ``fused_restarted_ca_lanczos`` (production single-chip TPU config:
     Pallas powers kernel auto-selected, mixed precision per
     ``cfg.orth_params.mixed_precision``); the IRL escalation leg stays
-    on the host driver either way."""
+    on the host driver either way.
+
+    ``which="smallest"`` targets the other end of the spectrum by
+    solving -A and negating the eigenvalues back
+    (ops.formats.negate_operator)."""
     import jax.numpy as jnp
 
     cfg = cfg or LanczosConfig()
@@ -101,6 +106,12 @@ def solve_auto(
 
         A, route = make_operator(A, **route_kwargs)
         r = jnp.asarray(route.apply(r), A.dtype)
+    if which not in ("largest", "smallest"):
+        raise ValueError(f"which must be 'largest' or 'smallest', got {which!r}")
+    if which == "smallest":
+        from ca_lanczos_tpu.ops.formats import negate_operator
+
+        A = negate_operator(A)
     rec = recommend_solver(A, n_wanted=cfg.n_wanted, probe_steps=probe_steps)
     first = rec["driver"]
     second = (
@@ -120,8 +131,11 @@ def solve_auto(
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:
         Q = route.restore(Q)
+    eigs = np.asarray(res.eigs)
+    if which == "smallest":
+        eigs = -eigs
     return AutoResult(
-        eigs=np.asarray(res.eigs),
+        eigs=eigs,
         Q_conv=Q,
         converged=bool(res.converged),
         n_restarts=int(res.n_restarts),

@@ -132,6 +132,25 @@ def _route_csr(
         return None, ""
 
 
+def negate_operator(A: Routable) -> Routable:
+    """-A in the same encoded format (value planes negated in place of
+    a re-encode).  Lanczos drivers lock the LARGEST Ritz pairs (power-
+    iteration bias, restarted_ca_lanczos.m:183-201); solving -A and
+    negating the eigenvalues back targets the smallest end without new
+    machinery."""
+    from ca_lanczos_tpu.ops.pell import PellMatrix as _P
+
+    if isinstance(A, DiaMatrix):
+        return DiaMatrix(data=-A.data, offsets=A.offsets)
+    if isinstance(A, EllMatrix):
+        return EllMatrix(vals=-A.vals, cols=A.cols)
+    if isinstance(A, DenseMatrix):
+        return DenseMatrix(a=-A.a)
+    if isinstance(A, _P):
+        return dataclasses.replace(A, vals=-A.vals)
+    raise TypeError(f"cannot negate {type(A).__name__}")
+
+
 def save_operator(path: str, A: Routable, route: Optional[OperatorRoute] = None) -> None:
     """Serialize an encoded operator (+ its route) to one ``.npz`` file.
 

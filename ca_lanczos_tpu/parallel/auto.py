@@ -120,6 +120,7 @@ def dist_solve_auto(
     mesh,
     cfg: Optional[LanczosConfig] = None,
     probe_steps: int = 40,
+    which: str = "largest",
     **route_kwargs,
 ) -> AutoResult:
     """Multi-chip solve_auto: route ``a`` for distribution, probe the
@@ -139,6 +140,12 @@ def dist_solve_auto(
             a, mesh, cfg.s, **route_kwargs
         )
         r = route.apply(r)
+    if which not in ("largest", "smallest"):
+        raise ValueError(f"which must be 'largest' or 'smallest', got {which!r}")
+    if which == "smallest":
+        from ca_lanczos_tpu.ops.formats import negate_operator
+
+        a = negate_operator(a)
 
     def _run(which):
         if which == "restarted_ca_lanczos":
@@ -171,8 +178,11 @@ def dist_solve_auto(
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:
         Q = route.restore(Q)
+    eigs = np.asarray(res.eigs)
+    if which == "smallest":
+        eigs = -eigs
     return AutoResult(
-        eigs=np.asarray(res.eigs),
+        eigs=eigs,
         Q_conv=Q,
         converged=bool(res.converged),
         n_restarts=int(res.n_restarts),

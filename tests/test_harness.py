@@ -302,3 +302,45 @@ class TestSolveAutoFusedEngine:
         assert rec["converged"] and rec["solver"].startswith("dist_")
         exact = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:3]
         np.testing.assert_allclose(rec["eigs"][:3], exact, rtol=1e-7)
+
+
+class TestWhichSmallest:
+    def test_solve_auto_smallest_end(self):
+        """which='smallest' targets the bottom of the spectrum via
+        operator negation; eigenvalues come back un-negated and the
+        Ritz vectors are genuine eigenvectors of the ORIGINAL matrix."""
+        import scipy.sparse as sp
+
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness.auto import solve_auto
+
+        n = 3000
+        d = np.linspace(5.0, 100.0, n)
+        d[:3] = [1.0, 1.5, 2.0]  # separated bottom triple
+        a = sp.diags([d, 0.01 * np.ones(n - 1), 0.01 * np.ones(n - 1)],
+                     [0, -1, 1]).tocsr()
+        rng = np.random.default_rng(0)
+        res = solve_auto(
+            a, rng.standard_normal(n), 32,
+            LanczosConfig(n_wanted=3, s=4, tol=1e-9),
+            which="smallest",
+        )
+        assert res.converged
+        from scipy.sparse.linalg import eigsh
+
+        oracle = np.sort(eigsh(a, k=3, which="SA",
+                               return_eigenvectors=False))
+        np.testing.assert_allclose(np.sort(res.eigs), oracle, rtol=1e-8)
+        Q = np.asarray(res.Q_conv)
+        for j in range(3):
+            q = Q[:, j] / np.linalg.norm(Q[:, j])
+            lam = q @ (a @ q)
+            assert np.linalg.norm(a @ q - lam * q) < 1e-6
+
+    def test_which_validation(self):
+        from ca_lanczos_tpu.harness.auto import solve_auto
+        from ca_lanczos_tpu.utils.matrices import diag_spectrum
+
+        with pytest.raises(ValueError, match="which"):
+            solve_auto(diag_spectrum(100, 1.0, 10.0), np.ones(100), 16,
+                       which="median")
