@@ -201,9 +201,23 @@ def main(argv=None):
             from ca_lanczos_tpu.parallel import make_mesh
             from ca_lanczos_tpu.parallel.auto import dist_solve_auto
 
+            if (args.prefer != "auto" or args.sw is not None
+                    or args.max_windows != 16):
+                print(
+                    "warning: --prefer/--sw/--max-windows apply to the "
+                    "single-chip route only; the distributed route picks "
+                    "its own format (see parallel.route_dist_operator)",
+                    file=sys.stderr,
+                )
+            mesh = make_mesh(args.mesh)
+            if mesh.devices.size != args.mesh:
+                raise SystemExit(
+                    f"--mesh {args.mesh}: only {mesh.devices.size} devices "
+                    "available (check XLA_FLAGS / chip count)"
+                )
             res = dist_solve_auto(
                 a, rng.standard_normal(a.shape[0]), args.max_lanczos,
-                make_mesh(args.mesh), cfg, which=args.which,
+                mesh, cfg, which=args.which,
                 allow_reorder=not args.no_reorder,
             )
         else:

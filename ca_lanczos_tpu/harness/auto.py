@@ -38,6 +38,30 @@ class AutoResult:
     route: Optional[object] = None  # OperatorRoute when A was raw input
 
 
+def _n_locked(res) -> int:
+    """Number of genuinely locked eigenvalues in a driver result.
+
+    Host drivers return only converged eigenvalues; the fused driver
+    NaN-pads eigs to fixed n_wanted length, so a raw len() comparison
+    between legs is meaningless — count finite entries."""
+    e = np.atleast_1d(np.asarray(res.eigs, np.float64))
+    return int(np.sum(np.isfinite(e)))
+
+
+def _escalate(run, first: str, second: str):
+    """Shared escalation policy for the single- and multi-chip entries:
+    run ``first``; when unconverged, run ``second`` and keep whichever
+    converged, or locked more (finite) pairs.  ``run(name)`` returns the
+    driver result.  Returns (result, solver_name, escalated)."""
+    res = run(first)
+    if res.converged:
+        return res, first, False
+    res2 = run(second)
+    if res2.converged or _n_locked(res2) > _n_locked(res):
+        return res2, second, True
+    return res, first, False
+
+
 def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig,
          engine: str = "host"):
     if solver == "restarted_ca_lanczos":
@@ -119,15 +143,10 @@ def solve_auto(
         if first == "restarted_ca_lanczos"
         else "restarted_ca_lanczos"
     )
-    res = _run(first, A, r, max_lanczos, cfg, engine)
-    escalated = False
-    solver = first
-    if not res.converged:
-        res2 = _run(second, A, r, max_lanczos, cfg, engine)
-        if res2.converged or len(np.atleast_1d(res2.eigs)) > len(
-            np.atleast_1d(res.eigs)
-        ):
-            res, solver, escalated = res2, second, True
+    res, solver, escalated = _escalate(
+        lambda name: _run(name, A, r, max_lanczos, cfg, engine),
+        first, second,
+    )
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:
         Q = route.restore(Q)

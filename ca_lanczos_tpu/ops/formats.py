@@ -42,6 +42,7 @@ def dia_from_scipy(
     max_diags: int = 64,
     waste_cap: float = 8.0,
     dtype=None,
+    device: bool = True,
 ) -> Optional[DiaMatrix]:
     """Build DIA storage from a scipy matrix when it is diagonal-sparse.
 
@@ -54,6 +55,10 @@ def dia_from_scipy(
     ``utils.reorder.rcm_reorder``.
 
     Plane convention (ops/spmv.py DiaMatrix): data[k, i] = A[i, i + off_k].
+
+    device=False keeps the planes as host numpy — for consumers that
+    immediately re-partition on the host (the dist route), avoiding a
+    device round-trip that is minutes-slow through the axon relay.
     """
     import scipy.sparse as sp
 
@@ -62,6 +67,12 @@ def dia_from_scipy(
     n = coo.shape[0]
     if coo.shape[0] != coo.shape[1]:
         raise ValueError("square matrices only")
+    if np.iscomplexobj(coo.data):
+        raise ValueError(
+            "real matrices only (astype would silently drop imaginary "
+            "parts); complex propagation flows use the split "
+            "representation, see ops.csplit / solvers.propagators"
+        )
     if dtype is None:
         dtype = np.float64 if coo.data.dtype == np.float64 else np.float32
     if coo.nnz == 0:
@@ -74,7 +85,8 @@ def dia_from_scipy(
     k = np.searchsorted(offsets, offs_e)
     data[k, coo.row] = coo.data.astype(dtype)
     return DiaMatrix(
-        data=jnp.asarray(data), offsets=tuple(int(d) for d in offsets)
+        data=jnp.asarray(data) if device else data,
+        offsets=tuple(int(d) for d in offsets),
     )
 
 
@@ -143,12 +155,20 @@ def negate_operator(A: Routable) -> Routable:
     if isinstance(A, DiaMatrix):
         return DiaMatrix(data=-A.data, offsets=A.offsets)
     if isinstance(A, EllMatrix):
-        return EllMatrix(vals=-A.vals, cols=A.cols)
-    if isinstance(A, DenseMatrix):
+        B: Routable = EllMatrix(vals=-A.vals, cols=A.cols)
+    elif isinstance(A, DenseMatrix):
         return DenseMatrix(a=-A.a)
-    if isinstance(A, _P):
-        return dataclasses.replace(A, vals=-A.vals)
-    raise TypeError(f"cannot negate {type(A).__name__}")
+    elif isinstance(A, _P):
+        B = dataclasses.replace(A, vals=-A.vals)
+    else:
+        raise TypeError(f"cannot negate {type(A).__name__}")
+    # from_scipy attaches host-side plane copies so dist partitioners
+    # never fetch device arrays back through the (minutes-slow) relay;
+    # carry them across the negation with the value plane negated.
+    hp = getattr(A, "host_planes", None)
+    if hp is not None:
+        object.__setattr__(B, "host_planes", (-hp[0],) + tuple(hp[1:]))
+    return B
 
 
 def save_operator(path: str, A: Routable, route: Optional[OperatorRoute] = None) -> None:
@@ -263,6 +283,12 @@ def make_operator(
         csr = sp.csr_matrix(np.asarray(a))
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("square matrices only")
+    if np.iscomplexobj(csr.data):
+        raise ValueError(
+            "real matrices only (astype would silently drop imaginary "
+            "parts); complex propagation flows use the split "
+            "representation, see ops.csplit / solvers.propagators"
+        )
     csr.sum_duplicates()
     csr.sort_indices()
     n = csr.shape[0]

@@ -68,7 +68,11 @@ def route_dist_operator(
     notes = []
 
     def _try(csr_x):
-        A = dia_from_scipy(csr_x, max_diags=max_diags, waste_cap=dia_waste_cap)
+        # device=False: the dist partitioners re-slice these planes on
+        # the host; a device round-trip would be minutes-slow (relay).
+        A = dia_from_scipy(
+            csr_x, max_diags=max_diags, waste_cap=dia_waste_cap, device=False
+        )
         coo = csr_x.tocoo()
         bw = int(np.max(np.abs(coo.row - coo.col))) if nnz else 0
         if A is not None and s_max * bw < n_local:
@@ -147,18 +151,18 @@ def dist_solve_auto(
 
         a = negate_operator(a)
 
-    def _run(which):
-        if which == "restarted_ca_lanczos":
+    def _run(name):
+        if name == "restarted_ca_lanczos":
             return dist_restarted_ca_lanczos(
                 a, r, max_lanczos, mesh, cfg, dist_format=dist_format
-            ), "dist_restarted_ca_lanczos"
+            )
         return dist_impl_restarted_ca_lanczos(
             a, r, max_lanczos, mesh,
             n_wanted=cfg.n_wanted, s=cfg.s, basis=cfg.basis,
             tol=cfg.tol, max_restarts=cfg.max_restarts,
             dist_format=dist_format,
             mixed_precision=bool(cfg.orth_params.mixed_precision),
-        ), "dist_impl_restarted_ca_lanczos"
+        )
 
     rec = recommend_solver(a, n_wanted=cfg.n_wanted, probe_steps=probe_steps)
     first = rec["driver"]
@@ -167,14 +171,10 @@ def dist_solve_auto(
         if first == "restarted_ca_lanczos"
         else "restarted_ca_lanczos"
     )
-    res, solver = _run(first)
-    escalated = False
-    if not res.converged:
-        res2, solver2 = _run(second)
-        if res2.converged or len(np.atleast_1d(res2.eigs)) > len(
-            np.atleast_1d(res.eigs)
-        ):
-            res, solver, escalated = res2, solver2, True
+    from ca_lanczos_tpu.harness.auto import _escalate
+
+    res, solver, escalated = _escalate(_run, first, second)
+    solver = "dist_" + solver
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:
         Q = route.restore(Q)

@@ -124,6 +124,7 @@ def local_qr_safe(
     qr_method: str = "tsqr",
     key: jax.Array = None,
     rank_tol: float = 1.0e-12,
+    mp: bool = False,
 ):
     """Rank-revealing local_qr with masked fixed-shape null-space
     randomization — the in-jit distributed form of the reference's
@@ -145,7 +146,10 @@ def local_qr_safe(
     Returns (Q, R, rank).
     """
     m = X_local.shape[1]
-    Q, R = local_qr(X_local, qr_method)
+    # mp composes: the factorization R (the T-recovery input) keeps its
+    # f64 Gram accumulation in safe mode too; the refresh path below is
+    # randomization plumbing and stays in storage dtype.
+    Q, R = local_qr(X_local, qr_method, mp)
     # Numerical rank via SVD of the small replicated R, exactly like the
     # reference (normalize.m:14-24): singular DIRECTIONS, not columns —
     # an unpivoted QR can leak range components into its garbage columns,
@@ -157,7 +161,8 @@ def local_qr_safe(
     idx = lax.axis_index(ROWS)
     k = jax.random.fold_in(key, idx)
     rnd = jax.random.normal(k, X_local.shape, X_local.dtype)
-    Qrot = Q @ U  # leading `rank` columns span range(X) exactly
+    # keep the refresh path in storage dtype (mp leaves R f64)
+    Qrot = Q @ U.astype(Q.dtype)  # leading `rank` cols span range(X)
     Qgood = jnp.where(bad[None, :], 0.0, Qrot)
     Y = jnp.where(bad[None, :], rnd, Qrot)
     for _ in range(2):  # masked CGS: only the replaced columns move

@@ -78,7 +78,7 @@ def _dist_first_block_locked(
         *op_blocks, x_local, Qc_local, dg, sb, k = args
         V = powers(*op_blocks, x_local, dg, sb)
         if safe:
-            Qb, R, rank = local_qr_safe(V, qr_method, key=k)
+            Qb, R, rank = local_qr_safe(V, qr_method, key=k, mp=mp)
         else:
             Qb, R = local_qr(V, qr_method, mp)
             rank = jnp.asarray(V.shape[1])
@@ -119,7 +119,7 @@ def _dist_ca_block_locked(
         Y, Rkk = local_project(Qp_local, X, passes=2, mp=mp)
         Y, _ = local_project(Qc_local, Y, passes=1, mp=mp)
         if safe:
-            Q_new, R, _ = local_qr_safe(Y, qr_method, key=k)
+            Q_new, R, _ = local_qr_safe(Y, qr_method, key=k, mp=mp)
         else:
             Q_new, R = local_qr(Y, qr_method, mp)
         return Q_new, Rkk, R
@@ -427,6 +427,7 @@ def dist_restarted_ca_lanczos(
 
         # Loose true-residual sanity check before locking (see
         # solvers.restarted for the rationale and threshold).
+        k_est = k_new  # estimate-converged prefix (locked OR rejected)
         verified = 0
         for i in range(k_new):
             x = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, i], dtype), mesh)
@@ -471,7 +472,12 @@ def dist_restarted_ca_lanczos(
             # Start vector from the chosen non-converged Ritz vector
             # (restarted_ca_lanczos.m:177-180), computed on the mesh.
             strategy = RestartStrategy(config.restart_strategy)
-            cand = d[k_new:]
+            # Candidates start AFTER the whole estimate-converged prefix:
+            # entries [verified, k_est) were either locked into Qconv
+            # (restarting onto them would be deflated to noise) or
+            # verify-rejected junk (their tiny ritz_norms would dominate
+            # CLOSEST_CONV); neither is a useful restart direction.
+            cand = d[k_est:]
             # Spectral-bound guard, same rationale as _lock_converged:
             # safe_qr basis refreshes can leave spurious Ritz values
             # beyond the spectrum (|d| > ||A||); restarting LARGEST onto
@@ -482,15 +488,15 @@ def dist_restarted_ca_lanczos(
             if len(cand) == 0:
                 idx = m - 1
             elif strategy == RestartStrategy.SMALLEST:
-                idx = k_new + int(np.argmin(np.where(ok, cand, np.inf)))
+                idx = k_est + int(np.argmin(np.where(ok, cand, np.inf)))
             elif strategy == RestartStrategy.CLOSEST_CONV:
-                idx = k_new + int(
-                    np.argmin(np.where(ok, ritz_norms[k_new:], np.inf))
+                idx = k_est + int(
+                    np.argmin(np.where(ok, ritz_norms[k_est:], np.inf))
                 )
             elif strategy == RestartStrategy.RANDOM:
-                idx = k_new + int(rng.choice(np.flatnonzero(ok)))
+                idx = k_est + int(rng.choice(np.flatnonzero(ok)))
             else:
-                idx = k_new + int(np.argmax(np.where(ok, cand, -np.inf)))
+                idx = k_est + int(np.argmax(np.where(ok, cand, -np.inf)))
             q = _dist_ritz_vector(Q_cycle, jnp.asarray(Vp[:, idx], dtype), mesh)
             nrm = float(jnp.linalg.norm(q))
             q = q / nrm

@@ -261,6 +261,7 @@ def restarted_lanczos(
         Qblocks = [Q_conv, Q_new] if Q_conv is not None else [Q_new]
         orth_err.append(orth_error_fro(jnp.concatenate(Qblocks, axis=1)))
 
+        k_est = k  # estimate-converged prefix (locked OR verify-rejected)
         verified = 0
         for i in range(k):
             x = Q_new @ jnp.asarray(Vp[:, i], dtype)
@@ -278,7 +279,11 @@ def restarted_lanczos(
 
         restart = nconv < n_wanted
         if restart:
-            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k, restart_strategy, rng,
+            # Candidates start after the WHOLE estimate-converged prefix
+            # (k_est): entries [k, k_est) are locked pairs or verify-
+            # rejected junk, and restarting onto either wastes a cycle.
+            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k_est,
+                                       restart_strategy, rng,
                                        lam_bound=1.05 * norm_A)
             # Purge converged directions (restarted_lanczos.m:129).
             if Q_conv is not None:
@@ -494,6 +499,7 @@ def restarted_ca_lanczos(
         # outside/at the wrong end of the spectrum riding a fake-zero
         # estimate — are rejected.  One SpMV per candidate.
         row = np.full(config.n_wanted, np.nan)
+        k_est = k  # estimate-converged prefix (locked OR verify-rejected)
         verified = 0
         for i in range(k):
             x = Q_new @ jnp.asarray(Vp[:, i], dtype)
@@ -518,7 +524,10 @@ def restarted_ca_lanczos(
         nconv += k
         restart = nconv < config.n_wanted
         if restart:
-            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k, config.restart_strategy, rng,
+            # see restarted_lanczos: skip the whole [verified, k_est)
+            # prefix of locked/rejected candidates
+            q = _generate_start_vector(d, Vp, Q_new, ritz_norms, k_est,
+                                       config.restart_strategy, rng,
                                        lam_bound=1.05 * norm_A)
 
         if checkpoint_path is not None:

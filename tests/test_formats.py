@@ -253,3 +253,38 @@ class TestOperatorSerialization:
                 assert route2.perm is None
             else:
                 np.testing.assert_array_equal(route2.perm, route.perm)
+
+
+class TestNegateOperator:
+    def test_preserves_host_planes(self):
+        """negate_operator must carry the from_scipy host plane copies
+        (negated vals) so dist partitioners never fetch device arrays
+        back through the relay."""
+        from ca_lanczos_tpu.ops.formats import negate_operator
+
+        a = tridiag(2048)
+        E = EllMatrix.from_scipy(a)
+        En = negate_operator(E)
+        assert hasattr(En, "host_planes")
+        np.testing.assert_array_equal(
+            En.host_planes[0], -np.asarray(E.host_planes[0])
+        )
+        np.testing.assert_array_equal(En.host_planes[1], E.host_planes[1])
+        P = PellMatrix.from_scipy(a)
+        Pn = negate_operator(P)
+        assert hasattr(Pn, "host_planes")
+        np.testing.assert_array_equal(
+            Pn.host_planes[0], -np.asarray(P.host_planes[0])
+        )
+        x = np.random.default_rng(0).standard_normal(2048)
+        np.testing.assert_allclose(
+            np.asarray(Pn.matvec(jnp.asarray(x, Pn.dtype))), -(a @ x),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_dia_host_planes_option(self):
+        from ca_lanczos_tpu.ops.formats import dia_from_scipy
+
+        A = dia_from_scipy(tridiag(512), device=False)
+        assert isinstance(np.asarray(A.data), np.ndarray)
+        assert type(A.data) is np.ndarray  # stayed host-side

@@ -265,22 +265,6 @@ class TestSolveCli:
         np.testing.assert_allclose(rec["eigs"][:4], exact, rtol=1e-7)
 
 
-class TestSolveAutoFusedEngine:
-    def test_fused_engine_first_leg(self):
-        """engine='fused' routes the explicit-restart leg through the
-        one-XLA-call driver and converges on a gapped spectrum."""
-        from ca_lanczos_tpu.config import LanczosConfig
-        from ca_lanczos_tpu.harness.auto import solve_auto
-        from ca_lanczos_tpu.utils.matrices import diag_spectrum
-
-        n = 400
-        A = diag_spectrum(n, 1.0, 100.0)
-        cfg = LanczosConfig(n_wanted=6, s=4, tol=1e-8)
-        res = solve_auto(A, np.ones(n), 32, cfg, engine="fused")
-        assert res.converged and res.solver == "restarted_ca_lanczos"
-        exact = np.linspace(1.0, 100.0, n)[::-1][:6]
-        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
-
     def test_solve_mtx_distributed(self, tmp_path):
         """--mesh N routes through dist_solve_auto on the virtual mesh."""
         import json
@@ -302,6 +286,24 @@ class TestSolveAutoFusedEngine:
         assert rec["converged"] and rec["solver"].startswith("dist_")
         exact = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:3]
         np.testing.assert_allclose(rec["eigs"][:3], exact, rtol=1e-7)
+
+
+class TestSolveAutoFusedEngine:
+    def test_fused_engine_first_leg(self):
+        """engine='fused' routes the explicit-restart leg through the
+        one-XLA-call driver and converges on a gapped spectrum."""
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness.auto import solve_auto
+        from ca_lanczos_tpu.utils.matrices import diag_spectrum
+
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        cfg = LanczosConfig(n_wanted=6, s=4, tol=1e-8)
+        res = solve_auto(A, np.ones(n), 32, cfg, engine="fused")
+        assert res.converged and res.solver == "restarted_ca_lanczos"
+        exact = np.linspace(1.0, 100.0, n)[::-1][:6]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-9)
+
 
 
 class TestWhichSmallest:
