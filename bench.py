@@ -32,11 +32,30 @@ import numpy as np
 from jax import lax
 
 
-@partial(jax.jit, static_argnames=("s", "use_pallas"))
-def _powers_chain(A, q, s, reps, use_pallas=True):
+@partial(jax.jit, static_argnames=("s", "path", "Tq", "n", "offsets"))
+def _powers_chain(A, q, s, reps, path="ilv", Tq=16384, n=0, offsets=None):
     # reps is TRACED (dynamic fori_loop trip count): one compile serves
     # every rep count, so raising the two-point spread costs nothing.
-    if use_pallas:
+    if path == "ilv":
+        # Interleaved-layout fused kernel (ops.pallas_ilv): rows
+        # J-interleaved so the per-step stencil reads are aligned
+        # streams; q is pre-encoded by the caller and the chained last
+        # vector stays interleaved (the layout is invisible to the
+        # reduction).  648 vs 472 Gnnz/s for the roll-based kernel on
+        # this operator (exp/fused_ilv.py, 2026-08-19).
+        from ca_lanczos_tpu.ops.pallas_ilv import dia_powers_ilv
+
+        coefs = jnp.zeros((s, 2), q.dtype)
+
+        def body(i, v):
+            _, last = dia_powers_ilv(
+                A, v, coefs, offsets, s, Tq, n, with_coefs=False
+            )
+            return last
+
+        return jnp.sum(lax.fori_loop(0, reps, body, q))
+
+    if path == "fused":
         from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused, dia_flat_padded
 
         wmax = max(abs(o) for o in A.offsets)
@@ -111,34 +130,71 @@ def main():
     s = 8
     nnz = A.nnz
 
-    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
-    q = q / jnp.linalg.norm(q)
+    qf = np.asarray(rng.standard_normal(n), np.float32)
+    qf /= np.linalg.norm(qf)
 
-    reps_lo, reps_hi = 20, 120
-    # Prefer the Pallas DIA kernel; fall back to the XLA path if Mosaic
-    # is unavailable on this backend.
-    use_pallas = True
+    reps_lo, reps_hi = 20, 220
+    # Kernel preference order: interleaved-layout fused (fastest) ->
+    # roll-based fused -> XLA lowering.  Each fallback is loud: a
+    # lowering regression must be visible in the captured output, not
+    # disguised as a slow-but-valid number.
+    import sys
+    import traceback
+
+    Tq = 16384  # nq = n/8 = 512k -> 32 tiles
+    candidates = []
     try:
-        float(_powers_chain(A, q, s, jnp.int32(reps_lo), use_pallas=True))
-    except Exception as e:
-        # Loud fallback: a lowering regression must be visible in the
-        # captured output, not disguised as a slow-but-valid number.
-        import sys
-        import traceback
+        from ca_lanczos_tpu.ops.pallas_ilv import ilv_data_tiled, ilv_encode
 
-        print(f"WARNING: Pallas path failed, falling back to XLA: {e!r}",
-              file=sys.stderr)
-        traceback.print_exc(file=sys.stderr)
-        use_pallas = False
+        dfl = jnp.asarray(ilv_data_tiled(A, Tq))
+        q_il = jnp.asarray(ilv_encode(qf))
+        candidates.append(
+            ("ilv", dict(A=dfl, q=q_il, path="ilv", Tq=Tq, n=n, offsets=offsets))
+        )
+    except Exception as e:
+        print(f"WARNING: ilv encode failed: {e!r}", file=sys.stderr)
+    q0 = jnp.asarray(qf)
+    candidates.append(("fused", dict(A=A, q=q0, path="fused")))
+    candidates.append(("xla", dict(A=A, q=q0, path="xla")))
+
+    path = None
+    for name, kw in candidates:
+        try:
+            float(_powers_chain(kw["A"], kw["q"], s, jnp.int32(reps_lo),
+                                path=kw["path"], Tq=kw.get("Tq", 16384),
+                                n=kw.get("n", 0), offsets=kw.get("offsets")))
+            path, pkw = name, kw
+            break
+        except Exception as e:
+            print(f"WARNING: {name} path failed, falling back: {e!r}",
+                  file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+    if path is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "matrix_powers_spmv_throughput",
+                    "value": 0.0,
+                    "unit": "Gnnz/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": "all kernel paths failed to compile/run",
+                }
+            )
+        )
+        return
     # Warm up (single compile; reps is traced).
-    float(_powers_chain(A, q, s, jnp.int32(reps_hi), use_pallas=use_pallas))
+    float(_powers_chain(pkw["A"], pkw["q"], s, jnp.int32(reps_hi),
+                        path=pkw["path"], Tq=pkw.get("Tq", 16384),
+                        n=pkw.get("n", 0), offsets=pkw.get("offsets")))
     wd.cancel()  # device is alive; timing from here is bounded
 
     def timed(reps, trials=3):
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(_powers_chain(A, q, s, jnp.int32(reps), use_pallas=use_pallas))
+            float(_powers_chain(pkw["A"], pkw["q"], s, jnp.int32(reps),
+                                path=pkw["path"], Tq=pkw.get("Tq", 16384),
+                                n=pkw.get("n", 0), offsets=pkw.get("offsets")))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -168,7 +224,7 @@ def main():
                 "spread_min": round(estimates[0], 1),
                 "spread_max": round(estimates[-1], 1),
                 "trials": len(estimates),
-                "path": "pallas" if use_pallas else "xla-fallback",
+                "path": path,
             }
         )
     )
