@@ -18,10 +18,12 @@ chained powers stay interleaved throughout.
 
 Parity: matches the XLA three-term recurrence to FMA-contraction order
 (same 1-2 ulp class as the production kernel), asserted in
-tests/test_pallas_ilv.py.  Hardware pricing is pending (axon relay
-outage on 2026-08-18); until the interleaved variant measures faster
-than the 460-470 Gnnz/s production kernel it is NOT wired into the
-matrix_powers dispatch.
+tests/test_pallas_ilv.py; hardware step parity 2e-7 vs the XLA path.
+Hardware pricing (2026-08-19, long-run protocol, 4.2M rows x 9 diags,
+s=8): **648-659 Gnnz/s/chip at Tq=16384** vs 472 for the roll-based
+fused kernel — a 37-40% roofline push (~81% of the naive fused-traffic
+bound).  Tq=32768 exceeds the 16M scoped-vmem limit; 16384 is the
+production tile.  bench.py's headline path rides this kernel.
 
 Reference hot loop: matrix_powers_monomial.m:6-12 /
 matrix_powers_newton.m:25-47 (the three-term recurrence with Newton
