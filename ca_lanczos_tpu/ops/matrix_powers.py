@@ -174,6 +174,24 @@ def matrix_powers(A: Operator, q: jax.Array, s: int, Bk: Optional[np.ndarray], b
                 return matrix_powers_dia_fused(A, q, s, diag, sub)
             # complex shifts fall through to the XLA path
 
+    from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix
+
+    if isinstance(A, IlvDiaMatrix) and not jnp.iscomplexobj(q):
+        # Interleaved-layout carrier (P A P^T): the fastest DIA powers
+        # kernel (659 vs 472 Gnnz/s, BENCHMARKS.md).  q and the returned
+        # block live in the interleaved space; Ritz vectors decode once.
+        if basis == Basis.MONOMIAL:
+            return A.powers(q, s)
+        elif basis == Basis.NEWTON:
+            B = np.asarray(Bk)
+            diag = np.diagonal(B)[:s].copy()
+            sub = np.zeros(s)
+            if s > 1:
+                sub[1:] = np.diagonal(B, 1)[: s - 1]
+            if not np.iscomplexobj(diag):
+                return A.powers(q, s, diag, sub)
+            # complex shifts fall through (matvec raises a clear error)
+
     from ca_lanczos_tpu.ops.pell import PellMatrix
 
     if isinstance(A, PellMatrix) and not jnp.iscomplexobj(q):

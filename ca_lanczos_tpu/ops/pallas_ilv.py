@@ -32,6 +32,7 @@ shifts rides the same kernel; zero coefficients give monomial powers).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Tuple
 
@@ -41,6 +42,7 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.tree_util import register_dataclass
 
 from ca_lanczos_tpu.ops._mosaic import x64_trace_off
 from ca_lanczos_tpu.ops.spmv import DiaMatrix
@@ -292,3 +294,144 @@ def dia_powers_ilv(
             ],
             interpret=interpret,
         )(coefs, dflat_il, x_il)
+
+
+# ---------------------------------------------------------------------------
+# Operator carrier: the interleaved layout as a first-class Operator.
+# ---------------------------------------------------------------------------
+
+def ilv_encode_jax(x: jax.Array) -> jax.Array:
+    """Device-side :func:`ilv_encode` (one transpose, done once per solve)."""
+    n = x.shape[0]
+    return x.reshape(n // J, J).T.reshape(-1)
+
+
+def ilv_decode_jax(y: jax.Array) -> jax.Array:
+    """Device-side inverse of :func:`ilv_encode_jax`.
+
+    Columns of a 2-D multivector decode independently: use
+    ``jax.vmap(ilv_decode_jax, in_axes=1, out_axes=1)`` or decode each
+    Ritz vector as it is extracted.
+    """
+    n = y.shape[0]
+    return y.reshape(J, n // J).T.reshape(-1)
+
+
+def _ilv_interpret() -> bool:
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def pick_tq(n: int) -> int:
+    """Largest valid interleave tile for n rows (0 if none).
+
+    Constraints from :func:`dia_powers_ilv`: n % (J*Tq) == 0,
+    (n/J) % 1024 == 0, and at least two tiles.  16384 is the measured
+    sweet spot (32768 exceeds the 16 MB scoped-vmem limit at nd=9)."""
+    if n % J or (n // J) % 1024:
+        return 0
+    nq = n // J
+    for tq in (16384, 8192, 4096, 2048, 1024):
+        if nq % tq == 0 and nq // tq >= 2:
+            return tq
+    return 0
+
+
+@register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IlvDiaMatrix:
+    """A DIA operator in the interleaved row layout: represents P A P^T
+    where P is the :func:`ilv_encode` permutation.
+
+    A symmetric permutation preserves the spectrum, so every Lanczos
+    driver runs on this operator UNCHANGED — matvecs, matrix powers,
+    Gram products, and QR factors all live in the permuted space, and
+    only the final Ritz VECTORS need :func:`ilv_decode_jax` (values are
+    identical).  The payoff is the interleaved fused powers kernel:
+    658.7 vs 472 Gnnz/s for the roll-based layout (BENCHMARKS.md).
+
+    Construct with :meth:`from_dia`; encode start vectors with
+    :func:`ilv_encode_jax` (or pass a normal-layout vector through
+    ``self.encode``).  Reference seam: SpMV.m:1-9 (the declared
+    format-extension point).
+    """
+
+    dflat: jax.Array  # tile-major interleaved data planes (ilv_data_tiled)
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    tq: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n(self) -> int:
+        return self.n_rows
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_rows)
+
+    @property
+    def dtype(self):
+        return self.dflat.dtype
+
+    @property
+    def nnz(self) -> int:
+        return sum(self.n_rows - abs(k) for k in self.offsets)
+
+    @staticmethod
+    def from_dia(A: DiaMatrix, tq: int = 0) -> "IlvDiaMatrix":
+        n = A.data.shape[1]
+        tq = tq or pick_tq(n)
+        if tq == 0:
+            raise ValueError(
+                f"n={n} does not admit an interleaved tiling "
+                "(need n % 8192 == 0 with >= 2 tiles); keep the DiaMatrix"
+            )
+        wmax = max(abs(o) for o in A.offsets) if A.offsets else 0
+        if wmax >= J * WQ:
+            raise ValueError(f"bandwidth {wmax} exceeds the ilv halo {J * WQ}")
+        dflat = jnp.asarray(ilv_data_tiled(A, tq))
+        return IlvDiaMatrix(dflat=dflat, offsets=A.offsets, n_rows=n, tq=tq)
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        return ilv_encode_jax(x)
+
+    def decode(self, y: jax.Array) -> jax.Array:
+        if y.ndim == 2:
+            return jax.vmap(ilv_decode_jax, in_axes=1, out_axes=1)(y)
+        return ilv_decode_jax(y)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """(P A P^T) x for an interleaved-layout x."""
+        if jnp.iscomplexobj(x):
+            raise TypeError(
+                "IlvDiaMatrix is a real-arithmetic TPU carrier; use the "
+                "split-real propagators or a DiaMatrix for complex work"
+            )
+        if x.ndim == 2:
+            return jax.vmap(self.matvec, in_axes=1, out_axes=1)(x)
+        coefs = jnp.zeros((1, 2), x.dtype)
+        _, last = dia_powers_ilv(
+            self.dflat, x, coefs, self.offsets, 1, self.tq, self.n_rows,
+            interpret=_ilv_interpret(), with_coefs=False,
+        )
+        return last
+
+    def powers(self, q: jax.Array, s: int, diag=None, sub=None) -> jax.Array:
+        """[q, Aq, ..., A^s q] (interleaved), optionally Newton-shifted:
+        V[:,k+1] = A V[:,k] - diag[k] V[:,k] - sub[k] V[:,k-1]."""
+        with_coefs = diag is not None
+        if with_coefs:
+            coefs = jnp.stack(
+                [jnp.asarray(diag, q.dtype)[:s],
+                 jnp.asarray(sub if sub is not None else np.zeros(s), q.dtype)[:s]],
+                axis=1,
+            )
+        else:
+            coefs = jnp.zeros((s, 2), q.dtype)
+        V, _ = dia_powers_ilv(
+            self.dflat, q, coefs, self.offsets, s, self.tq, self.n_rows,
+            interpret=_ilv_interpret(), with_coefs=with_coefs,
+        )
+        return jnp.concatenate([q[None, :], V.reshape(s, self.n_rows)], axis=0).T
