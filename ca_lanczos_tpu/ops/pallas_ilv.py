@@ -106,6 +106,19 @@ def dia_powers_ilv(
     nd = len(offsets)
     nq = n // J
     assert n % (J * Tq) == 0 and nq % 1024 == 0 and Tq % 1024 == 0
+    # Halo-validity bound: each recurrence step reads the current buffer
+    # at q-offsets up to ceil(|o|/J), so the WQ q-halo loses that many
+    # valid elements per step.  Violating this returns silently WRONG
+    # later-step vectors (steps whose cumulative carry exceeds WQ read
+    # stale halo), so it must be a hard error, not a constructor hint.
+    max_carry = max(((abs(o) + J - 1) // J for o in offsets), default=0)
+    if s * max_carry > WQ:
+        raise ValueError(
+            f"ilv halo overflow: s={s} steps with max diagonal offset "
+            f"{max(abs(o) for o in offsets)} need s*ceil(|o|/{J}) = "
+            f"{s * max_carry} q-halo elements but WQ={WQ}; lower s or use "
+            "the roll-based fused kernel (ops.pallas_spmv) for this bandwidth"
+        )
     Lq = Tq + 2 * WQ
     LB = KPAD + J * Lq + KPAD  # ping-pong buffer length
     ntiles = nq // Tq
@@ -324,17 +337,26 @@ def _ilv_interpret() -> bool:
         return True
 
 
-def pick_tq(n: int) -> int:
-    """Largest valid interleave tile for n rows (0 if none).
+def pick_tq(n: int, nd: int = 9) -> int:
+    """Largest valid interleave tile for n rows and nd diagonals (0 if none).
 
     Constraints from :func:`dia_powers_ilv`: n % (J*Tq) == 0,
-    (n/J) % 1024 == 0, and at least two tiles.  16384 is the measured
-    sweet spot (32768 exceeds the 16 MB scoped-vmem limit at nd=9)."""
+    (n/J) % 1024 == 0, at least two tiles, and the scratch VMEM
+    (two data-plane buffers + four ping-pong vector buffers) within the
+    scoped-vmem budget — the picker degrades to a smaller tile for
+    diagonal-heavy operators instead of failing at compile time with an
+    opaque Mosaic error.  16384 is the measured sweet spot at nd=9
+    (32768 exceeds the 16 MB scoped-vmem limit)."""
     if n % J or (n // J) % 1024:
         return 0
     nq = n // J
+    budget = int(14.5 * 1024 * 1024)  # 16 MiB scoped vmem minus headroom
     for tq in (16384, 8192, 4096, 2048, 1024):
-        if nq % tq == 0 and nq // tq >= 2:
+        if nq % tq or nq // tq < 2:
+            continue
+        lq = tq + 2 * WQ
+        scratch = (2 * nd * J * lq + 4 * (2 * KPAD + J * lq)) * 4
+        if scratch <= budget:
             return tq
     return 0
 
@@ -382,14 +404,16 @@ class IlvDiaMatrix:
     @staticmethod
     def from_dia(A: DiaMatrix, tq: int = 0) -> "IlvDiaMatrix":
         n = A.data.shape[1]
-        tq = tq or pick_tq(n)
+        tq = tq or pick_tq(n, A.data.shape[0])
         if tq == 0:
             raise ValueError(
                 f"n={n} does not admit an interleaved tiling "
                 "(need n % 8192 == 0 with >= 2 tiles); keep the DiaMatrix"
             )
+        # s=1 (matvec) halo bound; s-step callers hit the stricter
+        # s*ceil(|o|/J) <= WQ check inside dia_powers_ilv.
         wmax = max(abs(o) for o in A.offsets) if A.offsets else 0
-        if wmax >= J * WQ:
+        if wmax > J * WQ:
             raise ValueError(f"bandwidth {wmax} exceeds the ilv halo {J * WQ}")
         dflat = jnp.asarray(ilv_data_tiled(A, tq))
         return IlvDiaMatrix(dflat=dflat, offsets=A.offsets, n_rows=n, tq=tq)
@@ -410,7 +434,13 @@ class IlvDiaMatrix:
                 "split-real propagators or a DiaMatrix for complex work"
             )
         if x.ndim == 2:
-            return jax.vmap(self.matvec, in_axes=1, out_axes=1)(x)
+            # Column loop, NOT vmap: Mosaic cannot lower a vmapped
+            # pallas_call whose operands mix block shapes (the 2-D
+            # multivector spmv of fused_restarted and the verification
+            # residuals land here).  Column counts are small statics
+            # (n_wanted), so the unrolled loop compiles once per width.
+            cols = [self.matvec(x[:, j]) for j in range(x.shape[1])]
+            return jnp.stack(cols, axis=1)
         coefs = jnp.zeros((1, 2), x.dtype)
         _, last = dia_powers_ilv(
             self.dflat, x, coefs, self.offsets, 1, self.tq, self.n_rows,

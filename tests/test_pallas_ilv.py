@@ -70,6 +70,47 @@ class TestIlvKernelParity:
         )
 
 
+class TestIlvGuards:
+    """Validity guards: silently-wrong configurations must raise."""
+
+    def test_halo_overflow_raises(self):
+        # offset 4096 -> carry ceil(4096/8)=512 q-elements/step: s=2 fits
+        # the WQ=1024 halo exactly, s=4 needs 2048 and must be rejected
+        # (it used to return wrong steps 3-4 silently).
+        n = 8 * 2048
+        data = np.ones((3, n), np.float32)
+        A = DiaMatrix(data=jnp.asarray(data), offsets=(-4096, 0, 4096))
+        rng = np.random.default_rng(0)
+        x_il = jnp.asarray(ilv_encode(rng.standard_normal(n).astype(np.float32)))
+        dfl = jnp.asarray(ilv_data_tiled(A, 1024))
+        coefs = jnp.zeros((4, 2), jnp.float32)
+        with pytest.raises(ValueError, match="halo overflow"):
+            dia_powers_ilv(dfl, x_il, coefs, A.offsets, 4, 1024, n,
+                           interpret=True)
+        # s=2 passes the guard and computes correctly
+        V, _ = dia_powers_ilv(dfl, x_il, coefs[:2], A.offsets, 2, 1024, n,
+                              interpret=True)
+        from ca_lanczos_tpu.ops.matrix_powers import matrix_powers_monomial
+
+        V_ref = np.asarray(matrix_powers_monomial(A, jnp.asarray(
+            ilv_decode(np.asarray(x_il))), 2))
+        np.testing.assert_allclose(
+            ilv_decode(np.asarray(V).reshape(2, n)[1]), V_ref[:, 2],
+            rtol=2e-5, atol=2e-6)
+
+    def test_pick_tq_respects_vmem_budget(self):
+        from ca_lanczos_tpu.ops.pallas_ilv import KPAD, WQ, pick_tq
+
+        n = 8 * 16384 * 2
+        assert pick_tq(n, nd=9) == 16384
+        # diagonal-heavy operators degrade to a smaller tile instead of
+        # failing at compile time
+        tq13 = pick_tq(n, nd=13)
+        assert 0 < tq13 < 16384
+        lq = tq13 + 2 * WQ
+        assert (2 * 13 * J * lq + 4 * (2 * KPAD + J * lq)) * 4 <= 15.5e6
+
+
 class TestIlvOperator:
     """IlvDiaMatrix = P A P^T: drivers run unchanged in the permuted
     space (same spectrum); only Ritz vectors decode."""
@@ -88,6 +129,18 @@ class TestIlvOperator:
         x = jnp.asarray(rng.standard_normal(A.n), jnp.float32)
         y = np.asarray(ilv_decode_jax(Ail.matvec(ilv_encode_jax(x))))
         np.testing.assert_allclose(y, np.asarray(A.matvec(x)),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_matvec_2d_multivector(self):
+        # 2-D blocks go through the column loop (a vmapped pallas_call
+        # does not lower on TPU); fused_restarted's verification SpMV
+        # and `spmv(A, X)` drivers land here.
+        A, Ail = self._pair()
+        rng = np.random.default_rng(7)
+        X = jnp.asarray(rng.standard_normal((A.n, 3)), jnp.float32)
+        X_il = jnp.stack([Ail.encode(X[:, j]) for j in range(3)], axis=1)
+        Y = np.asarray(Ail.decode(Ail.matvec(X_il)))
+        np.testing.assert_allclose(Y, np.asarray(A.matvec(X)),
                                    rtol=2e-5, atol=2e-6)
 
     def test_powers_dispatch_newton_parity(self):
