@@ -9,8 +9,12 @@ On TPU the format choice IS the performance story (see ops/spmv.py), so
 an operator":
 
   1. tiny           -> DenseMatrix        (MXU matmul beats any sparse path)
-  2. few diagonals  -> DiaMatrix          (fused Pallas s-step kernel,
-                                           ~460 Gnnz/s/chip)
+  2. few diagonals  -> IlvDiaMatrix       (interleaved fused s-step kernel,
+                                           ~659 Gnnz/s/chip; TPU f32 with a
+                                           valid tiling — zero-pad to the
+                                           8192-row unit is part of the
+                                           route) else DiaMatrix (roll-based
+                                           fused kernel, ~470 Gnnz/s/chip)
   3. windowed nnz   -> PellMatrix         (general-sparsity Pallas kernel,
                                            ~8-33 Gnnz/s/chip)
   4. scattered      -> RCM reorder, then re-route the permuted matrix
@@ -34,6 +38,9 @@ import numpy as np
 from ca_lanczos_tpu.ops.pell import PellMatrix
 from ca_lanczos_tpu.ops.spmv import DenseMatrix, DiaMatrix, EllMatrix
 
+# IlvDiaMatrix (ops.pallas_ilv) also routes; kept out of the Union to
+# avoid importing the Pallas machinery at module load — Routable is
+# duck-typed on matvec/shape/dtype/nnz like ops.spmv.Operator.
 Routable = Union[DenseMatrix, DiaMatrix, EllMatrix, PellMatrix]
 
 
@@ -96,28 +103,41 @@ class OperatorRoute:
 
     perm is new_index -> old_index (as in utils.reorder.Reordering);
     None means no reordering was applied and apply/restore are identity.
+
+    n_orig: set when the route zero-padded the operator (the ilv format
+    needs n % 8192 == 0) — ``apply`` embeds original-order vectors into
+    the padded domain before permuting, ``restore`` truncates back, so
+    callers still never see the layout.  perm then has padded length.
     """
 
-    format: str  # "dense" | "dia" | "pell" | "ell"
+    format: str  # "dense" | "dia" | "ilv" | "pell" | "ell"
     perm: Optional[np.ndarray]
     notes: List[str]
     nnz: int
     bandwidth_before: Optional[int] = None
     bandwidth_after: Optional[int] = None
+    n_orig: Optional[int] = None
 
     def apply(self, x) -> np.ndarray:
         """Map original-order vectors/multivectors into operator order."""
         x = np.asarray(x)
-        return x if self.perm is None else x[self.perm]
+        if self.perm is None:
+            return x
+        if self.n_orig is not None and len(self.perm) > x.shape[0]:
+            pad = np.zeros((len(self.perm) - x.shape[0],) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        return x[self.perm]
 
     def restore(self, x) -> np.ndarray:
         """Map operator-order vectors/multivectors back to original order."""
         x = np.asarray(x)
-        if self.perm is None:
-            return x
-        out = np.empty_like(x)
-        out[self.perm] = x
-        return out
+        if self.perm is not None:
+            out = np.empty_like(x)
+            out[self.perm] = x
+            x = out
+        if self.n_orig is not None:
+            x = x[: self.n_orig]
+        return x
 
 
 def _route_csr(
@@ -131,7 +151,12 @@ def _route_csr(
     max_windows: int,
     sw: Optional[int],
 ) -> Tuple[Optional[Routable], str]:
-    A = dia_from_scipy(csr, max_diags=max_diags, waste_cap=dia_waste_cap)
+    # DIA planes stay host-side here: the ilv upgrade (and the dist
+    # partitioners) repack them on host, and a device round-trip through
+    # the axon relay is minutes-slow.  make_operator device-puts the
+    # planes of whatever format wins.
+    A = dia_from_scipy(csr, max_diags=max_diags, waste_cap=dia_waste_cap,
+                       device=False)
     if A is not None:
         return A, "dia"
     try:
@@ -144,16 +169,94 @@ def _route_csr(
         return None, ""
 
 
+def _gershgorin_mid(csr) -> float:
+    """Midpoint of the Gershgorin spectrum hull — strictly inside the
+    spectrum, so padding rows given this diagonal value can never surface
+    among extreme Ritz values (largest OR smallest targeting)."""
+    diag = np.asarray(csr.diagonal(), np.float64)
+    absrow = np.asarray(np.abs(csr).sum(axis=1)).ravel().astype(np.float64)
+    rad = absrow - np.abs(diag)
+    return 0.5 * (float((diag - rad).min()) + float((diag + rad).max()))
+
+
+def _maybe_ilv(A: DiaMatrix, csr, notes: List[str], ilv):
+    """Upgrade a host-plane DiaMatrix to the interleaved carrier when the
+    TPU fused ILV kernel serves it — the production banded fast path
+    (659 vs 470 Gnnz/s for the roll-based fused kernel, BENCHMARKS.md).
+
+    Returns (IlvDiaMatrix, perm_il (n_pad new->old), n_pad) or None.
+    ``ilv``: "auto" upgrades float32 planes on a device backend;
+    True forces (casting planes to float32 — the kernel's dtype);
+    False disables.
+
+    The operator is zero-padded to the kernel's 8192-row tiling unit;
+    pad rows get the Gershgorin-midpoint diagonal so their eigenvalues
+    sit strictly inside the spectrum hull (a start vector routed through
+    ``OperatorRoute.apply`` is zero on the pad rows, which the recurrence
+    preserves exactly — the fill only guards flows that inject random
+    mass, e.g. breakdown recovery).  Reference seam: SpMV.m:1-9.
+    """
+    from ca_lanczos_tpu.ops.pallas_ilv import J, WQ, IlvDiaMatrix, pick_tq
+
+    if ilv is False:
+        return None
+    data = np.asarray(A.data)
+    nd, n = data.shape
+    w = max((abs(o) for o in A.offsets), default=0)
+    if 8 * ((w + J - 1) // J) > WQ:  # production s=8 must fit the q-halo
+        if ilv is True:
+            raise ValueError(
+                f"ilv forced but bandwidth {w} exceeds the s=8 halo bound "
+                f"(need 8*ceil(w/{J}) <= {WQ})"
+            )
+        return None
+    if ilv == "auto":
+        import jax as _jax
+
+        try:
+            if _jax.default_backend() == "cpu":
+                return None
+        except Exception:  # pragma: no cover
+            return None
+        if data.dtype != np.float32:
+            notes.append("ilv skipped: planes not float32 (force with prefer='ilv')")
+            return None
+    n_pad = max(2 * 8192, -(-n // 8192) * 8192)
+    tq = pick_tq(n_pad, nd)
+    if tq == 0:
+        return None
+    if ilv == "auto" and n_pad > 1.25 * n:
+        notes.append(f"ilv skipped: pad waste {n_pad / n:.2f}x > 1.25x")
+        return None
+    pdata = np.zeros((nd, n_pad), np.float32)
+    pdata[:, :n] = data.astype(np.float32)
+    if n_pad > n and 0 in A.offsets:
+        pdata[A.offsets.index(0), n:] = np.float32(_gershgorin_mid(csr))
+    Ail = IlvDiaMatrix.from_dia(
+        DiaMatrix(data=pdata, offsets=A.offsets), tq=tq, keep_dia=True
+    )
+    nq = n_pad // J
+    perm_il = np.arange(n_pad).reshape(nq, J).T.reshape(-1)
+    notes.append(f"ilv: interleaved carrier, n {n} -> {n_pad}, tq={tq}")
+    return Ail, perm_il, n_pad
+
+
 def negate_operator(A: Routable) -> Routable:
     """-A in the same encoded format (value planes negated in place of
     a re-encode).  Lanczos drivers lock the LARGEST Ritz pairs (power-
     iteration bias, restarted_ca_lanczos.m:183-201); solving -A and
     negating the eigenvalues back targets the smallest end without new
     machinery."""
+    from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix as _I
     from ca_lanczos_tpu.ops.pell import PellMatrix as _P
 
     if isinstance(A, DiaMatrix):
         return DiaMatrix(data=-A.data, offsets=A.offsets)
+    if isinstance(A, _I):
+        return dataclasses.replace(
+            A, dflat=-A.dflat,
+            dia_data=None if A.dia_data is None else -A.dia_data,
+        )
     if isinstance(A, EllMatrix):
         B: Routable = EllMatrix(vals=-A.vals, cols=A.cols)
     elif isinstance(A, DenseMatrix):
@@ -180,12 +283,22 @@ def save_operator(path: str, A: Routable, route: Optional[OperatorRoute] = None)
     on a CPU host once and ship the planes.  Round-trips DiaMatrix /
     EllMatrix / DenseMatrix / PellMatrix bit-exactly.
     """
+    from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix as _I
     from ca_lanczos_tpu.ops.pell import PellMatrix as _P
 
     arrs = {}
     if isinstance(A, DiaMatrix):
         arrs = dict(kind="dia", data=np.asarray(A.data),
                     offsets=np.asarray(A.offsets, np.int64))
+    elif isinstance(A, _I):
+        if A.dia_data is None:
+            raise ValueError(
+                "IlvDiaMatrix without dia_data cannot be serialized "
+                "(construct with keep_dia=True)"
+            )
+        arrs = dict(kind="ilv", data=np.asarray(A.dia_data),
+                    offsets=np.asarray(A.offsets, np.int64),
+                    tq=np.asarray(A.tq, np.int64))
     elif isinstance(A, EllMatrix):
         arrs = dict(kind="ell", vals=np.asarray(A.vals),
                     cols=np.asarray(A.cols))
@@ -208,6 +321,8 @@ def save_operator(path: str, A: Routable, route: Optional[OperatorRoute] = None)
         arrs["route_notes"] = np.asarray("\n".join(route.notes))
         if route.perm is not None:
             arrs["route_perm"] = np.asarray(route.perm, np.int64)
+        if route.n_orig is not None:
+            arrs["route_n_orig"] = np.asarray(route.n_orig, np.int64)
     np.savez_compressed(path, **arrs)
 
 
@@ -223,6 +338,13 @@ def load_operator_npz(
         A: Routable = DiaMatrix(
             data=jnp.asarray(z["data"]),
             offsets=tuple(int(o) for o in z["offsets"]),
+        )
+    elif kind == "ilv":
+        from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix as _I
+
+        A = _I.from_dia(
+            DiaMatrix(data=z["data"], offsets=tuple(int(o) for o in z["offsets"])),
+            tq=int(z["tq"]),
         )
     elif kind == "ell":
         A = EllMatrix(vals=jnp.asarray(z["vals"]), cols=jnp.asarray(z["cols"]))
@@ -246,6 +368,7 @@ def load_operator_npz(
             perm=np.asarray(z["route_perm"]) if "route_perm" in z else None,
             notes=notes.split("\n") if notes else [],
             nnz=int(z["route_nnz"]),
+            n_orig=int(z["route_n_orig"]) if "route_n_orig" in z else None,
         )
     return A, route
 
@@ -263,12 +386,19 @@ def make_operator(
     sw: Optional[int] = None,
     allow_reorder: bool = True,
     allow_ell_fallback: bool = True,
+    ilv="auto",
 ) -> Tuple[Routable, OperatorRoute]:
     """Route any square scipy.sparse / dense matrix to a TPU operator.
 
     prefer: "auto" routes per the module docstring; "dense" / "dia" /
-    "pell" / "ell" force that format (dia raises if the matrix does not
-    qualify under ``max_diags`` / ``dia_waste_cap``).
+    "ilv" / "pell" / "ell" force that format (dia/ilv raise if the
+    matrix does not qualify under ``max_diags`` / ``dia_waste_cap`` /
+    the interleave tiling).
+
+    ilv: "auto" (default) upgrades TPU-eligible float32 DIA routes to the
+    interleaved carrier (IlvDiaMatrix — the fastest banded kernel, with
+    the interleave permutation and any pad captured in the route); False
+    keeps plain DiaMatrix; True forces the upgrade (casting to float32).
 
     Returns (operator, route).  When routing reordered the matrix
     (route.perm is not None) the caller must run the solver on
@@ -309,6 +439,24 @@ def make_operator(
                 f" waste_cap={dia_waste_cap})"
             )
         return A, OperatorRoute("dia", None, ["forced dia"], nnz)
+    if prefer == "ilv":
+        Ah = dia_from_scipy(
+            csr, max_diags=max_diags, waste_cap=dia_waste_cap, device=False
+        )
+        if Ah is None:
+            raise ValueError(
+                f"matrix does not qualify for DIA/ilv (max_diags={max_diags},"
+                f" waste_cap={dia_waste_cap})"
+            )
+        up = _maybe_ilv(Ah, csr, notes, True)
+        if up is None:
+            raise ValueError(
+                f"n={n} does not admit the interleaved tiling (no valid tile)"
+            )
+        Ail, perm_il, _ = up
+        return Ail, OperatorRoute(
+            "ilv", perm_il, ["forced ilv"] + notes, nnz, n_orig=n
+        )
     if prefer == "pell":
         A = PellMatrix.from_scipy(
             csr, tile=tile, encoding=encoding, max_windows=max_windows, sw=sw
@@ -330,9 +478,30 @@ def make_operator(
         max_windows=max_windows,
         sw=sw,
     )
+
+    def _finish(A, fmt, perm, csr_used, bw_b=None, bw_a=None):
+        """Upgrade a host-plane DIA win to the ilv carrier (composing the
+        interleave permutation with any RCM perm); device-put otherwise."""
+        if fmt == "dia":
+            up = _maybe_ilv(A, csr_used, notes, ilv)
+            if up is not None:
+                Ail, perm_il, n_pad = up
+                if perm is None:
+                    total = perm_il
+                else:
+                    ext = np.concatenate(
+                        [np.asarray(perm), np.arange(n, n_pad)]
+                    )
+                    total = ext[perm_il]
+                return Ail, OperatorRoute(
+                    "ilv", total, notes, nnz, bw_b, bw_a, n_orig=n
+                )
+            A = DiaMatrix(data=jnp.asarray(A.data), offsets=A.offsets)
+        return A, OperatorRoute(fmt, perm, notes, nnz, bw_b, bw_a)
+
     A, fmt = _route_csr(csr, notes, **kw)
     if A is not None:
-        return A, OperatorRoute(fmt, None, notes, nnz)
+        return _finish(A, fmt, None, csr)
 
     bw_before = bw_after = None
     if allow_reorder and nnz:
@@ -347,9 +516,7 @@ def make_operator(
         notes.append(f"rcm: bandwidth {bw_before} -> {bw_after}")
         A, fmt = _route_csr(csr_p, notes, **kw)
         if A is not None:
-            return A, OperatorRoute(
-                fmt, perm, notes, nnz, bw_before, bw_after
-            )
+            return _finish(A, fmt, perm, csr_p, bw_before, bw_after)
         if allow_ell_fallback:
             notes.append("ell fallback (XLA gather path — slow on TPU)")
             return (

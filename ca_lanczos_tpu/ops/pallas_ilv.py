@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -384,6 +384,13 @@ class IlvDiaMatrix:
     offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     tq: int = dataclasses.field(metadata=dict(static=True))
+    # Optional normal-layout companion planes (DiaMatrix.data layout).
+    # Multivector consumers (fused_restarted's true-residual verification
+    # and Rayleigh-Ritz refine) decode their vectors once and run the
+    # one-pass XLA DIA matvec on these instead of streaming the matrix
+    # once per column through the 1-D kernel.  None keeps the carrier
+    # lean for powers-only callers.
+    dia_data: Optional[jax.Array] = None
 
     @property
     def n(self) -> int:
@@ -401,8 +408,25 @@ class IlvDiaMatrix:
     def nnz(self) -> int:
         return sum(self.n_rows - abs(k) for k in self.offsets)
 
+    @property
+    def s_max(self) -> int:
+        """Largest s the WQ q-halo supports (see dia_powers_ilv guard)."""
+        mc = max(((abs(o) + J - 1) // J for o in self.offsets), default=0)
+        return WQ // mc if mc else 10**9
+
+    @property
+    def dia(self) -> Optional[DiaMatrix]:
+        """Normal-layout companion operator (None if not kept)."""
+        if self.dia_data is None:
+            return None
+        return DiaMatrix(data=self.dia_data, offsets=self.offsets)
+
     @staticmethod
-    def from_dia(A: DiaMatrix, tq: int = 0) -> "IlvDiaMatrix":
+    def from_dia(A: DiaMatrix, tq: int = 0, keep_dia: bool = True) -> "IlvDiaMatrix":
+        """Build the interleaved carrier.  ``A.data`` should be host numpy
+        for large operators on the relay backend (device fetch is
+        ~160 KB/s); ``keep_dia`` stores the normal-layout planes alongside
+        for one-pass multivector matvecs (see ``dia_data``)."""
         n = A.data.shape[1]
         tq = tq or pick_tq(n, A.data.shape[0])
         if tq == 0:
@@ -416,7 +440,10 @@ class IlvDiaMatrix:
         if wmax > J * WQ:
             raise ValueError(f"bandwidth {wmax} exceeds the ilv halo {J * WQ}")
         dflat = jnp.asarray(ilv_data_tiled(A, tq))
-        return IlvDiaMatrix(dflat=dflat, offsets=A.offsets, n_rows=n, tq=tq)
+        return IlvDiaMatrix(
+            dflat=dflat, offsets=A.offsets, n_rows=n, tq=tq,
+            dia_data=jnp.asarray(A.data) if keep_dia else None,
+        )
 
     def encode(self, x: jax.Array) -> jax.Array:
         return ilv_encode_jax(x)
@@ -434,11 +461,18 @@ class IlvDiaMatrix:
                 "split-real propagators or a DiaMatrix for complex work"
             )
         if x.ndim == 2:
-            # Column loop, NOT vmap: Mosaic cannot lower a vmapped
-            # pallas_call whose operands mix block shapes (the 2-D
-            # multivector spmv of fused_restarted and the verification
-            # residuals land here).  Column counts are small statics
-            # (n_wanted), so the unrolled loop compiles once per width.
+            # 2-D blocks: with the normal-layout companion, decode the
+            # block once, run the one-pass XLA DIA matvec, re-encode —
+            # one matrix stream for the whole block.  Without it, loop
+            # columns (NOT vmap: Mosaic cannot lower a vmapped
+            # pallas_call whose operands mix block shapes); column
+            # counts are small statics (n_wanted) so the unrolled loop
+            # compiles once per width.
+            if self.dia_data is not None:
+                y = self.dia.matvec(self.decode(x))
+                return jnp.stack(
+                    [ilv_encode_jax(y[:, j]) for j in range(y.shape[1])], axis=1
+                )
             cols = [self.matvec(x[:, j]) for j in range(x.shape[1])]
             return jnp.stack(cols, axis=1)
         coefs = jnp.zeros((1, 2), x.dtype)

@@ -79,24 +79,19 @@ def _local_powers_fn(A, s: int):
 
         return body_ell, (A.vals, A.cols)
 
-    fused_kw = dict(
-        offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
-        fused_w=A.fused_w, m_pad=A.m_pad, fused_tile=A.fused_tile,
-        fused_interpret=A.fused_interpret, periodic=A.periodic,
+    from ca_lanczos_tpu.parallel.distributed import (
+        dia_powers_operands, dia_powers_statics,
     )
-    if A.dflat is not None:
-        def body_dia_fused(data_block, dflat_block, x_local, dg, sb):
-            return _powers_local(
-                data_block[0], x_local, dg, sb,
-                dflat_local=dflat_block[0], **fused_kw,
-            )
 
-        return body_dia_fused, (A.data, A.dflat)
+    operands, names = dia_powers_operands(A)
+    statics = dia_powers_statics(A, s)
 
-    def body_dia(data_block, x_local, dg, sb):
-        return _powers_local(data_block[0], x_local, dg, sb, **fused_kw)
+    def body_dia(*args):
+        *blocks, x_local, dg, sb = args
+        extra = {nm: blk[0] for nm, blk in zip(names, blocks[1:])}
+        return _powers_local(blocks[0][0], x_local, dg, sb, **extra, **statics)
 
-    return body_dia, (A.data,)
+    return body_dia, operands
 
 
 def _powers_check_vma(A) -> bool:

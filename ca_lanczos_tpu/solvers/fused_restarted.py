@@ -88,7 +88,7 @@ class FusedRestartedResult:
     jax.jit,
     static_argnames=(
         "s", "iters", "n_wanted", "max_restarts", "mixed_precision",
-        "pallas_tile", "pallas_W",
+        "pallas_tile", "pallas_W", "ilv_tq",
     ),
 )
 def _fused_restarted(
@@ -106,6 +106,7 @@ def _fused_restarted(
     mixed_precision: bool = False,
     pallas_tile: int = 0,  # 0 = XLA scan powers
     pallas_W: int = 0,
+    ilv_tq: int = 0,  # >0: A is an IlvDiaMatrix, powers ride the ilv kernel
 ):
     n = q0.shape[0]
     dtype = q0.dtype
@@ -148,7 +149,26 @@ def _fused_restarted(
         if s > 1:
             sup = sup.at[1:].set(jnp.diagonal(Bk, 1)[: s - 1].astype(dtype))
 
-        if pallas_tile:
+        if ilv_tq:
+            # Interleaved-layout fused powers (the fastest banded kernel,
+            # 659 Gnnz/s — BENCHMARKS.md).  The whole solve lives in the
+            # permuted space: q0 arrives interleaved (OperatorRoute.apply
+            # / ilv_encode_jax), orth and locking are layout-invariant,
+            # and the verification/refine SpMVs go through the carrier's
+            # 2-D matvec (one-pass XLA DIA on the decoded block).
+            from ca_lanczos_tpu.ops.pallas_ilv import (
+                _ilv_interpret, dia_powers_ilv,
+            )
+
+            ilv_coefs = jnp.stack([diag, sup], axis=1)
+
+            def powers(qv):
+                V, _ = dia_powers_ilv(
+                    A.dflat, qv, ilv_coefs, A.offsets, s, ilv_tq, n,
+                    interpret=_ilv_interpret(), with_coefs=True,
+                )
+                return jnp.concatenate([qv[:, None], V.reshape(s, n).T], axis=1)
+        elif pallas_tile:
             from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused
 
             def powers(qv):
@@ -326,12 +346,28 @@ def fused_restarted_ca_lanczos(
     TPU, force with use_pallas) this is the production single-chip
     configuration: reference accuracy at kernel speed in one XLA call.
     """
+    from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix, ilv_decode_jax
+
     basis = Basis(basis)
-    norm_A = normest(A)
+    ilv_tq = 0
+    if isinstance(A, IlvDiaMatrix):
+        # Carrier path (VERDICT r2 item 1b): powers ride the interleaved
+        # kernel; normest and the Newton bootstrap run on the
+        # normal-layout companion (spectrum is permutation-invariant, and
+        # the bootstrap's per-step matvecs are cheaper as one-pass XLA).
+        if A.dia_data is None:
+            raise ValueError(
+                "fused_restarted_ca_lanczos needs IlvDiaMatrix(keep_dia="
+                "True): verification/refine use the normal-layout planes"
+            )
+        ilv_tq = A.tq
+    norm_A = normest(A.dia if ilv_tq else A)
     r = jnp.asarray(r)
     q0 = r / jnp.linalg.norm(r)
     if basis == Basis.MONOMIAL:
         Bk = monomial_basis_matrix(s)
+    elif ilv_tq:
+        Bk = build_basis_matrix(A.dia, ilv_decode_jax(q0), s, basis)
     else:
         Bk = build_basis_matrix(A, q0, s, basis)
     iters = max_lanczos // s
@@ -344,8 +380,14 @@ def fused_restarted_ca_lanczos(
     if use_pallas is None:
         from ca_lanczos_tpu.ops.matrix_powers import _pallas_eligible
 
-        use_pallas = _pallas_eligible(A, q0) and not np.iscomplexobj(Bk_np)
-    if use_pallas:
+        use_pallas = (
+            not ilv_tq
+            and _pallas_eligible(A, q0)
+            and not np.iscomplexobj(Bk_np)
+        )
+    if ilv_tq and np.iscomplexobj(Bk_np):
+        raise ValueError("IlvDiaMatrix is a real-arithmetic carrier")
+    if use_pallas and not ilv_tq:
         from ca_lanczos_tpu.ops.pallas_spmv import dia_flat_padded, fused_tile
 
         nd = A.data.shape[0]
@@ -377,6 +419,7 @@ def fused_restarted_ca_lanczos(
         mixed_precision=mixed_precision,
         pallas_tile=pallas_tile,
         pallas_W=pallas_W,
+        ilv_tq=ilv_tq,
     )
     nconv = int(nconv)
     return FusedRestartedResult(
