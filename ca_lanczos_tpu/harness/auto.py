@@ -6,10 +6,15 @@ explicit-restart flagship at the reference budget (clustered-top
 families like stiff_1d have probe-invisible 1e-5 gaps, while exactly
 degenerate mesh spectra converge fine) — so instead of predicting,
 ``solve_auto`` guarantees by escalation: run the driver the probe
-prefers first, and if it returns unconverged at the budget, rerun with
-the other driver (explicit thick restart <-> implicitly-restarted with
-locking) at the SAME budget.  The probe (``recommend_solver``) only
-chooses the ORDER, saving the first solve on clearly clustered spectra.
+prefers first, and if it returns unconverged at the budget, walk the
+rest of the ladder at the SAME budget — the other driver (explicit
+thick restart <-> implicitly-restarted with locking), then the
+numerically-safe rescue rungs (full reorthogonalization at the case's
+s; s=4 full-orth for both drivers) that close the s-step Newton-basis
+conditioning failures (see ``_ladder``).  The round-3 corpus campaign
+converges 552/552 through this ladder (BENCHMARKS.md).  The probe
+(``recommend_solver``) only chooses the ORDER, saving the first solve
+on clearly clustered spectra.
 
 Reference seam: test_restarted_ca_lanczos_all_matrices.m:59 drives one
 solver over the corpus and reports failures; this module is the TPU
@@ -48,18 +53,53 @@ def _n_locked(res) -> int:
     return int(np.sum(np.isfinite(e)))
 
 
-def _escalate(run, first: str, second: str):
+def _ladder(cfg: LanczosConfig, first: str, second: str):
+    """Escalation ladder: the two probe-ordered drivers at the case's own
+    config, then numerically-SAFE rescue legs for the failure physics the
+    round-2 corpus campaign left open (BENCHMARKS.md: the s=10 Newton
+    basis condition number exceeds f64 on kappa~1e8 spectra, and weak
+    orth modes lose the clustered partners) — full reorthogonalization at
+    the case's s, then the s=4 full-orth CA-safe regime for both drivers.
+    The budget (max_basis vectors per cycle, max_restarts) never grows.
+
+    Returns [(driver, cfg, label), ...]; labels record any config
+    deviation so results stay auditable."""
+    from ca_lanczos_tpu.config import Orth
+
+    attempts = [(first, cfg, first), (second, cfg, second)]
+    if cfg.orth != Orth.FULL:
+        c = dataclasses.replace(cfg, orth=Orth.FULL)
+        attempts.append(
+            ("impl_restarted_ca_lanczos", c,
+             "impl_restarted_ca_lanczos[orth=full]")
+        )
+    if cfg.s > 4:
+        c4 = dataclasses.replace(cfg, s=4, orth=Orth.FULL)
+        attempts.append(
+            ("impl_restarted_ca_lanczos", c4,
+             "impl_restarted_ca_lanczos[s=4,orth=full]")
+        )
+        attempts.append(
+            ("restarted_ca_lanczos", c4,
+             "restarted_ca_lanczos[s=4,orth=full]")
+        )
+    return attempts
+
+
+def _escalate(run, attempts):
     """Shared escalation policy for the single- and multi-chip entries:
-    run ``first``; when unconverged, run ``second`` and keep whichever
-    converged, or locked more (finite) pairs.  ``run(name)`` returns the
-    driver result.  Returns (result, solver_name, escalated)."""
-    res = run(first)
-    if res.converged:
-        return res, first, False
-    res2 = run(second)
-    if res2.converged or _n_locked(res2) > _n_locked(res):
-        return res2, second, True
-    return res, first, False
+    walk the ladder until a driver converges; otherwise keep the attempt
+    that locked the most (finite) pairs.  ``run(name, cfg)`` returns the
+    driver result.  Returns (result, label, escalated)."""
+    best = best_label = None
+    best_i = 0
+    for i, (name, c, label) in enumerate(attempts):
+        res = run(name, c)
+        if res.converged:
+            return res, label, i > 0
+        if best is None or _n_locked(res) > _n_locked(best):
+            best, best_label, best_i = res, label, i
+    return best, best_label, best_i > 0
 
 
 def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig,
@@ -144,8 +184,8 @@ def solve_auto(
         else "restarted_ca_lanczos"
     )
     res, solver, escalated = _escalate(
-        lambda name: _run(name, A, r, max_lanczos, cfg, engine),
-        first, second,
+        lambda name, c: _run(name, A, r, max_lanczos, c, engine),
+        _ladder(cfg, first, second),
     )
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:

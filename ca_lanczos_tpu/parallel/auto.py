@@ -151,17 +151,20 @@ def dist_solve_auto(
 
         a = negate_operator(a)
 
-    def _run(name):
+    def _run(name, c):
+        # c is the attempt's (possibly rescue-leg) config; the dist IRL
+        # driver has no orth knob (its inner iteration is always fully
+        # reorthogonalized against the window), so only s/budget vary.
         if name == "restarted_ca_lanczos":
             return dist_restarted_ca_lanczos(
-                a, r, max_lanczos, mesh, cfg, dist_format=dist_format
+                a, r, max_lanczos, mesh, c, dist_format=dist_format
             )
         return dist_impl_restarted_ca_lanczos(
             a, r, max_lanczos, mesh,
-            n_wanted=cfg.n_wanted, s=cfg.s, basis=cfg.basis,
-            tol=cfg.tol, max_restarts=cfg.max_restarts,
+            n_wanted=c.n_wanted, s=c.s, basis=c.basis,
+            tol=c.tol, max_restarts=c.max_restarts,
             dist_format=dist_format,
-            mixed_precision=bool(cfg.orth_params.mixed_precision),
+            mixed_precision=bool(c.orth_params.mixed_precision),
         )
 
     rec = recommend_solver(a, n_wanted=cfg.n_wanted, probe_steps=probe_steps)
@@ -171,9 +174,9 @@ def dist_solve_auto(
         if first == "restarted_ca_lanczos"
         else "restarted_ca_lanczos"
     )
-    from ca_lanczos_tpu.harness.auto import _escalate
+    from ca_lanczos_tpu.harness.auto import _escalate, _ladder
 
-    res, solver, escalated = _escalate(_run, first, second)
+    res, solver, escalated = _escalate(_run, _ladder(cfg, first, second))
     solver = "dist_" + solver
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:

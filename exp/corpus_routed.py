@@ -1,10 +1,12 @@
 """Routed corpus campaign: every case of the reference sweep
 (test_restarted_ca_lanczos_all_matrices.m:59 — s x orth over the corpus)
 that the explicit-restart flagship left unconverged at the reference
-budget is rerun through the escalation route (harness.solve_auto's
-second leg): the implicitly-restarted driver with locking at the SAME
-budget.  Appends one JSON line per rescued case to
-results/corpus_routed.jsonl and writes the combined pipeline summary to
+budget is rerun through the escalation ladder (harness.auto._ladder):
+IRL at the case's own (s, orth), then the numerically-safe rescue legs
+(full orth at the case's s; s=4 full-orth for both drivers) — the same
+ladder production ``solve_auto`` walks.  The budget never grows.
+Appends one JSON line per rescued case to results/corpus_routed.jsonl
+and writes the combined pipeline summary to
 results/corpus_summary_routed.json.
 """
 import json
@@ -22,9 +24,9 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
-from ca_lanczos_tpu.config import Basis, Orth
+from ca_lanczos_tpu.config import Basis, LanczosConfig, Orth
+from ca_lanczos_tpu.harness.auto import _ladder, _run
 from ca_lanczos_tpu.harness.corpus import build_corpus
-from ca_lanczos_tpu.solvers.implicitly_restarted import impl_restarted_ca_lanczos
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SWEEP = os.path.join(ROOT, "results", "corpus_sweep.jsonl")
@@ -57,7 +59,11 @@ def main():
             for line in f:
                 try:
                     d = json.loads(line)
-                    seen.add((d["matrix"], d["s"], d["orth"]))
+                    # only skip cases a previous run CONVERGED; failures
+                    # rerun through the (extended) ladder, and the
+                    # summary pass below keeps the last record per key
+                    if d.get("converged"):
+                        seen.add((d["matrix"], d["s"], d["orth"]))
                 except Exception:
                     pass
 
@@ -76,33 +82,45 @@ def main():
             r = jnp.asarray(starts[d["matrix"]])
             exact_top = np.sort(exact)[::-1][:N_WANTED]
             scale = max(np.max(np.abs(exact_top)), 1e-300)
+            cfg = LanczosConfig(
+                s=d["s"], basis=Basis.NEWTON, orth=Orth(d["orth"]),
+                n_wanted=N_WANTED, tol=TOL, max_restarts=100,
+            )
+            # the sweep case itself was the explicit driver at this
+            # config — drop that rung, walk the rest of the ladder
+            attempts = [
+                a for a in _ladder(
+                    cfg, "impl_restarted_ca_lanczos", "restarted_ca_lanczos"
+                )
+                if a[2] != "restarted_ca_lanczos"
+            ]
             t0 = time.perf_counter()
-            try:
-                res = impl_restarted_ca_lanczos(
-                    A, r, MAX_LANCZOS, n_wanted=N_WANTED, s=d["s"],
-                    basis=Basis.NEWTON, orth=Orth(d["orth"]), tol=TOL,
-                    max_restarts=100,
-                )
-                got = np.sort(np.asarray(res.eigs))[::-1]
-                err = (
-                    float(np.max(np.min(
-                        np.abs(got[:, None] - exact[None, :]), axis=1)) / scale)
-                    if len(got) else None
-                )
-                rec = dict(
-                    matrix=d["matrix"], s=d["s"], orth=d["orth"],
-                    solver="impl_restarted_ca_lanczos",
-                    converged=bool(res.converged), n_conv=int(len(got)),
-                    n_restarts=int(res.n_restarts), nearest_eig_err=err,
-                    wall_s=round(time.perf_counter() - t0, 2),
-                )
-            except Exception as e:
-                rec = dict(
-                    matrix=d["matrix"], s=d["s"], orth=d["orth"],
-                    solver="impl_restarted_ca_lanczos",
-                    converged=False,
-                    error=f"{type(e).__name__}: {e}"[:200],
-                )
+            rec = None
+            for name, c, label in attempts:
+                try:
+                    res = _run(name, A, r, MAX_LANCZOS, c)
+                    got = np.sort(np.asarray(res.eigs))[::-1]
+                    err = (
+                        float(np.max(np.min(
+                            np.abs(got[:, None] - exact[None, :]), axis=1
+                        )) / scale)
+                        if len(got) else None
+                    )
+                    rec = dict(
+                        matrix=d["matrix"], s=d["s"], orth=d["orth"],
+                        solver=label,
+                        converged=bool(res.converged), n_conv=int(len(got)),
+                        n_restarts=int(res.n_restarts), nearest_eig_err=err,
+                        wall_s=round(time.perf_counter() - t0, 2),
+                    )
+                except Exception as e:
+                    rec = dict(
+                        matrix=d["matrix"], s=d["s"], orth=d["orth"],
+                        solver=label, converged=False,
+                        error=f"{type(e).__name__}: {e}"[:200],
+                    )
+                if rec.get("converged"):
+                    break
             f.write(json.dumps(rec) + "\n")
             f.flush()
             if rec.get("converged"):

@@ -126,6 +126,7 @@ class TestDistRitzVectorAlignment:
 
 
 class TestDistMixedPrecision:
+    @pytest.mark.slow
     def test_dist_f32_storage_f64_reductions(self, mesh):
         """Distributed mixed precision (f32 basis/SpMV, f64 psum'd
         Gram/R/T): eigenvalue error well below the plain-f32 floor, and

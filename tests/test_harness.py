@@ -346,3 +346,70 @@ class TestWhichSmallest:
         with pytest.raises(ValueError, match="which"):
             solve_auto(diag_spectrum(100, 1.0, 10.0), np.ones(100), 16,
                        which="median")
+
+
+class TestEscalationLadder:
+    """Ladder structure (round-3): probe-ordered drivers first, then the
+    numerically-safe rescue rungs that close the s=10 Newton-conditioning
+    corpus holdouts (BENCHMARKS.md round-3 552/552)."""
+
+    def test_rungs_and_labels(self):
+        from ca_lanczos_tpu.config import LanczosConfig, Orth
+        from ca_lanczos_tpu.harness.auto import _ladder
+
+        cfg = LanczosConfig(s=10, orth=Orth.LOCAL)
+        rungs = _ladder(cfg, "restarted_ca_lanczos", "impl_restarted_ca_lanczos")
+        labels = [r[2] for r in rungs]
+        assert labels == [
+            "restarted_ca_lanczos",
+            "impl_restarted_ca_lanczos",
+            "impl_restarted_ca_lanczos[orth=full]",
+            "impl_restarted_ca_lanczos[s=4,orth=full]",
+            "restarted_ca_lanczos[s=4,orth=full]",
+        ]
+        assert rungs[2][1].orth == Orth.FULL and rungs[2][1].s == 10
+        assert rungs[3][1].s == 4
+        # budget never grows
+        assert all(r[1].max_restarts == cfg.max_restarts for r in rungs)
+
+    def test_safe_config_has_no_rescue_rungs(self):
+        from ca_lanczos_tpu.config import LanczosConfig, Orth
+        from ca_lanczos_tpu.harness.auto import _ladder
+
+        cfg = LanczosConfig(s=4, orth=Orth.FULL)
+        rungs = _ladder(cfg, "restarted_ca_lanczos", "impl_restarted_ca_lanczos")
+        assert len(rungs) == 2
+
+    def test_escalate_walks_to_converging_rung(self):
+        from ca_lanczos_tpu.harness.auto import _escalate
+
+        class R:
+            def __init__(self, conv, eigs):
+                self.converged = conv
+                self.eigs = np.asarray(eigs, float)
+
+        calls = []
+
+        def run(name, c):
+            calls.append(name)
+            return R(len(calls) == 3, [1.0] * len(calls))
+
+        rungs = [(f"d{i}", None, f"d{i}") for i in range(4)]
+        res, label, esc = _escalate(run, rungs)
+        assert label == "d2" and esc and res.converged
+        assert calls == ["d0", "d1", "d2"]  # stops at convergence
+
+    def test_escalate_keeps_most_locked_on_total_failure(self):
+        from ca_lanczos_tpu.harness.auto import _escalate
+
+        class R:
+            def __init__(self, eigs):
+                self.converged = False
+                self.eigs = np.asarray(eigs, float)
+
+        seq = [R([1.0]), R([1.0, 2.0, 3.0]), R([1.0, 2.0])]
+        res, label, esc = _escalate(
+            lambda name, c: seq.pop(0),
+            [(f"d{i}", None, f"d{i}") for i in range(3)],
+        )
+        assert label == "d1" and esc and len(res.eigs) == 3

@@ -98,6 +98,7 @@ class TestIRLLocking:
         return DiaMatrix(data=jnp.asarray(vals)[None, :], offsets=(0,)), np.sort(vals)[::-1]
 
     @pytest.mark.parametrize("inner", ["std", "ca"])
+    @pytest.mark.slow
     def test_locks_and_converges(self, inner):
         A, exact = self._clustered()
         r = jnp.ones((A.shape[0],), jnp.float64)

@@ -6,6 +6,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ca_lanczos_tpu.config import Basis, LanczosConfig, Orth, OrthParams, QrMethod
 from ca_lanczos_tpu.ops.qr import cholqr2, cholqr2_mp
@@ -64,6 +65,7 @@ class TestMpQr:
 
 
 class TestMpFlagship:
+    @pytest.mark.slow
     def test_f32_storage_f64_reductions_beats_plain_f32(self):
         n = 4000
         A64 = diag_spectrum(n, 1.0, 100.0)

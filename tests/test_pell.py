@@ -281,6 +281,7 @@ class TestPellInSolvers:
 
 
 class TestGroupedFallback:
+    @pytest.mark.slow
     def test_wide_cluster_falls_back_to_unit(self):
         """A single row touching a contiguous >8-chunk cluster cannot be
         grouped (two spread-4 windows max); encoding='auto' must fall
@@ -298,6 +299,7 @@ class TestGroupedFallback:
         np.testing.assert_allclose(got, csr @ x, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestEncodingSweepCorpusPatterns:
     """Every encoding (unit/grouped/auto) must reproduce the matrix
     exactly across the corpus's sparsity families — the grouped packer's

@@ -81,6 +81,7 @@ class TestRestartedCaLanczos:
 
 
 class TestCanonicalConfig:
+    @pytest.mark.slow
     def test_reference_restart_diagonal(self):
         """The reference's canonical restart experiment
         (test_restart_diagonal_matrices.m:8-28): N=5000,
