@@ -87,7 +87,7 @@ def main(argv=None):
     p.add_argument("--max-lanczos", type=int, default=60)
     p.add_argument("--max-restarts", type=int, default=200)
     p.add_argument("--prefer", default="auto",
-                   choices=["auto", "dense", "dia", "pell", "ell"])
+                   choices=["auto", "dense", "dia", "ilv", "pell", "ell"])
     p.add_argument("--max-windows", type=int, default=16)
     p.add_argument("--sw", type=int, default=None, help="PELL window width")
     p.add_argument("--no-reorder", action="store_true",
