@@ -163,6 +163,38 @@ def _std_extend(
     return V, T, float(T[m, m - 1])
 
 
+def _arnoldi_extend(
+    A: Operator,
+    V: jax.Array,
+    T: np.ndarray,
+    k0: int,
+    m: int,
+) -> Tuple[jax.Array, np.ndarray, float]:
+    """Arnoldi inner iteration — the reference's sketched alternative
+    (commented calls at impl_restarted_ca_lanczos.m:89,94): full-
+    orthogonalization Hessenberg extension via solvers.arnoldi.  For
+    symmetric A the Hessenberg is tridiagonal to rounding, so the
+    symmetric bulge-chase restart machinery stays valid; T is rebuilt
+    from the Hessenberg's tridiagonal band (the dropped upper triangle is
+    O(eps*||A||)).  Orthogonalization is full by construction
+    (arnoldi.m:3-44), so no ``orth`` knob applies."""
+    from ca_lanczos_tpu.solvers.arnoldi import arnoldi
+
+    H = np.zeros((m + 1, m), np.float64)
+    H[: k0 + 1, : k0] = T[: k0 + 1, : k0]
+    # reorth: the IRL compression concentrates the basis on the hardest
+    # directions; a single classical GS pass per step loses orthogonality
+    # there (same reason _std_extend runs a cleanup pass for orth=full)
+    Qf, Hf = arnoldi(A, V[:, 0], m, Q=V, H=H, prevvecs=k0, reorth=True)
+    V = V.at[:, : m + 1].set(Qf)
+    for j in range(k0, m):
+        T[j, j] = Hf[j, j].real
+        T[j + 1, j] = Hf[j + 1, j].real
+        if j + 1 < T.shape[1]:
+            T[j, j + 1] = Hf[j + 1, j].real  # symmetrized band
+    return V, T, float(T[m, m - 1])
+
+
 def _ca_extend(
     A: Operator,
     V: jax.Array,
@@ -232,8 +264,9 @@ def impl_restarted_ca_lanczos(
     """Implicitly-restarted CA-Lanczos (impl_restarted_ca_lanczos.m:4-228).
 
     k = n_wanted + 4 retained directions per restart (:74); p unwanted
-    Ritz values applied as exact shifts; ``inner`` in {"ca", "std"} picks
-    the expansion iteration.
+    Ritz values applied as exact shifts; ``inner`` in {"ca", "std",
+    "arnoldi"} picks the expansion iteration ("arnoldi" is the
+    reference's sketched alternative, impl_restarted_ca_lanczos.m:89,94).
 
     ``lock=True`` implements the deflation the reference left as TODO
     (impl_restarted_ca_lanczos.m:116-152): converged wanted Ritz pairs
@@ -288,6 +321,8 @@ def impl_restarted_ca_lanczos(
             break  # window exhausted (all locked/purged)
         if inner == "ca":
             V, T, beta_m = _ca_extend(A, V, T, j0, m_eff, s, Bk, basis, orth)
+        elif inner == "arnoldi":
+            V, T, beta_m = _arnoldi_extend(A, V, T, j0, m_eff)
         else:
             V, T, beta_m = _std_extend(A, V, T, j0, m_eff, orth)
 

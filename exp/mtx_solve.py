@@ -21,6 +21,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# the in-process audit runs on CPU (the environment pins a TPU relay;
+# host-driven solves through it pay ~30ms/call)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 import scipy.sparse as sp
 

@@ -31,7 +31,7 @@ class TestQrstep:
 
 
 class TestIRL:
-    @pytest.mark.parametrize("inner", ["std", "ca"])
+    @pytest.mark.parametrize("inner", ["std", "ca", "arnoldi"])
     def test_diagonal(self, inner):
         n = 400
         A = diag_spectrum(n, 1.0, 100.0)
