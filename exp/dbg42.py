@@ -52,14 +52,18 @@ if mode == "kern":
     out = np.asarray(chain(r))
     print(f"kern ok: {time.perf_counter()-t0:.1f}s, |out|={np.linalg.norm(out):.3e}",
           flush=True)
-elif mode == "ilv":
+elif mode.startswith("ilv"):
     from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix, ilv_encode
 
+    # ilv = full 48-vector config; ilv16 / ilv32 shrink the basis (and
+    # the XLA temp plan roughly linearly) to separate memory pressure
+    # from kernel-in-program faults
+    m = int(mode[3:]) if len(mode) > 3 else 48
     A = IlvDiaMatrix.from_dia(DiaMatrix(data=data, offsets=offsets))
     rr = jnp.asarray(ilv_encode(np.ones(n, np.float32)))
     t0 = time.perf_counter()
-    res = fused_restarted_ca_lanczos(A, rr, 48, mixed_precision=True, **kw)
-    print(f"ilv ok: conv={res.converged} restarts={res.n_restarts} "
+    res = fused_restarted_ca_lanczos(A, rr, m, mixed_precision=True, **kw)
+    print(f"{mode} ok: conv={res.converged} restarts={res.n_restarts} "
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 else:
     A = DiaMatrix(data=jnp.asarray(data), offsets=offsets)
