@@ -52,16 +52,20 @@ def main():
             continue
         xs = Ad.shard_vector(q, mesh)
 
-        @partial(jax.jit, static_argnames=())
-        def chain(x, reps):
+        # Ad must be an ARGUMENT, not a closure capture: captured arrays
+        # serialize as constants into the remote-compile request, and the
+        # relay rejects big bodies (HTTP 413).
+        @partial(jax.jit, static_argnames=("mesh_",))
+        def chain(Ad_, x, reps, mesh_):
             def body(i, v):
-                W = dist_matrix_powers_rows(Ad, v, s, jnp.zeros(s, v.dtype),
-                                            jnp.zeros(s, v.dtype), mesh)
+                W = dist_matrix_powers_rows(Ad_, v, s, jnp.zeros(s, v.dtype),
+                                            jnp.zeros(s, v.dtype), mesh_)
                 return W[s - 1]
             return jnp.sum(lax.fori_loop(0, reps, body, x))
 
+        chain = partial(chain, mesh_=mesh)
         t0 = time.perf_counter()
-        float(chain(xs, jnp.int32(2)))
+        float(chain(Ad, xs, jnp.int32(2)))
         print(f"{label}: compiled+warm in {time.perf_counter()-t0:.1f}s",
               flush=True)
 
@@ -70,7 +74,7 @@ def main():
             ts = []
             for _ in range(trials):
                 t0 = time.perf_counter()
-                float(chain(xs, jnp.int32(reps)))
+                float(chain(Ad, xs, jnp.int32(reps)))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 

@@ -48,13 +48,18 @@ def build_op(n):
 
 
 def main():
-    n = 1 << 22  # 4.2M rows
+    args = sys.argv[1:]
+    n = 1 << 22  # 4.2M rows default
+    for a in list(args):
+        if a.startswith("n="):
+            n = 1 << int(a[2:])
+            args.remove(a)
     data, offsets = build_op(n)
     kw = dict(n_wanted=10, s=8, tol=1e-7, mixed_precision=True)
     r = jnp.ones(n, jnp.float32)
 
     results = {}
-    for path in sys.argv[1:] or ("roll", "ilv"):
+    for path in args or ("roll", "ilv"):
         if path == "roll":
             A = DiaMatrix(data=jnp.asarray(data), offsets=offsets)
             rr = r
