@@ -84,16 +84,8 @@ class FusedRestartedResult:
     converged: bool
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "s", "iters", "n_wanted", "max_restarts", "mixed_precision",
-        "pallas_tile", "pallas_W", "ilv_tq",
-    ),
-)
-def _fused_restarted(
+def _make_cycle_body(
     A: Operator,
-    q0: jax.Array,
     Bk: jax.Array,  # (s+1, s)
     tol: jax.Array,
     lam_bound: jax.Array,
@@ -102,23 +94,21 @@ def _fused_restarted(
     s: int,
     iters: int,
     n_wanted: int,
-    max_restarts: int,
-    mixed_precision: bool = False,
-    pallas_tile: int = 0,  # 0 = XLA scan powers
-    pallas_W: int = 0,
-    ilv_tq: int = 0,  # >0: A is an IlvDiaMatrix, powers ride the ilv kernel
+    mixed_precision: bool,
+    pallas_tile: int,  # 0 = XLA scan powers
+    pallas_W: int,
+    ilv_tq: int,  # >0: A is an IlvDiaMatrix, powers ride the ilv kernel
 ):
-    n = q0.shape[0]
-    dtype = q0.dtype
+    """Build the one-restart-cycle transition on state
+    (q, Qconv, eigs_acc, nconv, cycle) — shared by the single-call
+    while_loop and the relay-safe burst driver."""
     # mixed_precision (OrthParams.mixed_precision semantics, on device):
     # basis/SpMV/Q storage stay in `dtype` (f32), the small reductions —
     # Gram products, Cholesky, R factors, T recovery, eigh, residual
     # norms — run float64.  The f32 Gram is the eigenvalue error floor
     # the plain-f32 flagship hits (~2^-24 relative); promoting the
     # O(n m^2) reductions fixes it at small cost next to the SpMV stream.
-    ctype = jnp.float64 if mixed_precision else dtype
     m = s * iters
-    W2 = 2 * n_wanted
     qr2 = cholqr2_mp if mixed_precision else cholqr2
 
     def proj(Q, X):
@@ -137,6 +127,9 @@ def _fused_restarted(
 
     def cycle_body(state):
         q, Qconv, eigs_acc, nconv, cycle = state
+        n = q.shape[0]
+        dtype = q.dtype
+        ctype = jnp.float64 if mixed_precision else dtype
 
         # ---- inner CA blocks -------------------------------------------
         Tmat = jnp.zeros((m, m), ctype)
@@ -270,26 +263,25 @@ def _fused_restarted(
 
         return (q_next, Qconv, eigs_acc, nconv, cycle + 1)
 
-    def cond(state):
-        _, _, _, nconv, cycle = state
-        return (nconv < n_wanted) & (cycle < max_restarts)
+    return cycle_body
 
-    Qconv0 = jnp.zeros((n, W2), dtype)
-    eigs0 = jnp.full((W2,), jnp.nan, ctype)
-    state = (q0, Qconv0, eigs0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    q, Qconv, eigs_acc, nconv, cycles = lax.while_loop(cond, cycle_body, state)
+
+def _make_refine(A, n_wanted: int, mixed_precision: bool):
+    """Final refinement of the locked block: pairs lock off the
+    loose estimate+catastrophic-lie guard (host verify_locked
+    semantics), so a locked value's error is set by its true residual
+    at lock time.  A Rayleigh–Ritz pass on the converged subspace
+    replaces each value with the subspace Rayleigh quotient
+    (residual^2-level error, f64 Gram under mixed precision), and two
+    residual-augmented RR iterations (RR on [X, AX - XΛ] — the
+    LOBPCG expansion without the P block) drive the subspace residual
+    toward the storage-dtype floor first."""
+    qr2 = cholqr2_mp if mixed_precision else cholqr2
 
     def refine(args):
-        """Final refinement of the locked block: pairs lock off the
-        loose estimate+catastrophic-lie guard (host verify_locked
-        semantics), so a locked value's error is set by its true residual
-        at lock time.  A Rayleigh–Ritz pass on the converged subspace
-        replaces each value with the subspace Rayleigh quotient
-        (residual^2-level error, f64 Gram under mixed precision), and two
-        residual-augmented RR iterations (RR on [X, AX - XΛ] — the
-        LOBPCG expansion without the P block) drive the subspace residual
-        toward the storage-dtype floor first."""
         Qc, _ = args
+        dtype = Qc.dtype
+        ctype = jnp.float64 if mixed_precision else dtype
         k = n_wanted
 
         def gram(Za, Zb):
@@ -315,12 +307,118 @@ def _fused_restarted(
             Qb, AQ, w = rr_top(Z, spmv(A, Z))
         return Qb, w.astype(ctype)
 
+    return refine
+
+
+_CYCLE_STATICS = (
+    "s", "iters", "n_wanted", "mixed_precision",
+    "pallas_tile", "pallas_W", "ilv_tq",
+)
+
+
+@partial(jax.jit, static_argnames=_CYCLE_STATICS + ("max_restarts",))
+def _fused_restarted(
+    A: Operator,
+    q0: jax.Array,
+    Bk: jax.Array,
+    tol: jax.Array,
+    lam_bound: jax.Array,
+    coefs: Optional[jax.Array],
+    dflat: Optional[jax.Array],
+    s: int,
+    iters: int,
+    n_wanted: int,
+    max_restarts: int,
+    mixed_precision: bool = False,
+    pallas_tile: int = 0,
+    pallas_W: int = 0,
+    ilv_tq: int = 0,
+):
+    """The whole solve in ONE device call (module docstring)."""
+    n = q0.shape[0]
+    dtype = q0.dtype
+    ctype = jnp.float64 if mixed_precision else dtype
+    cycle_body = _make_cycle_body(
+        A, Bk, tol, lam_bound, coefs, dflat, s, iters, n_wanted,
+        mixed_precision, pallas_tile, pallas_W, ilv_tq,
+    )
+
+    def cond(state):
+        _, _, _, nconv, cycle = state
+        return (nconv < n_wanted) & (cycle < max_restarts)
+
+    Qconv0 = jnp.zeros((n, 2 * n_wanted), dtype)
+    eigs0 = jnp.full((2 * n_wanted,), jnp.nan, ctype)
+    state = (q0, Qconv0, eigs0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    q, Qconv, eigs_acc, nconv, cycles = lax.while_loop(cond, cycle_body, state)
+
+    refine = _make_refine(A, n_wanted, mixed_precision)
     Qc_w = Qconv[:, :n_wanted]
     ei_w = eigs_acc[:n_wanted]
     Qc_w, ei_w = lax.cond(
         nconv >= n_wanted, refine, lambda a: a, (Qc_w, ei_w)
     )
     return Qc_w, ei_w, nconv, cycles
+
+
+@partial(jax.jit, static_argnames=_CYCLE_STATICS + ("max_restarts", "burst"))
+def _fused_burst(
+    A: Operator,
+    q: jax.Array,
+    Qconv: jax.Array,  # (n, 2*n_wanted) carried across calls
+    eigs_acc: jax.Array,  # (2*n_wanted,) ctype
+    nconv: jax.Array,  # int32 scalar
+    cycle: jax.Array,  # int32 scalar, GLOBAL cycle count
+    Bk: jax.Array,
+    tol: jax.Array,
+    lam_bound: jax.Array,
+    coefs: Optional[jax.Array],
+    dflat: Optional[jax.Array],
+    s: int,
+    iters: int,
+    n_wanted: int,
+    max_restarts: int,
+    burst: int,
+    mixed_precision: bool = False,
+    pallas_tile: int = 0,
+    pallas_W: int = 0,
+    ilv_tq: int = 0,
+):
+    """Up to `burst` restart cycles in one device call.
+
+    Relay-safe variant of `_fused_restarted`: the axon relay kills
+    device calls that run for many minutes (the 4.2M-row mp flagship
+    crash, exp/dbg42.py — the SAME program with max_restarts=5
+    completes), so the host loops over bounded bursts instead.  The
+    full state is carried as device arrays between calls — the (n, 2k)
+    Qconv block never leaves HBM, only the nconv/cycle scalars are read
+    back per burst.  One compiled program serves every burst (the local
+    counter resets to 0 each call)."""
+    cycle_body = _make_cycle_body(
+        A, Bk, tol, lam_bound, coefs, dflat, s, iters, n_wanted,
+        mixed_precision, pallas_tile, pallas_W, ilv_tq,
+    )
+
+    def body(state):
+        inner, local = state
+        return cycle_body(inner), local + 1
+
+    def cond(state):
+        (_, _, _, nconv_, cycle_), local = state
+        return (
+            (nconv_ < n_wanted)
+            & (cycle_ < max_restarts)
+            & (local < burst)
+        )
+
+    state = ((q, Qconv, eigs_acc, nconv, cycle), jnp.asarray(0, jnp.int32))
+    (q, Qconv, eigs_acc, nconv, cycle), _ = lax.while_loop(cond, body, state)
+    return q, Qconv, eigs_acc, nconv, cycle
+
+
+@partial(jax.jit, static_argnames=("n_wanted", "mixed_precision"))
+def _fused_refine(A, Qc, ei, n_wanted: int, mixed_precision: bool = False):
+    return _make_refine(A, n_wanted, mixed_precision)((Qc, ei))
 
 
 def fused_restarted_ca_lanczos(
@@ -334,6 +432,8 @@ def fused_restarted_ca_lanczos(
     max_restarts: int = 200,
     mixed_precision: bool = False,
     use_pallas: Optional[bool] = None,
+    cycles_per_call: Optional[int] = None,
+    on_burst=None,
 ) -> FusedRestartedResult:
     """One-XLA-call restarted CA-Lanczos (see module docstring).
 
@@ -345,6 +445,14 @@ def fused_restarted_ca_lanczos(
     Pallas powers path (auto-selected for aligned f32 DIA operators on
     TPU, force with use_pallas) this is the production single-chip
     configuration: reference accuracy at kernel speed in one XLA call.
+
+    cycles_per_call: if set, run at most this many restart cycles per
+    device call and loop on the host (state stays device-resident; only
+    the nconv/cycle scalars are read back per burst).  Numerics are
+    identical to the single-call path — the cycle transition is the
+    same compiled function.  Use where single device calls are
+    time-limited (the axon relay) or as a checkpoint/progress boundary:
+    `on_burst(cycle, nconv)` fires after each burst if given.
     """
     from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix, ilv_decode_jax
 
@@ -404,9 +512,13 @@ def fused_restarted_ca_lanczos(
             coefs = jnp.asarray(cof, q0.dtype)
 
     ctype = jnp.float64 if mixed_precision else q0.dtype
-    Qc, eigs, nconv, cycles = _fused_restarted(
-        A,
-        q0,
+    statics = dict(
+        mixed_precision=mixed_precision,
+        pallas_tile=pallas_tile,
+        pallas_W=pallas_W,
+        ilv_tq=ilv_tq,
+    )
+    operands = (
         jnp.asarray(Bk_np, ctype),
         jnp.asarray(tol * norm_A, ctype),
         jnp.asarray(norm_A, ctype),
@@ -416,11 +528,32 @@ def fused_restarted_ca_lanczos(
         iters,
         n_wanted,
         max_restarts,
-        mixed_precision=mixed_precision,
-        pallas_tile=pallas_tile,
-        pallas_W=pallas_W,
-        ilv_tq=ilv_tq,
     )
+    if cycles_per_call is None:
+        Qc, eigs, nconv, cycles = _fused_restarted(A, q0, *operands, **statics)
+    else:
+        n = q0.shape[0]
+        q = q0
+        Qconv = jnp.zeros((n, 2 * n_wanted), q0.dtype)
+        eigs_acc = jnp.full((2 * n_wanted,), jnp.nan, ctype)
+        nconv = jnp.asarray(0, jnp.int32)
+        cycles = jnp.asarray(0, jnp.int32)
+        while True:
+            q, Qconv, eigs_acc, nconv, cycles = _fused_burst(
+                A, q, Qconv, eigs_acc, nconv, cycles, *operands,
+                burst=int(cycles_per_call), **statics,
+            )
+            nconv_h, cycles_h = int(nconv), int(cycles)
+            if on_burst is not None:
+                on_burst(cycles_h, nconv_h)
+            if nconv_h >= n_wanted or cycles_h >= max_restarts:
+                break
+        Qc = Qconv[:, :n_wanted]
+        eigs = eigs_acc[:n_wanted]
+        if nconv_h >= n_wanted:
+            Qc, eigs = _fused_refine(
+                A, Qc, eigs, n_wanted, mixed_precision=mixed_precision
+            )
     nconv = int(nconv)
     return FusedRestartedResult(
         eigs=np.asarray(eigs),

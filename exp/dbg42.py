@@ -57,8 +57,14 @@ elif mode.startswith("ilv"):
 
     # ilv = full 48-vector config; ilv16 / ilv32 shrink the basis (and
     # the XLA temp plan roughly linearly) to separate memory pressure
-    # from kernel-in-program faults
-    m = int(mode[3:]) if len(mode) > 3 else 48
+    # from kernel-in-program faults; ilv48r5 bounds max_restarts to test
+    # the relay execution-time-limit hypothesis (the whole while_loop is
+    # ONE device call)
+    rest = mode[3:]
+    if "r" in rest:
+        rest, rmax = rest.split("r")
+        kw["max_restarts"] = int(rmax)
+    m = int(rest) if rest else 48
     A = IlvDiaMatrix.from_dia(DiaMatrix(data=data, offsets=offsets))
     rr = jnp.asarray(ilv_encode(np.ones(n, np.float32)))
     t0 = time.perf_counter()

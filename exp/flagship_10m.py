@@ -62,9 +62,19 @@ def main():
     r = jnp.ones(n, jnp.float32)
     # m=32 basis: the 48-vector config's compile-time plan wants 24.5 GB
     # (> 15.75 HBM); 32 vectors fit and restarts make up the depth.
-    kw = dict(n_wanted=10, s=8, tol=1e-7, mixed_precision=True)
+    # cycles_per_call=2: the axon relay kills device calls running many
+    # minutes (exp/dbg42.py bisection) — the burst driver bounds each
+    # call to two restart cycles with numerics identical to one-call.
+    kw = dict(n_wanted=10, s=8, tol=1e-7, mixed_precision=True,
+              cycles_per_call=2)
+    tb = time.perf_counter()
+
+    def prog(cycle, nconv):
+        print(f"  burst: cycle={cycle} nconv={nconv} "
+              f"t={time.perf_counter()-tb:.1f}s", flush=True)
+
     t0 = time.perf_counter()
-    res = fused_restarted_ca_lanczos(A, r, 32, **kw)
+    res = fused_restarted_ca_lanczos(A, r, 32, on_burst=prog, **kw)
     print(f"cold (incl compile): {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     res = fused_restarted_ca_lanczos(A, r, 32, **kw)

@@ -152,6 +152,31 @@ class TestFusedRestarted:
         Q = np.asarray(res.Q_conv)
         np.testing.assert_allclose(Q.T @ Q, np.eye(6), atol=1e-10)
 
+    def test_cycles_per_call_matches_single_call(self):
+        """Relay-safe burst mode runs the same cycle transition: results
+        are bit-identical to the one-call while_loop, and on_burst sees
+        monotone (cycle, nconv) progress at the burst boundary."""
+        from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
+
+        n = 400
+        A = diag_spectrum(n, 1.0, 100.0)
+        kw = dict(n_wanted=6, s=4, basis=Basis.NEWTON, tol=1e-8, max_restarts=60)
+        r1 = fused_restarted_ca_lanczos(A, jnp.ones(n), 32, **kw)
+        seen = []
+        r2 = fused_restarted_ca_lanczos(
+            A, jnp.ones(n), 32, cycles_per_call=2,
+            on_burst=lambda c, k: seen.append((c, k)), **kw,
+        )
+        assert r2.converged and r2.n_restarts == r1.n_restarts
+        np.testing.assert_array_equal(np.sort(r2.eigs), np.sort(r1.eigs))
+        np.testing.assert_allclose(
+            np.asarray(r2.Q_conv), np.asarray(r1.Q_conv), atol=0
+        )
+        cycles = [c for c, _ in seen]
+        assert cycles == sorted(cycles) and max(cycles) == r1.n_restarts
+        assert all(b - a <= 2 for a, b in zip(cycles, cycles[1:]))
+        assert seen[-1][1] == 6
+
     def test_monomial_basis(self):
         from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
 
