@@ -92,6 +92,14 @@ def main(argv=None):
     p.add_argument("--sw", type=int, default=None, help="PELL window width")
     p.add_argument("--no-reorder", action="store_true",
                    help="disable the RCM reorder-and-retry branch")
+    p.add_argument("--engine", default="host", choices=["host", "fused"],
+                   help="explicit-restart leg: host state machine or the "
+                   "one-XLA-call fused driver (single-chip only)")
+    p.add_argument("--cycles-per-call", type=int, default=None,
+                   metavar="N",
+                   help="fused engine: at most N restart cycles per device "
+                   "call (relay-safe burst mode; needed at >=4M rows "
+                   "through the axon relay)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--mesh", type=int, default=0, metavar="N",
@@ -224,7 +232,8 @@ def main(argv=None):
             res = solve_auto(
                 a, rng.standard_normal(a.shape[0]), args.max_lanczos, cfg,
                 prefer=args.prefer, max_windows=args.max_windows, sw=args.sw,
-                which=args.which,
+                which=args.which, engine=args.engine,
+                cycles_per_call=args.cycles_per_call,
                 allow_reorder=not args.no_reorder,
             )
         rec = {

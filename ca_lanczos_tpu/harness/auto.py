@@ -103,7 +103,7 @@ def _escalate(run, attempts):
 
 
 def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig,
-         engine: str = "host"):
+         engine: str = "host", cycles_per_call=None):
     if solver == "restarted_ca_lanczos":
         if engine == "fused":
             from ca_lanczos_tpu.solvers.fused_restarted import (
@@ -115,6 +115,7 @@ def _run(solver: str, A, r, max_lanczos: int, cfg: LanczosConfig,
                 n_wanted=cfg.n_wanted, s=cfg.s, basis=cfg.basis,
                 tol=cfg.tol, max_restarts=cfg.max_restarts,
                 mixed_precision=cfg.orth_params.mixed_precision,
+                cycles_per_call=cycles_per_call,
             )
         from ca_lanczos_tpu.solvers.restarted import restarted_ca_lanczos
 
@@ -138,6 +139,7 @@ def solve_auto(
     probe_steps: int = 40,
     engine: str = "host",
     which: str = "largest",
+    cycles_per_call: Optional[int] = None,
     **route_kwargs,
 ) -> AutoResult:
     """Solve for ``cfg.n_wanted`` extreme eigenpairs, escalating between
@@ -155,7 +157,10 @@ def solve_auto(
     ``fused_restarted_ca_lanczos`` (production single-chip TPU config:
     Pallas powers kernel auto-selected, mixed precision per
     ``cfg.orth_params.mixed_precision``); the IRL escalation leg stays
-    on the host driver either way.
+    on the host driver either way.  ``cycles_per_call`` bounds each
+    fused device call to that many restart cycles (relay-safe burst
+    mode — required at >=4M rows through the axon relay, where
+    long-running single device calls are killed).
 
     ``which="smallest"`` targets the other end of the spectrum by
     solving -A and negating the eigenvalues back
@@ -184,7 +189,8 @@ def solve_auto(
         else "restarted_ca_lanczos"
     )
     res, solver, escalated = _escalate(
-        lambda name, c: _run(name, A, r, max_lanczos, c, engine),
+        lambda name, c: _run(name, A, r, max_lanczos, c, engine,
+                             cycles_per_call),
         _ladder(cfg, first, second),
     )
     Q = res.Q_conv

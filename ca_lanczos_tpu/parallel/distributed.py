@@ -415,7 +415,13 @@ def dist_matrix_powers(
 ) -> jax.Array:
     """Distributed matrix-powers kernel: x (n_pad,) row-sharded ->
     V (n_pad, s+1) row-sharded.  ``diag``/``sub`` are the Newton recurrence
-    coefficients ((0, 0) vectors give the monomial basis)."""
+    coefficients ((0, 0) vectors give the monomial basis).
+
+    PERFORMANCE: this convenience layout (leading q column + (n, s+1)
+    transpose) costs ~2x at the shard_map boundary when the consumer
+    only chains powers.  Chained/kernel-speed callers should use
+    ``dist_matrix_powers_rows`` (the layout the drivers use internally);
+    this wrapper is the reference-shaped API (matrix_powers.m:1-13)."""
     operands, names = dia_powers_operands(A)
     inner = partial(_powers_local, **dia_powers_statics(A, s))
 
