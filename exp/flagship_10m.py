@@ -1,12 +1,16 @@
 """North-star scale on one chip: the BASELINE target calls for restarted
 CA-Lanczos (s=8, Newton basis) on a >=10M-row sparse matrix (the >=2-host
 leg is unreachable in this environment — BASELINE.md north-star table).
-This runs the one-XLA-call mixed-precision flagship on a 10.5M-row
+This runs the one-XLA-call mixed-precision flagship on an 11M-row
 tridiagonal operator (real off-diagonal structure, so the f32 SpMV
-rounding floor applies — unlike a pure diagonal) on the single v5e chip.
+rounding floor applies — unlike a pure diagonal) on the single v5e chip,
+in relay-safe bursts (exp/dbg42.py: the relay kills long device calls).
 
-Oracle: scipy eigsh (f64) on the same matrix.  Memory: basis 48 x 10.5M
-f32 ~ 2 GB, well inside HBM.
+Oracle: scipy eigsh (f64) on the same matrix.  Memory: basis 32 x 11M
+f32 ~ 1.4 GB, well inside HBM.
+
+Usage: python -u exp/flagship_10m.py [n] [cycles_per_call]
+(n defaults to 11,010,048; pass 4194304 for the mid-scale rehearsal).
 """
 import os
 import sys
@@ -30,9 +34,16 @@ import scipy.sparse.linalg as spla
 from ca_lanczos_tpu.ops.spmv import DiaMatrix
 from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
 
+T00 = time.perf_counter()
+
+
+def log(msg):
+    print(f"[{time.perf_counter()-T00:7.1f}s] {msg}", flush=True)
+
 
 def main():
-    n = 10 * (1 << 20) + (1 << 19)  # 11,010,048 rows
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10 * (1 << 20) + (1 << 19)
+    cpc = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     d = np.linspace(1.0, 90.0, n)
     d[-10:] = np.linspace(95.0, 100.0, 10)
     rng = np.random.default_rng(0)
@@ -43,14 +54,13 @@ def main():
                          f"flagship_10m_oracle_{n}.npz")
     if os.path.exists(cache):
         exact = np.load(cache)["exact"]
-        print("oracle (cached)", flush=True)
+        log("oracle (cached)")
     else:
         a = sp.diags([off[:-1], d, off[:-1]], [-1, 0, 1], format="csr")
         exact = np.sort(spla.eigsh(a, k=10, which="LA",
                                    return_eigenvectors=False))[::-1]
         np.savez(cache, exact=exact)
-        print(f"oracle eigsh on {n} rows: {time.perf_counter()-t0:.1f}s",
-              flush=True)
+        log(f"oracle eigsh on {n} rows: {time.perf_counter()-t0:.1f}s")
 
     # DIA planes: data[k, i] = A[i, i + offsets[k]] (ops/spmv.py:43-49)
     data = np.zeros((3, n), np.float32)
@@ -58,33 +68,45 @@ def main():
     data[1] = d              # offset 0
     data[2, :-1] = off[:-1]  # offset +1: A[i, i+1] = off[i]
     A = DiaMatrix(data=jnp.asarray(data), offsets=(-1, 0, 1))
+    log("planes on device")
 
     r = jnp.ones(n, jnp.float32)
     # m=32 basis: the 48-vector config's compile-time plan wants 24.5 GB
     # (> 15.75 HBM); 32 vectors fit and restarts make up the depth.
-    # cycles_per_call=2: the axon relay kills device calls running many
+    # cycles_per_call: the axon relay kills device calls running many
     # minutes (exp/dbg42.py bisection) — the burst driver bounds each
-    # call to two restart cycles with numerics identical to one-call.
-    kw = dict(n_wanted=10, s=8, tol=1e-7, mixed_precision=True,
-              cycles_per_call=2)
-    tb = time.perf_counter()
+    # call with numerics identical to one-call.
+    # tol=1e-6: the lock gate is tol*||A|| on the Ritz ESTIMATE; the f32
+    # basis storage floors the achievable estimate near 6e-6*||A|| at
+    # this scale (the 4.2M rehearsal sat at nconv=1 for 75 cycles with
+    # tol=1e-7 — candidates hovered just above the 1e-5 gate).  Final
+    # accuracy is set by the f64-Gram refine pass and REPORTED against
+    # the scipy oracle, not assumed from the gate.
+    kw = dict(n_wanted=10, s=8, tol=1e-6, mixed_precision=True,
+              cycles_per_call=cpc)
 
     def prog(cycle, nconv):
-        print(f"  burst: cycle={cycle} nconv={nconv} "
-              f"t={time.perf_counter()-tb:.1f}s", flush=True)
+        log(f"  burst: cycle={cycle} nconv={nconv}")
 
     t0 = time.perf_counter()
     res = fused_restarted_ca_lanczos(A, r, 32, on_burst=prog, **kw)
-    print(f"cold (incl compile): {time.perf_counter()-t0:.1f}s", flush=True)
+    cold = time.perf_counter() - t0
+    log(f"cold (incl compile): {cold:.1f}s")
+    got = np.sort(res.eigs)[::-1]
+    err = np.nanmax(np.abs(got - exact)) / 100.0
+    log(
+        f"flagship mp n={n} cpc={cpc}: converged={res.converged} "
+        f"n_restarts={res.n_restarts} eig_rel_err={err:.2e} "
+        f"cold_wall={cold:.1f}s"
+    )
     t0 = time.perf_counter()
     res = fused_restarted_ca_lanczos(A, r, 32, **kw)
     wall = time.perf_counter() - t0
     got = np.sort(res.eigs)[::-1]
     err = np.nanmax(np.abs(got - exact)) / 100.0
-    print(
-        f"10M flagship mp: converged={res.converged} n_restarts={res.n_restarts} "
-        f"eig_rel_err={err:.2e} warm_wall={wall:.1f}s",
-        flush=True,
+    log(
+        f"warm rerun: converged={res.converged} n_restarts={res.n_restarts} "
+        f"eig_rel_err={err:.2e} warm_wall={wall:.1f}s"
     )
 
 
