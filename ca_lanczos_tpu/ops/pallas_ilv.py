@@ -98,10 +98,21 @@ def dia_powers_ilv(
 ) -> Tuple[jax.Array, jax.Array]:
     """s-step matrix powers in the interleaved layout.
 
-    Returns (V_il (s*n,), last_il (n,)): step j's vector occupies
-    V_il[j*n : (j+1)*n] (interleaved), and last_il repeats step s-1 as
-    its own contiguous output so chained callers avoid a strided copy
-    (same contract as _dia_powers_fused).
+    Returns (V_il (s, n), last_il (n,)): row j is step j's vector
+    (interleaved), and last_il repeats step s-1 as its own contiguous
+    1-D output so chained callers avoid any layout change.
+
+    LAYOUT CLIFF (measured 2026-08-19, 4.2M x 9): the kernel's raw
+    output is a 1-D (s*n,) linear buffer.  ``reshape(s, n)`` on it
+    forces XLA into a pathological relayout (62 Gnnz/s vs 632 for
+    last-only consumers — 10x), and a per-row interleave decode is
+    worse still (24).  A ``stack`` of 1-D dynamic slices, by contrast,
+    lowers to near-free linear copies (611), so THAT is how the (s, n)
+    view is built here — consumers must never reshape the 1-D buffer
+    themselves.  Chained powers should consume ``last`` (1-D, zero
+    relayout); basis builders take V2 rows / V2.T (the (8, n).T
+    transpose costs ~0.85 ms at 4.2M — the same cost the roll-based
+    kernel's consumers pay).
     """
     nd = len(offsets)
     nq = n // J
@@ -278,7 +289,7 @@ def dia_powers_ilv(
 
     vma = getattr(jax.typeof(x_il), "vma", frozenset())
     with x64_trace_off(x_il.dtype):
-        return pl.pallas_call(
+        V_flat, last = pl.pallas_call(
             kernel,
             grid=(ntiles,),
             in_specs=[
@@ -307,6 +318,11 @@ def dia_powers_ilv(
             ],
             interpret=interpret,
         )(coefs, dflat_il, x_il)
+    # (s, n) via stacked 1-D slices — see LAYOUT CLIFF in the docstring.
+    V2 = jnp.stack(
+        [lax.dynamic_slice(V_flat, (j * n,), (n,)) for j in range(s)], axis=0
+    )
+    return V2, last
 
 
 # ---------------------------------------------------------------------------
@@ -494,8 +510,8 @@ class IlvDiaMatrix:
             )
         else:
             coefs = jnp.zeros((s, 2), q.dtype)
-        V, _ = dia_powers_ilv(
+        V2, _ = dia_powers_ilv(
             self.dflat, q, coefs, self.offsets, s, self.tq, self.n_rows,
             interpret=_ilv_interpret(), with_coefs=with_coefs,
         )
-        return jnp.concatenate([q[None, :], V.reshape(s, self.n_rows)], axis=0).T
+        return jnp.concatenate([q[None, :], V2], axis=0).T

@@ -198,8 +198,20 @@ class DistDia:
             )
 
             m = n_local + 2 * halo
-            imp = max(2 * 8192, -(-m // 8192) * 8192)
-            tq = pick_tq(imp, ndiags)
+            # Pad so the LARGEST tile divides: with the minimal 8192
+            # alignment a halo-padded shard typically leaves
+            # nq % 16384 != 0, pick_tq degrades to tq=1024, and the
+            # fixed 2*WQ=2048 halo re-fetch per tile triples the data
+            # traffic (measured 16 vs 313 Gnnz/s at P=1).  Up to
+            # J*16384-1 pad rows (3% at a 4M shard) buys the 16384
+            # sweet spot; prefer whichever alignment yields the larger
+            # tile (small shards may only validate under the 8192 one).
+            imp = tq = 0
+            for align in (_J * 16384, 8192):
+                cand = max(2 * align, -(-m // align) * align)
+                t = pick_tq(cand, ndiags)
+                if t > tq or (t == tq and cand < imp):
+                    imp, tq = cand, t
             carry = max(((abs(o) + _J - 1) // _J for o in A.offsets), default=0)
             if tq and s_max * carry <= _WQ and data.dtype == np.float32:
                 ishards = np.zeros(
@@ -326,13 +338,18 @@ def _powers_local(
         m = xp.shape[0]
         x_il = ilv_encode_jax(jnp.pad(xp, (0, ilv_m_pad - m)))
         coefs = jnp.stack([diag[:s], sub[:s]], axis=1).astype(xp.dtype)
-        V, _ = dia_powers_ilv(
+        V2, _ = dia_powers_ilv(
             ilv_dflat_local, x_il, coefs, offsets, s, ilv_tq, ilv_m_pad,
             interpret=fused_interpret, with_coefs=True,
-        )  # (s*ilv_m_pad,) interleaved
-        # decode fuses into the center-slice copy the boundary pays anyway
+        )  # (s, ilv_m_pad) interleaved rows
+        # KNOWN SLOW (BENCHMARKS.md layout-cliff note): the per-block
+        # encode + per-row interleave decode below are XLA 8-way
+        # interleave transposes (~24 Gnnz/s-equivalent at 4.2M) — the
+        # dist ILV leg is opt-in (DistDia.from_dia(ilv=True)) and NOT
+        # production-routed until the interleaved-center redesign keeps
+        # shard state interleaved across blocks.
         Wd = (
-            V.reshape(s, _J, ilv_m_pad // _J)
+            V2.reshape(s, _J, ilv_m_pad // _J)
             .transpose(0, 2, 1)
             .reshape(s, ilv_m_pad)
         )

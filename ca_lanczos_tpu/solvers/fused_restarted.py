@@ -156,11 +156,11 @@ def _make_cycle_body(
             ilv_coefs = jnp.stack([diag, sup], axis=1)
 
             def powers(qv):
-                V, _ = dia_powers_ilv(
+                V2, _ = dia_powers_ilv(
                     A.dflat, qv, ilv_coefs, A.offsets, s, ilv_tq, n,
                     interpret=_ilv_interpret(), with_coefs=True,
                 )
-                return jnp.concatenate([qv[:, None], V.reshape(s, n).T], axis=1)
+                return jnp.concatenate([qv[:, None], V2.T], axis=1)
         elif pallas_tile:
             from ca_lanczos_tpu.ops.pallas_spmv import _dia_powers_fused
 
