@@ -1,7 +1,16 @@
 from ca_lanczos_tpu.parallel.mesh import make_mesh, row_sharding, replicated, ROWS
 from ca_lanczos_tpu.parallel.distributed import (
     DistDia,
+    dist_ilv_decode,
+    dist_ilv_encode,
+    ilv_pad_state,
+    ilv_padded_powers,
+    ilv_refresh_ghosts,
+    ilv_statics,
+    ilv_unpad_state,
+    ilv_zero_ghosts,
     dist_matrix_powers,
+    dist_matrix_powers_ilv,
     dist_matrix_powers_rows,
     dist_spmv,
 )
@@ -33,7 +42,16 @@ __all__ = [
     "replicated",
     "ROWS",
     "DistDia",
+    "dist_ilv_decode",
+    "dist_ilv_encode",
+    "ilv_pad_state",
+    "ilv_padded_powers",
+    "ilv_refresh_ghosts",
+    "ilv_statics",
+    "ilv_unpad_state",
+    "ilv_zero_ghosts",
     "dist_matrix_powers",
+    "dist_matrix_powers_ilv",
     "dist_matrix_powers_rows",
     "dist_spmv",
     "local_tsqr",

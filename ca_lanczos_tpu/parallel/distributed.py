@@ -34,6 +34,12 @@ from jax.tree_util import register_dataclass
 from ca_lanczos_tpu.ops.spmv import DiaMatrix
 from ca_lanczos_tpu.parallel.mesh import ROWS
 
+# Interleaved-center ghost depth, in q-units per interleave plane: 128
+# q-elements = one lane tile, so every per-plane ghost/center slice in
+# the distributed interleaved layout is lane-tile aligned (no XLA
+# relayout).  Natural-row ghost depth is J * ILV_HALO_Q = 1024 per side.
+ILV_HALO_Q = 128
+
 
 @register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -197,15 +203,27 @@ class DistDia:
                 J as _J, WQ as _WQ, ilv_data_tiled, pick_tq,
             )
 
-            m = n_local + 2 * halo
-            # Pad so the LARGEST tile divides: with the minimal 8192
-            # alignment a halo-padded shard typically leaves
-            # nq % 16384 != 0, pick_tq degrades to tq=1024, and the
-            # fixed 2*WQ=2048 halo re-fetch per tile triples the data
-            # traffic (measured 16 vs 313 Gnnz/s at P=1).  Up to
-            # J*16384-1 pad rows (3% at a 4M shard) buys the 16384
-            # sweet spot; prefer whichever alignment yields the larger
-            # tile (small shards may only validate under the 8192 one).
+            # INTERLEAVED-CENTER layout: the shard-local domain is
+            # [start - HJ, start + n_local + HJ) with a FIXED ghost depth
+            # HJ = J*ILV_HALO_Q = 1024 natural rows per side.  With
+            # HJ % J == 0 and n_local % (J*ILV_HALO_Q) == 0, each
+            # interleave plane of the padded domain decomposes into
+            # lane-tile-aligned slices [ghost(128q) | center(nq) |
+            # ghost(128q) | zeros], so the distributed step can stay in
+            # the interleaved layout ACROSS blocks — only the 1024-row
+            # edges are exchanged, and no 8-way interleave transpose
+            # (the measured 24 Gnnz/s XLA cliff, BENCHMARKS.md) ever
+            # touches the n-sized state.  Consumed by
+            # dist_matrix_powers_ilv; the natural-layout _powers_local
+            # paths ignore these planes.
+            HJ = _J * ILV_HALO_Q
+            m = n_local + 2 * HJ
+            # Pad so the LARGEST kernel tile divides: with minimal 8192
+            # alignment a padded shard typically leaves nq % 16384 != 0,
+            # pick_tq degrades to tq=1024, and the fixed 2*WQ=2048 halo
+            # re-fetch per tile triples the data traffic (measured 16 vs
+            # 313 Gnnz/s at P=1).  Up to J*16384-1 pad rows (3% at a 4M
+            # shard) buys the 16384 sweet spot.
             imp = tq = 0
             for align in (_J * 16384, 8192):
                 cand = max(2 * align, -(-m // align) * align)
@@ -213,14 +231,27 @@ class DistDia:
                 if t > tq or (t == tq and cand < imp):
                     imp, tq = cand, t
             carry = max(((abs(o) + _J - 1) // _J for o in A.offsets), default=0)
-            if tq and s_max * carry <= _WQ and data.dtype == np.float32:
+            if (
+                tq
+                and s_max * carry <= _WQ
+                and s_max * w <= HJ  # exchanged-edge validity
+                and HJ <= n_local
+                and n_local % HJ == 0
+                and data.dtype == np.float32
+            ):
+                # Shard data over the ILV domain (HJ-deep ghosts).
+                g2 = np.zeros((ndiags, n_pad + 2 * HJ), data.dtype)
+                g2[:, HJ : HJ + n] = data
+                if periodic:
+                    g2[:, :HJ] = data[:, n - HJ :]
+                    g2[:, HJ + n :] = data[:, :HJ]
                 ishards = np.zeros(
                     (P_, (imp // (_J * tq)) * ndiags * _J * (tq + 2 * _WQ)),
                     data.dtype,
                 )
                 for p in range(P_):
                     padded = np.zeros((ndiags, imp), data.dtype)
-                    padded[:, :m] = shards[p]
+                    padded[:, :m] = g2[:, p * n_local : p * n_local + m]
                     ishards[p] = ilv_data_tiled(
                         DiaMatrix(data=padded, offsets=A.offsets), tq
                     )
@@ -304,9 +335,6 @@ def _powers_local(
     transposed: bool = False,
     include_q: bool = True,
     periodic: bool = False,
-    ilv_dflat_local: Optional[jax.Array] = None,
-    ilv_tq: int = 0,
-    ilv_m_pad: int = 0,
 ) -> jax.Array:
     """One halo exchange + s local three-term-recurrence SpMVs.
 
@@ -325,39 +353,6 @@ def _powers_local(
     """
     xp = _halo_exchange(x_local, halo, n_shards, periodic)
     n_local = x_local.shape[0]
-
-    wmax = max((abs(o) for o in offsets), default=0)
-    if (
-        ilv_dflat_local is not None
-        and s * (-(-wmax // 8)) <= 1024  # ilv WQ q-halo bound
-    ):
-        from ca_lanczos_tpu.ops.pallas_ilv import (
-            J as _J, dia_powers_ilv, ilv_encode_jax,
-        )
-
-        m = xp.shape[0]
-        x_il = ilv_encode_jax(jnp.pad(xp, (0, ilv_m_pad - m)))
-        coefs = jnp.stack([diag[:s], sub[:s]], axis=1).astype(xp.dtype)
-        V2, _ = dia_powers_ilv(
-            ilv_dflat_local, x_il, coefs, offsets, s, ilv_tq, ilv_m_pad,
-            interpret=fused_interpret, with_coefs=True,
-        )  # (s, ilv_m_pad) interleaved rows
-        # KNOWN SLOW (BENCHMARKS.md layout-cliff note): the per-block
-        # encode + per-row interleave decode below are XLA 8-way
-        # interleave transposes (~24 Gnnz/s-equivalent at 4.2M) — the
-        # dist ILV leg is opt-in (DistDia.from_dia(ilv=True)) and NOT
-        # production-routed until the interleaved-center redesign keeps
-        # shard state interleaved across blocks.
-        Wd = (
-            V2.reshape(s, _J, ilv_m_pad // _J)
-            .transpose(0, 2, 1)
-            .reshape(s, ilv_m_pad)
-        )
-        center = Wd[:, halo : halo + n_local]
-        if not include_q:
-            return center if transposed else center.T
-        Vq = jnp.concatenate([x_local[None, :], center], axis=0)
-        return Vq if transposed else Vq.T
 
     if dflat_local is not None and s * max(
         (abs(o) for o in offsets), default=0
@@ -405,9 +400,6 @@ def dia_powers_operands(A: DistDia):
     if A.dflat is not None:
         ops_.append(A.dflat)
         names.append("dflat_local")
-    if A.ilv_dflat is not None:
-        ops_.append(A.ilv_dflat)
-        names.append("ilv_dflat_local")
     return tuple(ops_), tuple(names)
 
 
@@ -417,7 +409,6 @@ def dia_powers_statics(A: DistDia, s: int) -> dict:
         offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
         fused_w=A.fused_w, m_pad=A.m_pad, fused_tile=A.fused_tile,
         fused_interpret=A.fused_interpret, periodic=A.periodic,
-        ilv_tq=A.ilv_tq, ilv_m_pad=A.ilv_m_pad,
     )
 
 
@@ -500,6 +491,283 @@ def dist_matrix_powers_rows(
         + (PartitionSpec(), PartitionSpec()),
         out_specs=PartitionSpec(None, ROWS),
     )(*operands, x, diag, sub)
+
+
+def _ilv_edges(x_il: jax.Array, nq: int):
+    """Per-plane 128-q edge blocks of a shard-local interleaved vector:
+    (J, ILV_HALO_Q) stacks of the first / last J*ILV_HALO_Q natural rows."""
+    from ca_lanczos_tpu.ops.pallas_ilv import J as _J
+
+    first = jnp.stack(
+        [lax.dynamic_slice(x_il, (r * nq,), (ILV_HALO_Q,)) for r in range(_J)]
+    )
+    last = jnp.stack(
+        [lax.dynamic_slice(x_il, (r * nq + nq - ILV_HALO_Q,), (ILV_HALO_Q,))
+         for r in range(_J)]
+    )
+    return first, last
+
+
+def _ilv_powers_local(
+    ilv_dflat_local: jax.Array,
+    x_il: jax.Array,  # (n_local,) shard-local INTERLEAVED
+    diag: jax.Array,
+    sub: jax.Array,
+    offsets: Tuple[int, ...],
+    n_shards: int,
+    s: int,
+    ilv_tq: int,
+    ilv_m_pad: int,
+    periodic: bool = False,
+    fused_interpret: bool = False,
+) -> jax.Array:
+    """Interleaved-center shard-local s-step: edge exchange + ilv kernel,
+    everything staying in the interleaved layout (see DistDia.from_dia's
+    ilv block for the layout contract).  Returns W_il (s, n_local) —
+    row j is step j's shard segment, interleaved with nq = n_local/J.
+
+    The only cross-layout traffic is the two (J, 128) edge blocks per
+    exchange; the n-sized state never passes through an 8-way interleave
+    transpose (the measured XLA relayout cliff, BENCHMARKS.md)."""
+    from ca_lanczos_tpu.ops.pallas_ilv import J as _J, dia_powers_ilv
+
+    n_local = x_il.shape[0]
+    nq = n_local // _J
+    nqp = ilv_m_pad // _J
+    first, last = _ilv_edges(x_il, nq)
+    if periodic:
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
+    else:
+        fwd = [(i, i + 1) for i in range(n_shards - 1)]
+        bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    with jax.named_scope("ilv_edge_exchange"):
+        from_left = lax.ppermute(last, ROWS, perm=fwd)
+        from_right = lax.ppermute(first, ROWS, perm=bwd)
+
+    xp = jnp.zeros((ilv_m_pad,), x_il.dtype)
+    for r in range(_J):
+        xp = lax.dynamic_update_slice(xp, from_left[r], (r * nqp,))
+        xp = lax.dynamic_update_slice(
+            xp, lax.dynamic_slice(x_il, (r * nq,), (nq,)),
+            (r * nqp + ILV_HALO_Q,),
+        )
+        xp = lax.dynamic_update_slice(
+            xp, from_right[r], (r * nqp + ILV_HALO_Q + nq,)
+        )
+    coefs = jnp.stack([diag[:s], sub[:s]], axis=1).astype(x_il.dtype)
+    V2, _ = dia_powers_ilv(
+        ilv_dflat_local, xp, coefs, offsets, s, ilv_tq, ilv_m_pad,
+        interpret=fused_interpret, with_coefs=True,
+    )  # (s, ilv_m_pad) interleaved rows over the padded domain
+    return jnp.concatenate(
+        [lax.dynamic_slice(V2, (0, r * nqp + ILV_HALO_Q), (s, nq))
+         for r in range(_J)],
+        axis=1,
+    )
+
+
+@partial(jax.jit, static_argnames=("s", "mesh"))
+def dist_matrix_powers_ilv(
+    A: DistDia,
+    x_il: jax.Array,  # (n_pad,) row-sharded, per-shard interleaved
+    s: int,
+    diag: jax.Array,
+    sub: jax.Array,
+    mesh: Mesh,
+) -> jax.Array:
+    """Distributed matrix powers in the per-shard INTERLEAVED layout:
+    x_il (n_pad,) row-sharded (each shard's segment ilv-encoded) ->
+    W_il (s, n_pad), row j sharded like x_il.
+
+    The kernel-speed distributed powers path: the shard state stays
+    interleaved across blocks (Gram/axpy/norm consumers are
+    permutation-invariant per shard, mirroring the single-chip
+    IlvDiaMatrix contract), only (J, 128) natural-row edges ride the
+    ring.  Requires DistDia.from_dia(..., ilv=True); encode shard
+    vectors once with ``dist_ilv_encode`` / ``DistDia.shard_vector_ilv``
+    and decode results once at solve end."""
+    if A.ilv_dflat is None:
+        raise ValueError(
+            "operator has no interleaved layout: build with "
+            "DistDia.from_dia(..., ilv=True) (and check its skip "
+            "conditions: f32, n_local % 1024 == 0, s_max bounds)"
+        )
+
+    def body(iflat_block, x_block, dg, sb):
+        return _ilv_powers_local(
+            iflat_block[0], x_block, dg, sb,
+            offsets=A.offsets, n_shards=A.n_shards, s=s,
+            ilv_tq=A.ilv_tq, ilv_m_pad=A.ilv_m_pad,
+            periodic=A.periodic, fused_interpret=A.fused_interpret,
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS),
+                  PartitionSpec(), PartitionSpec()),
+        out_specs=PartitionSpec(None, ROWS),
+    )(A.ilv_dflat, x_il, diag, sub)
+
+
+def ilv_statics(A: DistDia, s: int) -> dict:
+    """Static kwargs for the padded-domain ilv body helpers below."""
+    return dict(
+        offsets=A.offsets, n_shards=A.n_shards, s=s, n_local=A.n_local,
+        ilv_tq=A.ilv_tq, ilv_m_pad=A.ilv_m_pad, periodic=A.periodic,
+        fused_interpret=A.fused_interpret,
+    )
+
+
+def ilv_refresh_ghosts(xp: jax.Array, *, n_local, ilv_m_pad, n_shards,
+                       periodic=False, **_) -> jax.Array:
+    """Refresh the ghost slices of a PADDED-DOMAIN interleaved shard
+    vector from ring neighbors (shard_map-body helper).
+
+    The padded-domain state is the kernel-speed dist-ilv representation:
+    each shard holds the full (ilv_m_pad,) interleaved domain
+    [ghost(128q) | center(nq) | ghost(128q) | zeros] per plane.  Chained
+    consumers keep state in this domain — the kernel's `last` output
+    feeds the next block directly after this ghost refresh, with no
+    center re-assembly (measured 631 vs 159 Gnnz/s at P=1 for the
+    re-assembling per-call wrapper; exp/dist_ilv_bench.py)."""
+    from ca_lanczos_tpu.ops.pallas_ilv import J as _J
+
+    nqp = ilv_m_pad // _J
+    nq = n_local // _J
+    P = n_shards
+    first = jnp.stack([
+        lax.dynamic_slice(xp, (r * nqp + ILV_HALO_Q,), (ILV_HALO_Q,))
+        for r in range(_J)])
+    last = jnp.stack([
+        lax.dynamic_slice(xp, (r * nqp + nq,), (ILV_HALO_Q,))
+        for r in range(_J)])
+    if periodic:
+        fwd = [(i, (i + 1) % P) for i in range(P)]
+        bwd = [((i + 1) % P, i) for i in range(P)]
+    else:
+        fwd = [(i, i + 1) for i in range(P - 1)]
+        bwd = [(i + 1, i) for i in range(P - 1)]
+    if P > 1 or periodic:
+        fl = lax.ppermute(last, ROWS, perm=fwd)
+        fr = lax.ppermute(first, ROWS, perm=bwd)
+    else:
+        fl, fr = jnp.zeros_like(last), jnp.zeros_like(first)
+    for r in range(_J):
+        xp = lax.dynamic_update_slice(xp, fl[r], (r * nqp,))
+        xp = lax.dynamic_update_slice(xp, fr[r], (r * nqp + ILV_HALO_Q + nq,))
+    return xp
+
+
+def ilv_padded_powers(ilv_dflat_local: jax.Array, xp: jax.Array,
+                      diag, sub, *, offsets, s, ilv_tq, ilv_m_pad,
+                      fused_interpret=False, **refresh_statics):
+    """Shard_map-body s-step powers on the padded interleaved domain:
+    ghost refresh + ilv kernel.  Returns (V2 (s, ilv_m_pad), last) —
+    both padded-domain; ``last`` chains into the next call, V2 rows feed
+    Gram/axpy consumers after :func:`ilv_zero_ghosts`.  Bind statics
+    with :func:`ilv_statics`."""
+    from ca_lanczos_tpu.ops.pallas_ilv import dia_powers_ilv
+
+    xp = ilv_refresh_ghosts(xp, ilv_m_pad=ilv_m_pad, **refresh_statics)
+    coefs = jnp.stack([diag[:s], sub[:s]], axis=1).astype(xp.dtype)
+    return dia_powers_ilv(
+        ilv_dflat_local, xp, coefs, offsets, s, ilv_tq, ilv_m_pad,
+        interpret=fused_interpret, with_coefs=True,
+    )
+
+
+def ilv_zero_ghosts(xp: jax.Array, *, n_local, ilv_m_pad, **_) -> jax.Array:
+    """Zero the ghost slices of a padded-domain vector so reductions
+    (Gram/norms) see each global row exactly once; the zero tail beyond
+    the domain contributes nothing already."""
+    from ca_lanczos_tpu.ops.pallas_ilv import J as _J
+
+    nqp = ilv_m_pad // _J
+    nq = n_local // _J
+    z = jnp.zeros((ILV_HALO_Q,), xp.dtype)
+    for r in range(_J):
+        xp = lax.dynamic_update_slice(xp, z, (r * nqp,))
+        xp = lax.dynamic_update_slice(xp, z, (r * nqp + ILV_HALO_Q + nq,))
+    return xp
+
+
+def ilv_pad_state(A: DistDia, x_il: np.ndarray) -> np.ndarray:
+    """Host-side entry into the padded domain: per-shard interleaved
+    segments (dist_ilv_encode layout, (P*n_local,)) -> (P*ilv_m_pad,)
+    padded-domain state with zero ghosts (refreshed on first use)."""
+    from ca_lanczos_tpu.ops.pallas_ilv import J as _J
+
+    nqp = A.ilv_m_pad // _J
+    nq = A.n_local // _J
+    P = A.n_shards
+    x_il = np.asarray(x_il)
+    out = np.zeros((P, A.ilv_m_pad), x_il.dtype)
+    for p in range(P):
+        seg = x_il[p * A.n_local : (p + 1) * A.n_local]
+        for r in range(_J):
+            out[p, r * nqp + ILV_HALO_Q : r * nqp + ILV_HALO_Q + nq] = (
+                seg[r * nq : (r + 1) * nq]
+            )
+    return out.reshape(-1)
+
+
+def ilv_unpad_state(A: DistDia, xp: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`ilv_pad_state`: padded-domain rows
+    ((P*ilv_m_pad,) or (k, P*ilv_m_pad)) -> per-shard interleaved
+    (dist_ilv_encode layout)."""
+    from ca_lanczos_tpu.ops.pallas_ilv import J as _J
+
+    nqp = A.ilv_m_pad // _J
+    nq = A.n_local // _J
+    P = A.n_shards
+    xp = np.asarray(xp)
+    one = xp.ndim == 1
+    X = xp[None] if one else xp
+    out = np.empty((X.shape[0], P * A.n_local), X.dtype)
+    for p in range(P):
+        for r in range(_J):
+            src = p * A.ilv_m_pad + r * nqp + ILV_HALO_Q
+            dst = p * A.n_local + r * nq
+            out[:, dst : dst + nq] = X[:, src : src + nq]
+    return out[0] if one else out
+
+
+def dist_ilv_encode(A: DistDia, x, mesh: Mesh) -> jax.Array:
+    """Zero-pad a global (n,) vector, ilv-encode each shard segment on
+    host, and row-shard the result (the one-time entry transpose)."""
+    from ca_lanczos_tpu.ops.pallas_ilv import ilv_encode
+
+    x = np.asarray(x)
+    nl = A.n_local
+    xp = np.zeros((A.n_shards * nl,), x.dtype)
+    xp[: A.n] = x
+    enc = np.concatenate(
+        [ilv_encode(xp[p * nl : (p + 1) * nl]) for p in range(A.n_shards)]
+    )
+    return jax.device_put(
+        jnp.asarray(enc), NamedSharding(mesh, PartitionSpec(ROWS))
+    )
+
+
+def dist_ilv_decode(A: DistDia, w_il: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`dist_ilv_encode` for a (n_pad,) row or
+    each row of a (k, n_pad) block; returns natural order, trimmed to n."""
+    from ca_lanczos_tpu.ops.pallas_ilv import ilv_decode
+
+    w_il = np.asarray(w_il)
+    one = w_il.ndim == 1
+    W = w_il[None] if one else w_il
+    nl = A.n_local
+    out = np.concatenate(
+        [
+            np.stack([ilv_decode(row[p * nl : (p + 1) * nl]) for row in W])
+            for p in range(A.n_shards)
+        ],
+        axis=1,
+    )[:, : A.n]
+    return out[0] if one else out
 
 
 @partial(jax.jit, static_argnames=("mesh",))

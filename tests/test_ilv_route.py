@@ -6,6 +6,7 @@ Reference seams: SpMV.m:1-9 (format extension point),
 restarted_ca_lanczos.m:83-181 (the flagship loop the kernel serves).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -76,13 +77,18 @@ class TestIlvRoute:
 
 
 class TestDistIlv:
-    def test_dist_powers_ride_ilv(self):
-        """Per-shard ilv layout matches the XLA-scan distributed powers
-        (8-way virtual mesh, interpret kernel)."""
+    @pytest.mark.parametrize("periodic", [False, True])
+    def test_dist_powers_interleaved_center(self, periodic):
+        """The interleaved-center distributed powers primitive
+        (dist_matrix_powers_ilv: per-shard interleaved state, (J, 128)
+        edge exchange, no n-sized interleave transpose) matches the
+        XLA-scan distributed powers after decode (8-way virtual mesh,
+        interpret kernel)."""
         from ca_lanczos_tpu.ops.spmv import DiaMatrix
         from ca_lanczos_tpu.parallel import make_mesh
         from ca_lanczos_tpu.parallel.distributed import (
-            DistDia, dist_matrix_powers,
+            DistDia, dist_ilv_decode, dist_ilv_encode, dist_matrix_powers,
+            dist_matrix_powers_ilv,
         )
 
         mesh = make_mesh(8)
@@ -91,44 +97,98 @@ class TestDistIlv:
         data = (rng.standard_normal((3, n)) * 0.3).astype(np.float32)
         A = DiaMatrix(data=jnp.asarray(data), offsets=(-1, 0, 1))
         x = rng.standard_normal(n).astype(np.float32)
-        z = jnp.zeros(s, jnp.float32)
+        dg = jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.1
+        sb = jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.1
 
-        A_scan = DistDia.from_dia(A, mesh, s_max=s)
+        A_scan = DistDia.from_dia(A, mesh, s_max=s, periodic=periodic)
         xs = A_scan.shard_vector(x, mesh)
-        V_scan = np.asarray(dist_matrix_powers(A_scan, xs, s, z, z, mesh))[:n]
+        V_scan = np.asarray(
+            dist_matrix_powers(A_scan, xs, s, dg, sb, mesh)
+        )[:n, 1:]  # (n, s) drop the leading q column
 
-        A_ilv = DistDia.from_dia(A, mesh, s_max=s, interpret=True, ilv=True)
+        A_ilv = DistDia.from_dia(
+            A, mesh, s_max=s, interpret=True, ilv=True, periodic=periodic
+        )
         assert A_ilv.ilv_dflat is not None
-        V_ilv = np.asarray(dist_matrix_powers(A_ilv, xs, s, z, z, mesh))[:n]
-        np.testing.assert_allclose(V_ilv, V_scan, rtol=2e-5, atol=2e-5)
+        x_il = dist_ilv_encode(A_ilv, x, mesh)
+        W_il = dist_matrix_powers_ilv(A_ilv, x_il, s, dg, sb, mesh)
+        W = dist_ilv_decode(A_ilv, np.asarray(W_il))  # (s, n) natural
+        np.testing.assert_allclose(W.T, V_scan, rtol=2e-5, atol=2e-5)
 
-    def test_dist_block_step_rides_ilv(self):
-        """The jitted CA block step (powers + CGS + TSQR) on the
-        ilv-carrying operator matches the scan operator."""
+    @pytest.mark.parametrize("periodic", [False, True])
+    def test_padded_domain_chain(self, periodic):
+        """The kernel-speed padded-domain chain (ilv_padded_powers inside
+        one shard_map, ghosts refreshed per block, output chained with no
+        center re-assembly) matches s-step chains of the scan path."""
+        from functools import partial
+
+        from jax import lax
+        from jax.sharding import NamedSharding, PartitionSpec
+
         from ca_lanczos_tpu.ops.spmv import DiaMatrix
         from ca_lanczos_tpu.parallel import make_mesh
-        from ca_lanczos_tpu.parallel.distributed import DistDia
-        from ca_lanczos_tpu.parallel.step import dist_first_block
+        from ca_lanczos_tpu.parallel.distributed import (
+            DistDia, dist_ilv_decode, dist_ilv_encode, dist_matrix_powers,
+            ilv_pad_state, ilv_padded_powers, ilv_statics, ilv_unpad_state,
+        )
+        from ca_lanczos_tpu.parallel.mesh import ROWS
 
         mesh = make_mesh(8)
-        n, s = 8 * 1024, 4
+        n, s, blocks = 8 * 1024, 4, 3
+        rng = np.random.default_rng(21)
+        data = (rng.standard_normal((3, n)) * 0.25).astype(np.float32)
+        A = DiaMatrix(data=jnp.asarray(data), offsets=(-1, 0, 1))
+        x = rng.standard_normal(n).astype(np.float32)
+        dg = jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.1
+        sb = jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.1
+
+        # reference: chain `blocks` s-step calls through the scan path
+        A_scan = DistDia.from_dia(A, mesh, s_max=s, periodic=periodic)
+        v = A_scan.shard_vector(x, mesh)
+        for _ in range(blocks):
+            v = dist_matrix_powers(A_scan, v, s, dg, sb, mesh)[:, s]
+        ref = np.asarray(v)[:n]
+
+        A_ilv = DistDia.from_dia(
+            A, mesh, s_max=s, interpret=True, ilv=True, periodic=periodic
+        )
+        st = ilv_statics(A_ilv, s)
+        xp0 = jax.device_put(
+            jnp.asarray(ilv_pad_state(
+                A_ilv, np.asarray(dist_ilv_encode(A_ilv, x, mesh)))),
+            NamedSharding(mesh, PartitionSpec(ROWS)),
+        )
+
+        def local(iflat_block, xp):
+            def body(i, cur):
+                _, last = ilv_padded_powers(iflat_block[0], cur, dg, sb, **st)
+                return last
+            return lax.fori_loop(0, blocks, body, xp)
+
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS)),
+            out_specs=PartitionSpec(ROWS),
+        )(A_ilv.ilv_dflat, xp0)
+        got = dist_ilv_decode(A_ilv, ilv_unpad_state(A_ilv, np.asarray(out)))
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+    def test_dist_ilv_encode_roundtrip(self):
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        from ca_lanczos_tpu.parallel import make_mesh
+        from ca_lanczos_tpu.parallel.distributed import (
+            DistDia, dist_ilv_decode, dist_ilv_encode,
+        )
+
+        mesh = make_mesh(8)
+        n = 8 * 1024
         rng = np.random.default_rng(12)
         data = (rng.standard_normal((3, n)) * 0.3).astype(np.float32)
         A = DiaMatrix(data=jnp.asarray(data), offsets=(-1, 0, 1))
-        q = rng.standard_normal(n).astype(np.float32)
-        q /= np.linalg.norm(q)
-        z = jnp.zeros(s, jnp.float32)
-
-        A_scan = DistDia.from_dia(A, mesh, s_max=s)
-        qs = A_scan.shard_vector(q, mesh)
-        Q0, R0 = dist_first_block(A_scan, qs, z, z, s, mesh, "cholqr2")
-        A_ilv = DistDia.from_dia(A, mesh, s_max=s, interpret=True, ilv=True)
-        Q1, R1 = dist_first_block(A_ilv, qs, z, z, s, mesh, "cholqr2")
-        np.testing.assert_allclose(
-            np.asarray(R1), np.asarray(R0), rtol=2e-4, atol=2e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(Q1), np.asarray(Q0), rtol=2e-4, atol=2e-4
+        Ad = DistDia.from_dia(A, mesh, s_max=4, interpret=True, ilv=True)
+        x = rng.standard_normal(n).astype(np.float32)
+        np.testing.assert_array_equal(
+            dist_ilv_decode(Ad, np.asarray(dist_ilv_encode(Ad, x, mesh))), x
         )
 
 
