@@ -283,6 +283,47 @@ class DistDia:
         xp[: self.n] = x
         return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
 
+    def ilv_shard_vector(self, x, mesh: Mesh) -> jax.Array:
+        """Entry into the padded interleaved domain: global (n,) ->
+        (P*ilv_m_pad,) row-sharded padded-domain state with zero ghosts
+        (the dist-ilv driver representation; see ilv_padded_powers)."""
+        if self.ilv_dflat is None:
+            raise ValueError("operator built without ilv=True")
+        from ca_lanczos_tpu.ops.pallas_ilv import ilv_encode
+
+        x = np.asarray(x)
+        nl = self.n_local
+        xp = np.zeros((self.n_shards * nl,), x.dtype)
+        xp[: self.n] = x
+        enc = np.concatenate(
+            [ilv_encode(xp[p * nl : (p + 1) * nl])
+             for p in range(self.n_shards)]
+        )
+        return jax.device_put(
+            jnp.asarray(ilv_pad_state(self, enc)),
+            NamedSharding(mesh, PartitionSpec(ROWS)),
+        )
+
+    def ilv_gather_columns(self, Q) -> np.ndarray:
+        """Exit from the padded interleaved domain: (P*ilv_m_pad, k)
+        padded-domain columns -> (n, k) natural-order host array."""
+        from ca_lanczos_tpu.ops.pallas_ilv import ilv_decode
+
+        Q = np.asarray(Q)
+        one = Q.ndim == 1
+        cols = Q.T[None] if one else Q.T  # (k, P*imp) rows
+        il = ilv_unpad_state(self, cols)  # (k, P*n_local) interleaved
+        nl = self.n_local
+        nat = np.concatenate(
+            [
+                np.stack([ilv_decode(row[p * nl : (p + 1) * nl])
+                          for row in il])
+                for p in range(self.n_shards)
+            ],
+            axis=1,
+        )[:, : self.n]
+        return nat[0] if one else nat.T
+
 
 def _dia_matvec_local(offsets: Tuple[int, ...], data: jax.Array, x: jax.Array) -> jax.Array:
     """Banded matvec on an already-padded local vector; rows line up with

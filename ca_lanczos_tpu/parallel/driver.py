@@ -33,6 +33,10 @@ class DistCaLanczosResult:
     Q_blocks: List[jax.Array]  # row-sharded basis blocks
     beta: np.ndarray
     n: int  # true (unpadded) dimension
+    # dist_format="ilv": blocks live in the padded interleaved domain;
+    # .Q decodes through the operator (eigenVALUES need no decode — T is
+    # permutation-invariant).
+    ilv_op: Optional[DistDia] = None
 
     @property
     def Q(self) -> np.ndarray:
@@ -45,6 +49,8 @@ class DistCaLanczosResult:
         for B in self.Q_blocks[1:]:
             cols.append(np.asarray(B[:, 1:]))
         Qfull = np.concatenate(cols, axis=1)
+        if self.ilv_op is not None:
+            return self.ilv_op.ilv_gather_columns(Qfull)[:, : self.T.shape[0]]
         return Qfull[: self.n, : self.T.shape[0]]
 
 
@@ -76,6 +82,12 @@ def dist_ca_lanczos(
     A may be a DiaMatrix (banded) or EllMatrix (general bounded-bandwidth
     sparsity); for the Newton basis pass a precomputed ``Bk`` (e.g. from
     solvers.ca_lanczos.build_basis_matrix on the host operator).
+
+    ``dist_format="ilv"`` (banded f32, orth=LOCAL) runs the shard-local
+    s-step on the padded-domain interleaved kernel — 632 vs 313 Gnnz/s
+    at P=1 (BENCHMARKS.md).  T and eigenvalues are identical to the
+    natural-layout path (per-shard symmetric permutation); .Q decodes
+    the basis on exit.
     """
     from ca_lanczos_tpu.config import Orth
     from ca_lanczos_tpu.ops.spmv import normest
@@ -99,9 +111,23 @@ def dist_ca_lanczos(
     from ca_lanczos_tpu.parallel.step import partition_operator
 
     Adist = partition_operator(A, mesh, s_max=s, dist_format=dist_format)
+    is_ilv = (
+        isinstance(Adist, DistDia)
+        and Adist.ilv_dflat is not None
+        and Adist.dflat is None
+    )
+    if is_ilv and orth != Orth.LOCAL:
+        raise NotImplementedError(
+            "dist_format='ilv' currently supports orth=LOCAL (the padded-"
+            "domain history machinery for full/periodic/selective is the "
+            "known next step; use dist_format='auto' for those modes)"
+        )
     r = np.asarray(r)
     n = A.n
-    q = Adist.shard_vector(r / np.linalg.norm(r), mesh)
+    if is_ilv:
+        q = Adist.ilv_shard_vector(r / np.linalg.norm(r), mesh)
+    else:
+        q = Adist.shard_vector(r / np.linalg.norm(r), mesh)
     dtype = q.dtype
     diag = jnp.asarray(diag_np, dtype)
     sub = jnp.asarray(sub_np, dtype)
@@ -185,7 +211,10 @@ def dist_ca_lanczos(
                     y = _dist_ritz_vector(Qhist, jnp.asarray(w, dtype), mesh)
                     QRpad = QRpad.at[:, j].set(y)
 
-    return DistCaLanczosResult(T=T[: s * t, : s * t], Q_blocks=Q_blocks, beta=b, n=A.n)
+    return DistCaLanczosResult(
+        T=T[: s * t, : s * t], Q_blocks=Q_blocks, beta=b, n=A.n,
+        ilv_op=Adist if is_ilv else None,
+    )
 
 
 def dist_lanczos(A: DiaMatrix, r, maxiter: int, mesh: Mesh):

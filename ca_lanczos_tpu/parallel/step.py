@@ -44,6 +44,21 @@ def partition_operator(A, mesh: Mesh, s_max: int, dist_format: str = "auto"):
             return DistPell.from_ell(A, mesh, s_max=s_max)
         return DistEll.from_ell(A, mesh, s_max=s_max)
     if isinstance(A, DiaMatrix):
+        if dist_format == "ilv":
+            # Padded-domain interleaved local step (632 vs 313 Gnnz/s at
+            # P=1, BENCHMARKS.md): shard vectors live in the padded
+            # interleaved domain; the driver must enter via
+            # ilv_shard_vector and decode outputs (driver.py handles it).
+            interp = not all(d.platform == "tpu" for d in mesh.devices.flat)
+            Ad = DistDia.from_dia(
+                A, mesh, s_max=s_max, fused=False, interpret=interp, ilv=True
+            )
+            if Ad.ilv_dflat is None:
+                raise ValueError(
+                    "dist_format='ilv': shard shape admits no interleaved "
+                    "layout (need f32, n_local % 1024 == 0, s*w <= 1024)"
+                )
+            return Ad
         return DistDia.from_dia(A, mesh, s_max=s_max)
     raise TypeError(
         f"cannot distribute operator of type {type(A).__name__}; pass a "
@@ -78,6 +93,37 @@ def _local_powers_fn(A, s: int):
             )
 
         return body_ell, (A.vals, A.cols)
+
+    if isinstance(A, DistDia) and A.ilv_dflat is not None and A.dflat is None:
+        # Padded-domain interleaved step: x_local is the shard's
+        # (ilv_m_pad,) padded-domain vector with ZERO ghosts (the driver
+        # invariant: entry via ilv_shard_vector, and every output column
+        # below is ghost-zeroed, so linear combinations preserve it).
+        # ilv_padded_powers refreshes ghosts from neighbor centers, runs
+        # the kernel, and the polluted output ghosts are re-zeroed so
+        # the psum Gram sees each global row exactly once.
+        import jax.numpy as jnp
+
+        from ca_lanczos_tpu.ops.pallas_ilv import J as _J
+        from ca_lanczos_tpu.parallel.distributed import (
+            ILV_HALO_Q, ilv_padded_powers, ilv_statics,
+        )
+
+        st = ilv_statics(A, s)
+        nqp = A.ilv_m_pad // _J
+        nq = A.n_local // _J
+
+        def body_ilv(iflat_block, x_local, dg, sb):
+            V2, _ = ilv_padded_powers(iflat_block[0], x_local, dg, sb, **st)
+            for r in range(_J):  # zero output ghost lanes (2-D slices)
+                V2 = jax.lax.dynamic_update_slice(
+                    V2, jnp.zeros((s, ILV_HALO_Q), V2.dtype), (0, r * nqp))
+                V2 = jax.lax.dynamic_update_slice(
+                    V2, jnp.zeros((s, ILV_HALO_Q), V2.dtype),
+                    (0, r * nqp + ILV_HALO_Q + nq))
+            return jnp.concatenate([x_local[:, None], V2.T], axis=1)
+
+        return body_ilv, (A.ilv_dflat,)
 
     from ca_lanczos_tpu.parallel.distributed import (
         dia_powers_operands, dia_powers_statics,
