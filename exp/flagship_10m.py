@@ -9,8 +9,10 @@ in relay-safe bursts (exp/dbg42.py: the relay kills long device calls).
 Oracle: scipy eigsh (f64) on the same matrix.  Memory: basis 32 x 11M
 f32 ~ 1.4 GB, well inside HBM.
 
-Usage: python -u exp/flagship_10m.py [n] [cycles_per_call]
-(n defaults to 11,010,048; pass 4194304 for the mid-scale rehearsal).
+Usage: python -u exp/flagship_10m.py [n] [cycles_per_call] [ilv]
+(n defaults to 11,010,048; pass 4194304 for the mid-scale rehearsal;
+a third arg "ilv" runs the solve on the IlvDiaMatrix carrier — the
+headline interleaved kernel — instead of the roll-based powers path).
 """
 import os
 import sys
@@ -44,6 +46,7 @@ def log(msg):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10 * (1 << 20) + (1 << 19)
     cpc = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    use_ilv = len(sys.argv) > 3 and sys.argv[3] == "ilv"
     d = np.linspace(1.0, 90.0, n)
     d[-10:] = np.linspace(95.0, 100.0, 10)
     rng = np.random.default_rng(0)
@@ -67,10 +70,15 @@ def main():
     data[0, 1:] = off[:-1]   # offset -1: A[i, i-1] = off[i-1]
     data[1] = d              # offset 0
     data[2, :-1] = off[:-1]  # offset +1: A[i, i+1] = off[i]
-    A = DiaMatrix(data=jnp.asarray(data), offsets=(-1, 0, 1))
-    log("planes on device")
+    if use_ilv:
+        from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix, ilv_encode
 
-    r = jnp.ones(n, jnp.float32)
+        A = IlvDiaMatrix.from_dia(DiaMatrix(data=data, offsets=(-1, 0, 1)))
+        r = jnp.asarray(ilv_encode(np.ones(n, np.float32)))
+    else:
+        A = DiaMatrix(data=jnp.asarray(data), offsets=(-1, 0, 1))
+        r = jnp.ones(n, jnp.float32)
+    log(f"planes on device (ilv={use_ilv})")
     # m=32 basis: the 48-vector config's compile-time plan wants 24.5 GB
     # (> 15.75 HBM); 32 vectors fit and restarts make up the depth.
     # cycles_per_call: the axon relay kills device calls running many
