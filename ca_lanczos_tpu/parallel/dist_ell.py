@@ -27,13 +27,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from jax.tree_util import register_dataclass
 
 from ca_lanczos_tpu.ops.spmv import EllMatrix
-from ca_lanczos_tpu.parallel.distributed import _halo_exchange
+from ca_lanczos_tpu.parallel.distributed import RowStateMixin, _halo_exchange
 from ca_lanczos_tpu.parallel.mesh import ROWS
 
 
 @register_dataclass
 @dataclasses.dataclass(frozen=True)
-class DistEll:
+class DistEll(RowStateMixin):
     """Row-sharded ELL operator with an s-deep matrix halo.
 
     vals/cols: (P, n_local + 2*halo, k) per-shard padded ELL rows; cols

@@ -55,7 +55,9 @@ def dist_impl_restarted_ca_lanczos(
     compression makes the retained columns dense mixtures, so local-only
     orthogonalization is insufficient — mirrors the single-chip driver's
     orth=FULL).  A may be a DiaMatrix or an EllMatrix
-    (``dist_format="pell"`` selects the PELL Pallas local step)."""
+    (``dist_format="pell"`` selects the PELL Pallas local step;
+    ``dist_format="ilv"`` runs banded f32 operators on the padded-domain
+    interleaved engine — state stays in that domain end to end)."""
     basis = Basis(basis)
     norm_A = normest(A)
     tol = tol * norm_A
@@ -76,8 +78,11 @@ def dist_impl_restarted_ca_lanczos(
     diag_np, sub_np = newton_coeffs(Bk)
 
     Adist = partition_operator(A, mesh, s_max=s, dist_format=dist_format)
-    n, n_pad = A.n, Adist.n_shards * Adist.n_local
-    q = Adist.shard_vector(q_host, mesh)
+    # State domain: natural rows, or the padded interleaved domain on the
+    # ilv engine (dist_format="ilv") — ghost-zeroed, so the compression
+    # GEMMs and reorth below are layout-invariant.
+    n, n_state = A.n, Adist.n_shards * Adist.state_len
+    q = Adist.shard_entry(q_host, mesh)
     dtype = q.dtype
     diag = jnp.asarray(diag_np, dtype)
     sub = jnp.asarray(sub_np, dtype)
@@ -86,7 +91,7 @@ def dist_impl_restarted_ca_lanczos(
     def extend(V: Optional[jax.Array], T: np.ndarray, k0: int):
         """Extend the sharded factorization to m+1 columns by CA blocks.
 
-        V: (n_pad, m+1) sharded (or None on the first call); column k0 is
+        V: (n_state, m+1) sharded (or None on the first call); column k0 is
         the current residual direction.
         """
         b_prev = T[k0, k0 - 1] if k0 > 0 else 0.0
@@ -94,7 +99,7 @@ def dist_impl_restarted_ca_lanczos(
         if nvecs == 0:
             Qb, Rk = dist_first_block(Adist, q, diag, sub, s, mesh,
                                       qr_method, mp=mixed_precision)
-            V = jnp.zeros((n_pad, m + 1), dtype, device=shard)
+            V = jnp.zeros((n_state, m + 1), dtype, device=shard)
             V = V.at[:, : s + 1].set(Qb)
             Tk, b_new = first_block_T(np.asarray(Rk, np.float64), Bk, s)
             T[: s + 1, :s] = Tk
@@ -155,7 +160,7 @@ def dist_impl_restarted_ca_lanczos(
         T[:k, :k] = H[:k, :k]
         T[k, k - 1] = beta_k
         T[k - 1, k] = beta_k
-        V = jnp.zeros((n_pad, m + 1), dtype, device=shard)
+        V = jnp.zeros((n_state, m + 1), dtype, device=shard)
         V = V.at[:, :k].set(Vk_new)
         V = V.at[:, k].set(r_new / beta_k)
 
@@ -172,7 +177,7 @@ def dist_impl_restarted_ca_lanczos(
     order = np.argsort(d)[::-1][:n_wanted]
     eigs = d[order]
     rnorms = (float(T[k, k - 1]) * np.abs(Y[k - 1, :]))[order]
-    Q_conv = (V[:, :k] @ jnp.asarray(Y[:, order], dtype))[:n]
+    Q_conv = Adist.gather_columns(V[:, :k] @ jnp.asarray(Y[:, order], dtype))
     return IRLResult(
         eigs=eigs, Q_conv=Q_conv, n_restarts=n_restarts,
         conv_rnorms=rnorms, converged=converged,

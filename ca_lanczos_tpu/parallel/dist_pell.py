@@ -30,13 +30,13 @@ from jax.tree_util import register_dataclass
 from ca_lanczos_tpu.ops.pell import LANES, PellMatrix, _pell_step
 from ca_lanczos_tpu.ops.spmv import EllMatrix
 from ca_lanczos_tpu.parallel.dist_ell import ell_shard_planes
-from ca_lanczos_tpu.parallel.distributed import _halo_exchange
+from ca_lanczos_tpu.parallel.distributed import RowStateMixin, _halo_exchange
 from ca_lanczos_tpu.parallel.mesh import ROWS
 
 
 @register_dataclass
 @dataclasses.dataclass(frozen=True)
-class DistPell:
+class DistPell(RowStateMixin):
     """Row-sharded PELL operator with an s-deep matrix halo.
 
     vals/lidx/cbase/span_row: per-shard PellMatrix planes stacked on a

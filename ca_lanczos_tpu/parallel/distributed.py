@@ -41,9 +41,51 @@ from ca_lanczos_tpu.parallel.mesh import ROWS
 ILV_HALO_Q = 128
 
 
+class RowStateMixin:
+    """Driver-state API shared by the distributed operator classes.
+
+    Distributed drivers keep their n-sized state (Krylov blocks, locked
+    basis, histories) in the operator's STATE DOMAIN and only enter/exit
+    at solve boundaries: plain row-sharded natural order here
+    (DistEll/DistPell and natural-layout DistDia), or the padded
+    interleaved domain when DistDia runs the ilv engine (DistDia
+    overrides).  Because state vectors are ghost-zero by construction in
+    either domain, the whole orthogonalization stack (psum Gram, CGS,
+    TSQR/CholQR) is layout-invariant, so drivers written against this
+    API run on every engine unchanged.
+    """
+
+    ilv_engine: bool = False
+
+    @property
+    def state_len(self) -> int:
+        """Per-shard length of driver state vectors."""
+        return self.n_local
+
+    def state_zeros(self, cols: int, mesh: Mesh, dtype=None) -> jax.Array:
+        """Row-sharded zeros in the driver's state domain ((P*state_len,
+        cols), or (P*state_len,) with cols=0) — valid (ghost-zero) state
+        in every domain by construction."""
+        dtype = self.dtype if dtype is None else dtype
+        shape = (self.n_shards * self.state_len,) + ((cols,) if cols else ())
+        return jax.device_put(
+            jnp.zeros(shape, dtype), NamedSharding(mesh, PartitionSpec(ROWS))
+        )
+
+    def shard_entry(self, x, mesh: Mesh) -> jax.Array:
+        """Entry into the driver state domain from a host (n,)/(n, k)
+        natural-order array."""
+        return self.shard_vector(x, mesh)
+
+    def gather_columns(self, Q) -> np.ndarray:
+        """Exit from the driver state domain to natural host order:
+        (state, k) or (state,) -> (n, k) / (n,) trimmed."""
+        return np.asarray(Q)[: self.n]
+
+
 @register_dataclass
 @dataclasses.dataclass(frozen=True)
-class DistDia:
+class DistDia(RowStateMixin):
     """Row-sharded DIA operator with an s-deep matrix halo.
 
     data: (P, ndiags, n_local + 2*halo) — shard p holds the DIA data of
@@ -103,6 +145,39 @@ class DistDia:
         """Largest s the stored halo supports."""
         w = self.bandwidth
         return self.halo // w if w else 10**9
+
+    @property
+    def ilv_engine(self) -> bool:
+        """True when drivers run this operator on the padded-domain
+        interleaved engine (the predicate parallel.step._local_powers_fn
+        dispatches on): driver state then lives in the padded interleaved
+        domain (ilv_m_pad per shard, ghost-zeroed) rather than the
+        natural row layout."""
+        return self.ilv_dflat is not None and self.dflat is None
+
+    @property
+    def state_len(self) -> int:
+        """Per-shard length of driver state vectors: ilv_m_pad in the
+        padded interleaved domain, n_local in the natural layout."""
+        return self.ilv_m_pad if self.ilv_engine else self.n_local
+
+    def shard_entry(self, x, mesh: Mesh) -> jax.Array:
+        """Entry into the driver state domain: ilv_shard_vector (cast to
+        the kernel's f32) on the interleaved engine, shard_vector
+        otherwise."""
+        return (
+            self.ilv_shard_vector(np.asarray(x, self.data.dtype), mesh)
+            if self.ilv_engine
+            else self.shard_vector(x, mesh)
+        )
+
+    def gather_columns(self, Q) -> np.ndarray:
+        """Exit from the driver state domain to natural host order:
+        (state, k) or (state,) -> (n, k) / (n,) trimmed, decoding the
+        interleave when the operator runs the ilv engine."""
+        if self.ilv_engine:
+            return self.ilv_gather_columns(Q)
+        return np.asarray(Q)[: self.n]
 
     @staticmethod
     def from_dia(
@@ -284,24 +359,36 @@ class DistDia:
         return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
 
     def ilv_shard_vector(self, x, mesh: Mesh) -> jax.Array:
-        """Entry into the padded interleaved domain: global (n,) ->
-        (P*ilv_m_pad,) row-sharded padded-domain state with zero ghosts
-        (the dist-ilv driver representation; see ilv_padded_powers)."""
+        """Entry into the padded interleaved domain: global (n,) or
+        (n, k) -> (P*ilv_m_pad[, k]) row-sharded padded-domain state with
+        zero ghosts (the dist-ilv driver representation; see
+        ilv_padded_powers)."""
         if self.ilv_dflat is None:
             raise ValueError("operator built without ilv=True")
         from ca_lanczos_tpu.ops.pallas_ilv import ilv_encode
 
         x = np.asarray(x)
+        one = x.ndim == 1
+        X = x[:, None] if one else x
         nl = self.n_local
-        xp = np.zeros((self.n_shards * nl,), x.dtype)
-        xp[: self.n] = x
-        enc = np.concatenate(
-            [ilv_encode(xp[p * nl : (p + 1) * nl])
-             for p in range(self.n_shards)]
+        xp = np.zeros((self.n_shards * nl, X.shape[1]), x.dtype)
+        xp[: self.n] = X
+        cols = np.stack(
+            [
+                ilv_pad_state(
+                    self,
+                    np.concatenate(
+                        [ilv_encode(np.ascontiguousarray(xp[p * nl : (p + 1) * nl, j]))
+                         for p in range(self.n_shards)]
+                    ),
+                )
+                for j in range(X.shape[1])
+            ],
+            axis=1,
         )
+        out = cols[:, 0] if one else cols
         return jax.device_put(
-            jnp.asarray(ilv_pad_state(self, enc)),
-            NamedSharding(mesh, PartitionSpec(ROWS)),
+            jnp.asarray(out), NamedSharding(mesh, PartitionSpec(ROWS))
         )
 
     def ilv_gather_columns(self, Q) -> np.ndarray:
@@ -809,6 +896,31 @@ def dist_ilv_decode(A: DistDia, w_il: np.ndarray) -> np.ndarray:
         axis=1,
     )[:, : A.n]
     return out[0] if one else out
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def dist_spmv_ilv(A: DistDia, xp: jax.Array, mesh: Mesh) -> jax.Array:
+    """Single distributed SpMV in the padded interleaved domain:
+    xp (P*ilv_m_pad,) ghost-zeroed padded-domain state -> A @ xp in the
+    same domain, output ghosts re-zeroed.  The s=1 use of
+    ilv_padded_powers — what the true-residual verification of the
+    ilv-engine dist drivers rides (the residual-check seam of
+    restarted_ca_lanczos.m:156-166)."""
+    if A.ilv_dflat is None:
+        raise ValueError("operator built without ilv=True")
+    st = ilv_statics(A, 1)
+
+    def body(iflat_block, x_local):
+        z = jnp.zeros((1,), x_local.dtype)
+        V2, _ = ilv_padded_powers(iflat_block[0], x_local, z, z, **st)
+        return ilv_zero_ghosts(V2[0], **st)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS)),
+        out_specs=PartitionSpec(ROWS),
+    )(A.ilv_dflat, xp)
 
 
 @partial(jax.jit, static_argnames=("mesh",))

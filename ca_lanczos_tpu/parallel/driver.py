@@ -83,11 +83,13 @@ def dist_ca_lanczos(
     sparsity); for the Newton basis pass a precomputed ``Bk`` (e.g. from
     solvers.ca_lanczos.build_basis_matrix on the host operator).
 
-    ``dist_format="ilv"`` (banded f32, orth=LOCAL) runs the shard-local
-    s-step on the padded-domain interleaved kernel — 632 vs 313 Gnnz/s
-    at P=1 (BENCHMARKS.md).  T and eigenvalues are identical to the
-    natural-layout path (per-shard symmetric permutation); .Q decodes
-    the basis on exit.
+    ``dist_format="ilv"`` (banded f32) runs the shard-local s-step on
+    the padded-domain interleaved kernel — 632 vs 313 Gnnz/s at P=1
+    (BENCHMARKS.md) — with ALL FOUR orth modes: driver state (blocks,
+    histories, Ritz basis) lives in the ghost-zeroed padded interleaved
+    domain, where Gram/CGS/QR are layout-invariant.  T and eigenvalues
+    match the natural-layout path (per-shard symmetric permutation);
+    .Q decodes the basis on exit.
     """
     from ca_lanczos_tpu.config import Orth
     from ca_lanczos_tpu.ops.spmv import normest
@@ -111,23 +113,10 @@ def dist_ca_lanczos(
     from ca_lanczos_tpu.parallel.step import partition_operator
 
     Adist = partition_operator(A, mesh, s_max=s, dist_format=dist_format)
-    is_ilv = (
-        isinstance(Adist, DistDia)
-        and Adist.ilv_dflat is not None
-        and Adist.dflat is None
-    )
-    if is_ilv and orth != Orth.LOCAL:
-        raise NotImplementedError(
-            "dist_format='ilv' currently supports orth=LOCAL (the padded-"
-            "domain history machinery for full/periodic/selective is the "
-            "known next step; use dist_format='auto' for those modes)"
-        )
+    is_ilv = Adist.ilv_engine
     r = np.asarray(r)
     n = A.n
-    if is_ilv:
-        q = Adist.ilv_shard_vector(r / np.linalg.norm(r), mesh)
-    else:
-        q = Adist.shard_vector(r / np.linalg.norm(r), mesh)
+    q = Adist.shard_entry(r / np.linalg.norm(r), mesh)
     dtype = q.dtype
     diag = jnp.asarray(diag_np, dtype)
     sub = jnp.asarray(sub_np, dtype)
@@ -135,8 +124,14 @@ def dist_ca_lanczos(
     _EPS = float(np.finfo(np.float64).eps)
     norm_A = normest(A) if orth in (Orth.PERIODIC, Orth.SELECTIVE) else None
     omega = OmegaRecurrence(norm_A) if orth == Orth.PERIODIC else None
+    # Histories live in the operator's STATE DOMAIN (natural rows, or the
+    # padded interleaved domain on the ilv engine — ghost-zero columns,
+    # so every Gram/CGS/QR consumer is layout-invariant).  The natural
+    # path keeps its f64 history dtype; the ilv engine matches the
+    # kernel's f32 so basis columns re-entering powers stay f32.
+    hist_dtype = dtype if is_ilv else np.float64
     Qhist = (
-        Adist.shard_vector(np.zeros((n, m + 1)), mesh)
+        Adist.state_zeros(m + 1, mesh, hist_dtype)
         if orth in (Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE)
         else None
     )
@@ -144,7 +139,7 @@ def dist_ca_lanczos(
     # no-ops, so one compile serves the whole run).
     r_cap = min(m, 24)
     QRpad = (
-        Adist.shard_vector(np.zeros((n, r_cap)), mesh)
+        Adist.state_zeros(r_cap, mesh, hist_dtype)
         if orth == Orth.SELECTIVE
         else None
     )

@@ -32,8 +32,13 @@ from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local, dist_spm
 
 
 def _dist_spmv_any(Adist, x, mesh):
-    """One distributed SpMV for DistDia / DistEll / DistPell shards."""
+    """One distributed SpMV for DistDia / DistEll / DistPell shards; on
+    the ilv engine x is padded-domain state and so is the result."""
     if isinstance(Adist, DistDia):
+        if Adist.ilv_engine:
+            from ca_lanczos_tpu.parallel.distributed import dist_spmv_ilv
+
+            return dist_spmv_ilv(Adist, x, mesh)
         return dist_spmv(Adist, x, mesh)
     z = jnp.zeros(1, x.dtype)
     from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
@@ -215,6 +220,12 @@ def dist_restarted_ca_lanczos(
     from such a file, re-sharding the state over ``mesh``.  safe_qr
     routes block normalizations through the masked in-jit null-space
     randomization (parallel.dist_orth.local_qr_safe).
+
+    ``dist_format="ilv"`` runs the whole restart machine on the padded-
+    domain interleaved engine (632 vs 313 Gnnz/s local step at P=1):
+    state (blocks, locked basis, histories) is ghost-zeroed padded-domain,
+    entered via shard_entry / exited via gather_columns, and the true-
+    residual verification rides dist_spmv_ilv.
     """
     from ca_lanczos_tpu.config import Orth
     from ca_lanczos_tpu.utils.diagnostics import OmegaRecurrence
@@ -237,8 +248,8 @@ def dist_restarted_ca_lanczos(
     from ca_lanczos_tpu.parallel.step import partition_operator
 
     Adist = partition_operator(A, mesh, s_max=s, dist_format=dist_format)
-    n, n_pad = A.n, Adist.n_shards * Adist.n_local
-    q = Adist.shard_vector(q_host, mesh)
+    n = A.n
+    q = Adist.shard_entry(q_host, mesh)
     dtype = q.dtype
     diag = jnp.asarray(diag_np, dtype)
     sub = jnp.asarray(sub_np, dtype)
@@ -248,8 +259,14 @@ def dist_restarted_ca_lanczos(
         raise ValueError(f"max_lanczos={max_lanczos} < s={s}")
     m = s * iters
 
+    # Driver state (locked basis, histories, blocks) lives in the
+    # operator's STATE DOMAIN: natural rows, or the ghost-zeroed padded
+    # interleaved domain on the ilv engine (dist_format="ilv"), where
+    # every Gram/CGS/QR consumer is layout-invariant.  Natural path keeps
+    # the f64 history dtype; ilv matches the kernel's f32.
+    hist_dtype = dtype if Adist.ilv_engine else np.float64
     # Fixed-width padded locked basis (see module doc).
-    Qconv = Adist.shard_vector(np.zeros((n, config.n_wanted)), mesh)
+    Qconv = Adist.state_zeros(config.n_wanted, mesh, hist_dtype)
 
     conv_eigs: List[float] = []
     conv_rnorms: List[float] = []
@@ -277,8 +294,8 @@ def dist_restarted_ca_lanczos(
         if ck.Q_conv is not None:
             qc = np.zeros((n, config.n_wanted))
             qc[:, : ck.Q_conv.shape[1]] = ck.Q_conv
-            Qconv = Adist.shard_vector(qc, mesh)
-        q = Adist.shard_vector(np.asarray(ck.q), mesh)
+            Qconv = Adist.shard_entry(qc, mesh)
+        q = Adist.shard_entry(np.asarray(ck.q), mesh)
         rng.bit_generator.state = ck.rng_state
         restart = nconv < config.n_wanted
 
@@ -297,7 +314,7 @@ def dist_restarted_ca_lanczos(
         # columns incl. the trailing one), written after each block's own
         # orth step so a block never projects against itself.
         Qhist = (
-            Adist.shard_vector(np.zeros((n, m + 1)), mesh)
+            Adist.state_zeros(m + 1, mesh, hist_dtype)
             if orth in (Orth.FULL, Orth.PERIODIC, Orth.SELECTIVE)
             else None
         )
@@ -306,7 +323,7 @@ def dist_restarted_ca_lanczos(
         # to Q_conv in the block projections (zero columns = no-ops).
         r_cap = config.n_wanted + 4
         QRpad = (
-            Adist.shard_vector(np.zeros((n, r_cap)), mesh)
+            Adist.state_zeros(r_cap, mesh, hist_dtype)
             if orth == Orth.SELECTIVE
             else None
         )
@@ -465,9 +482,9 @@ def dist_restarted_ca_lanczos(
             # restart strategy, restarted_ca_lanczos.m:204-248).
             q_h = rng.standard_normal(n)
             if nconv:
-                Qc = np.asarray(Qconv)[:n, :nconv]
+                Qc = Adist.gather_columns(Qconv)[:, :nconv]
                 q_h = q_h - Qc @ (Qc.T @ q_h)
-            q = Adist.shard_vector(q_h / np.linalg.norm(q_h), mesh)
+            q = Adist.shard_entry(q_h / np.linalg.norm(q_h), mesh)
         elif restart:
             # Start vector from the chosen non-converged Ritz vector
             # (restarted_ca_lanczos.m:177-180), computed on the mesh.
@@ -511,13 +528,13 @@ def dist_restarted_ca_lanczos(
                 conv_rnorms=conv_rnorms,
                 orth_err=orth_err,
                 rnorm_rows=rnorm_rows,
-                Q_conv=np.asarray(Qconv)[:n, :nconv] if nconv else None,
-                q=np.asarray(q)[:n],
+                Q_conv=Adist.gather_columns(Qconv)[:, :nconv] if nconv else None,
+                q=Adist.gather_columns(q),
                 Bk=np.asarray(Bk),
                 rng_state=rng.bit_generator.state,
             ).save(checkpoint_path)
 
-    Q_conv_final = Qconv[:n, :nconv] if nconv else None
+    Q_conv_final = Adist.gather_columns(Qconv)[:, :nconv] if nconv else None
     return _finalize(
         conv_eigs, conv_rnorms, Q_conv_final, n_restarts, rnorm_rows, [],
         config.n_wanted, not restart,
