@@ -76,6 +76,17 @@ def route_dist_operator(
         coo = csr_x.tocoo()
         bw = int(np.max(np.abs(coo.row - coo.col))) if nnz else 0
         if A is not None and s_max * bw < n_local:
+            # Prefer the interleaved padded-domain engine when the shard
+            # shape admits it (632 vs 313 Gnnz/s at P=1, BENCHMARKS.md);
+            # otherwise say WHY the problem lands on the 2x-slower roll
+            # engine so misalignment is visible, not silent.
+            from ca_lanczos_tpu.parallel.distributed import dist_ilv_admissible
+
+            ok, why = dist_ilv_admissible(A, P_, s_max)
+            if ok:
+                notes.append("ilv engine: interleaved padded-domain local step")
+                return A, "ilv", bw
+            notes.append(f"ilv engine inadmissible ({why}): roll/fused local step")
             return A, "dia", bw
         if s_max * bw < n_local:
             E = EllMatrix.from_scipy(csr_x)

@@ -31,9 +31,29 @@ from ca_lanczos_tpu.parallel.step import (
     newton_coeffs,
     partition_operator,
 )
+from ca_lanczos_tpu.parallel.restarted import _dist_spmv_any
 from ca_lanczos_tpu.solvers._block import block_T, first_block_T
 from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
 from ca_lanczos_tpu.solvers.implicitly_restarted import IRLResult, qrstep
+
+
+def _verify_ritz(Adist, V, Y, d, order, k, mesh, dtype, tol,
+                 slack: float = 10.0) -> bool:
+    """True residuals ||A x - theta x|| of the wanted Ritz pairs, checked
+    against ``slack * tol`` (tol is already ||A||-scaled).  State-domain
+    vectors are ghost-zero by construction so norms match natural order;
+    the SpMV rides the operator's own engine (dist_spmv_ilv on ilv)."""
+    for i in order:
+        x = V[:, :k] @ jnp.asarray(Y[:, i], dtype)
+        nx = float(jnp.linalg.norm(x))
+        if nx == 0.0:
+            return False
+        true_abs = float(
+            jnp.linalg.norm(_dist_spmv_any(Adist, x, mesh) - float(d[i]) * x)
+        ) / nx
+        if true_abs > slack * tol:
+            return False
+    return True
 
 
 def dist_impl_restarted_ca_lanczos(
@@ -83,6 +103,16 @@ def dist_impl_restarted_ca_lanczos(
     # GEMMs and reorth below are layout-invariant.
     n, n_state = A.n, Adist.n_shards * Adist.state_len
     q = Adist.shard_entry(q_host, mesh)
+    # IRL state dtype follows the ENTRY vector, not the kernel: the
+    # implicit restart compresses and re-extends the same basis for many
+    # cycles, and f32 state loses enough orthogonality for the
+    # beta*|Y[k-1]| estimate to lock spurious Ritz values (round-3 red
+    # test: fabricated 167.64 reported converged).  An f64 caller gets
+    # f64 compression/orthogonalization on every engine; the f32-only
+    # ilv powers kernel casts at its seam (parallel.step.body_ilv).
+    want = jax.dtypes.canonicalize_dtype(np.asarray(r).dtype)
+    if np.issubdtype(want, np.floating) and q.dtype != want:
+        q = q.astype(want)
     dtype = q.dtype
     diag = jnp.asarray(diag_np, dtype)
     sub = jnp.asarray(sub_np, dtype)
@@ -151,9 +181,15 @@ def dist_impl_restarted_ca_lanczos(
         for mu in shifts:
             Qh, H = qrstep(Qh, H, mu, 0, m)
 
-        # Sharded compression: V_k = V Q[:, :k]; residual update.
+        # Sharded compression: V_k = V Q[:, :k]; residual update.  Host
+        # scalars are cast to the state dtype explicitly (an f64 scalar
+        # would silently promote f32 state and the .set below would
+        # emit JAX's unsafe-cast FutureWarning).
         Vk_new = V[:, :m] @ jnp.asarray(Qh[:, :k], dtype)
-        r_new = V[:, :m] @ jnp.asarray(Qh[:, k] * H[k, k - 1], dtype) + r_vec * Qh[m - 1, k - 1]
+        r_new = (
+            V[:, :m] @ jnp.asarray(Qh[:, k] * H[k, k - 1], dtype)
+            + r_vec * jnp.asarray(Qh[m - 1, k - 1], dtype)
+        )
         beta_k = float(jnp.linalg.norm(r_new))
 
         T = np.zeros((m + 1, m))
@@ -169,8 +205,18 @@ def dist_impl_restarted_ca_lanczos(
         rnorms = beta_k * np.abs(Y[k - 1, :])
         order = np.argsort(d)[::-1][:n_wanted]
         if int(np.sum(rnorms[order] < tol)) >= n_wanted:
-            converged = True
-            break
+            # True-residual verification before declaring convergence:
+            # the beta_k*|Y[k-1,:]| estimate trusts the compressed basis'
+            # orthogonality, which repeated IRL compressions can lose in
+            # reduced precision — the round-3 red test locked a spurious
+            # Ritz value this way.  One SpMV per wanted pair, only when
+            # the estimate already passes (reference seam:
+            # impl_restarted_ca_lanczos.m:110-155's honest convergence
+            # intent; same guard family as dist_restarted's
+            # verify_locked).
+            if _verify_ritz(Adist, V, Y, d, order, k, mesh, dtype, tol):
+                converged = True
+                break
 
     Tk_sym = (T[:k, :k] + T[:k, :k].T) / 2
     d, Y = np.linalg.eigh(Tk_sym)

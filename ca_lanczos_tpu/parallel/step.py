@@ -42,6 +42,12 @@ def partition_operator(A, mesh: Mesh, s_max: int, dist_format: str = "auto"):
     if isinstance(A, EllMatrix):
         if dist_format == "pell":
             return DistPell.from_ell(A, mesh, s_max=s_max)
+        if dist_format == "ilv":
+            raise ValueError(
+                "dist_format='ilv' is the banded-DIA interleaved engine; "
+                "this operator is an EllMatrix — use dist_format='pell' "
+                "(Pallas gather local step) or 'auto'"
+            )
         return DistEll.from_ell(A, mesh, s_max=s_max)
     if isinstance(A, DiaMatrix):
         if dist_format == "ilv":
@@ -114,14 +120,22 @@ def _local_powers_fn(A, s: int):
         nq = A.n_local // _J
 
         def body_ilv(iflat_block, x_local, dg, sb):
-            V2, _ = ilv_padded_powers(iflat_block[0], x_local, dg, sb, **st)
+            # Kernel seam: the ilv kernel is f32-only, but driver STATE
+            # dtype is caller-controlled (an f64 entry vector keeps the
+            # whole orthogonalization stack f64, exactly like the
+            # natural-layout engines — the dist IRL driver's repeated
+            # basis compressions need this; round-3 red test).  Cast to
+            # the kernel dtype here only, return powers at state dtype.
+            xk = x_local.astype(iflat_block.dtype)
+            V2, _ = ilv_padded_powers(iflat_block[0], xk, dg, sb, **st)
             for r in range(_J):  # zero output ghost lanes (2-D slices)
                 V2 = jax.lax.dynamic_update_slice(
                     V2, jnp.zeros((s, ILV_HALO_Q), V2.dtype), (0, r * nqp))
                 V2 = jax.lax.dynamic_update_slice(
                     V2, jnp.zeros((s, ILV_HALO_Q), V2.dtype),
                     (0, r * nqp + ILV_HALO_Q + nq))
-            return jnp.concatenate([x_local[:, None], V2.T], axis=1)
+            return jnp.concatenate(
+                [x_local[:, None], V2.T.astype(x_local.dtype)], axis=1)
 
         return body_ilv, (A.ilv_dflat,)
 

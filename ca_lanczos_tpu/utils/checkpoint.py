@@ -15,6 +15,7 @@ layout here is deliberately a flat dict of arrays so either backend fits.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import List, Optional
 
@@ -49,17 +50,29 @@ class RestartCheckpoint:
             Q_conv=self.Q_conv if self.Q_conv is not None else np.zeros((0, 0)),
             q=self.q,
             Bk=self.Bk,
-            rng_state=np.asarray([self.rng_state], dtype=object),
+            # Explicit serialization (JSON bytes), not a pickled object
+            # array: long-lived checkpoint artifacts must not depend on
+            # allow_pickle (ADVICE r3).  PCG64 state ints exceed 64 bits,
+            # so JSON (arbitrary-precision ints) is the right carrier.
+            rng_state=np.frombuffer(
+                json.dumps(self.rng_state, default=int).encode(), np.uint8
+            ),
         )
         # np.savez appends .npz to the tmp name.
         os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
 
     @staticmethod
     def load(path: str) -> "RestartCheckpoint":
-        z = np.load(path, allow_pickle=True)
+        try:
+            z = np.load(path)
+            state = json.loads(bytes(z["rng_state"]).decode())
+        except ValueError:
+            # Legacy (round <=3) checkpoints stored rng_state as a
+            # pickled object array.
+            z = np.load(path, allow_pickle=True)
+            state = z["rng_state"][0]
         Q_conv = z["Q_conv"]
         rows = z["rnorm_rows"]
-        state = z["rng_state"][0]
         return RestartCheckpoint(
             n_restarts=int(z["n_restarts"]),
             nconv=int(z["nconv"]),

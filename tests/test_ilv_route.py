@@ -369,3 +369,44 @@ class TestIlvEngineDrivers:
         )
         Q = np.asarray(res.Q_conv)
         assert Q.shape[0] == n
+
+    def test_dist_irl_ilv_clustered(self):
+        """Round-4 regression (VERDICT r3 item 1): a CLUSTERED top
+        spectrum is exactly where orthogonality loss fabricates spurious
+        Ritz values between true ones — the IRL on the ilv engine must
+        resolve every cluster member honestly (converged flag backed by
+        true residuals), matching impl_restarted_ca_lanczos.m:4-228
+        semantics."""
+        from ca_lanczos_tpu.parallel import make_mesh
+        from ca_lanczos_tpu.parallel.dist_irl import (
+            dist_impl_restarted_ca_lanczos,
+        )
+
+        mesh = make_mesh(8)
+        n = 8 * 1024
+        # Tight top cluster (relative gaps ~3e-3) over a 1..100 bulk.
+        top = np.array([169.4, 169.8, 170.0, 170.5], np.float32)
+        A, matvec = _tridiag_f32(n, top=top, seed=3)
+        rng = np.random.default_rng(17)
+        res = dist_impl_restarted_ca_lanczos(
+            A, rng.standard_normal(n), 32, mesh, n_wanted=4, s=4,
+            tol=1e-6, max_restarts=40, dist_format="ilv",
+        )
+        assert res.converged
+        # Oracle: f64 eigsh of the dense twin (the 0.05-scale
+        # off-diagonals shift the clustered diagonal values by ~1e-2).
+        import scipy.sparse.linalg as spla
+
+        lo = spla.LinearOperator((n, n), matvec=lambda v: matvec(v)[:, 0])
+        oracle = np.sort(spla.eigsh(lo, k=4, which="LA",
+                                    return_eigenvectors=False))[::-1]
+        np.testing.assert_allclose(
+            np.sort(res.eigs)[::-1], oracle, rtol=2e-4,
+        )
+        # The converged flag must be backed by small TRUE residuals of
+        # the decoded Ritz vectors (the spurious-lock failure mode).
+        Q = np.asarray(res.Q_conv)
+        d = np.asarray(res.eigs)
+        for j in range(4):
+            q = Q[:, j] / np.linalg.norm(Q[:, j])
+            assert np.linalg.norm(matvec(q)[:, 0] - d[j] * q) < 1e-2, d[j]
