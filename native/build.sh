@@ -3,4 +3,5 @@
 set -e
 cd "$(dirname "$0")"
 g++ -O2 -shared -fPIC -o libmmio.so mmio.cpp
-echo "built $(pwd)/libmmio.so"
+g++ -O3 -fopenmp -shared -fPIC -o libpell.so pell_encode.cpp
+echo "built $(pwd)/libmmio.so $(pwd)/libpell.so"
