@@ -29,6 +29,7 @@ from ca_lanczos_tpu.parallel.step import (
 )
 from ca_lanczos_tpu.parallel.auto import dist_solve_auto, route_dist_operator
 from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos, dist_lanczos, DistCaLanczosResult
+from ca_lanczos_tpu.parallel.dist_bsr import DistBsr, dist_bsr_matrix_powers
 from ca_lanczos_tpu.parallel.dist_ell import DistEll, dist_ell_matrix_powers
 from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
 from ca_lanczos_tpu.parallel.dist_irl import dist_impl_restarted_ca_lanczos
@@ -68,9 +69,11 @@ __all__ = [
     "dist_ca_lanczos",
     "dist_lanczos",
     "DistCaLanczosResult",
+    "DistBsr",
     "DistEll",
     "dist_ell_matrix_powers",
     "DistPell",
+    "dist_bsr_matrix_powers",
     "dist_pell_matrix_powers",
     "dist_impl_restarted_ca_lanczos",
     "dist_sstep_lanczos",

@@ -41,10 +41,13 @@ def _dist_spmv_any(Adist, x, mesh):
             return dist_spmv_ilv(Adist, x, mesh)
         return dist_spmv(Adist, x, mesh)
     z = jnp.zeros(1, x.dtype)
+    from ca_lanczos_tpu.parallel.dist_bsr import DistBsr, dist_bsr_matrix_powers
     from ca_lanczos_tpu.parallel.dist_pell import DistPell, dist_pell_matrix_powers
 
     if isinstance(Adist, DistPell):
         return dist_pell_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
+    if isinstance(Adist, DistBsr):
+        return dist_bsr_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
     return dist_ell_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
 from ca_lanczos_tpu.parallel.mesh import ROWS
 from ca_lanczos_tpu.parallel.step import (

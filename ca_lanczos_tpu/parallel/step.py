@@ -37,8 +37,18 @@ def partition_operator(A, mesh: Mesh, s_max: int, dist_format: str = "auto"):
     on format semantics (reference seam: SpMV.m:1-9 takes any format)."""
     from ca_lanczos_tpu.ops.spmv import DiaMatrix, EllMatrix
 
-    if isinstance(A, (DistDia, DistEll, DistPell)):
+    from ca_lanczos_tpu.ops.bsr import BsrMatrix
+    from ca_lanczos_tpu.parallel.dist_bsr import DistBsr
+
+    if isinstance(A, (DistDia, DistEll, DistPell, DistBsr)):
         return A
+    if isinstance(A, BsrMatrix):
+        if dist_format in ("ilv", "pell"):
+            raise ValueError(
+                f"dist_format={dist_format!r} is not a BSR engine; block "
+                "operators distribute as DistBsr (dist_format='auto')"
+            )
+        return DistBsr.from_bsr(A, mesh, s_max=s_max)
     if isinstance(A, EllMatrix):
         if dist_format == "pell":
             return DistPell.from_ell(A, mesh, s_max=s_max)
@@ -75,8 +85,19 @@ def partition_operator(A, mesh: Mesh, s_max: int, dist_format: str = "auto"):
 
 def _local_powers_fn(A, s: int):
     """Uniform (operand_blocks..., x_local, diag, sub) -> (n_local, s+1)
-    powers closure for DistDia / DistEll / DistPell shards, plus the
-    operand arrays to thread through shard_map."""
+    powers closure for DistDia / DistEll / DistPell / DistBsr shards,
+    plus the operand arrays to thread through shard_map."""
+    from ca_lanczos_tpu.parallel.dist_bsr import DistBsr, _bsr_powers_local
+
+    if isinstance(A, DistBsr):
+        def body_bsr(v_block, c_block, x_local, dg, sb):
+            return _bsr_powers_local(
+                v_block[0], c_block[0], x_local, dg, sb,
+                halo_b=A.halo_b, bm=A.bm, n_shards=A.n_shards, s=s,
+            )
+
+        return body_bsr, (A.vals, A.cols)
+
     if isinstance(A, DistPell):
         pell_kw = dict(
             halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,

@@ -79,3 +79,112 @@ class TestBsr:
             axis=1,
         )
         np.testing.assert_allclose(V, ref, rtol=1e-10, atol=1e-10)
+
+
+class TestDistBsr:
+    """Distributed BSR (parallel/dist_bsr.py, round-4 VERDICT item 6):
+    block-row sharding with s-deep block halos; every dist driver rides
+    it through the RowStateMixin contract."""
+
+    def _mesh(self):
+        from ca_lanczos_tpu.parallel import make_mesh
+
+        return make_mesh(8)
+
+    def test_dist_matrix_powers_parity(self):
+        from ca_lanczos_tpu.parallel import DistBsr, dist_bsr_matrix_powers
+
+        mesh = self._mesh()
+        dense = _block_laplacian(n_blocks=192, bs=4, seed=2)
+        n = dense.shape[0]
+        A = BsrMatrix.from_dense(dense, block_size=4)
+        Ad = DistBsr.from_bsr(A, mesh, s_max=4)
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(n)
+        xd = Ad.shard_vector(x, mesh)
+        z = jnp.zeros(4)
+        V = np.asarray(dist_bsr_matrix_powers(Ad, xd, 4, z, z, mesh))[:n]
+        ref = x.copy()
+        np.testing.assert_allclose(V[:, 0], x)
+        for k in range(1, 5):
+            ref = dense @ ref
+            np.testing.assert_allclose(V[:, k], ref, rtol=1e-10, atol=1e-10)
+
+    def test_dist_ca_lanczos_parity(self):
+        from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos
+        from ca_lanczos_tpu.solvers.ca_lanczos import ca_lanczos
+
+        mesh = self._mesh()
+        dense = _block_laplacian(n_blocks=256, bs=4, seed=4)
+        n = dense.shape[0]
+        A = BsrMatrix.from_dense(dense, block_size=4)
+        rng = np.random.default_rng(5)
+        r = rng.standard_normal(n)
+        res = dist_ca_lanczos(A, r, 4, 12, mesh)
+        host = ca_lanczos(A, jnp.asarray(r), 4, 12)
+        np.testing.assert_allclose(
+            np.linalg.eigvalsh(res.T), np.linalg.eigvalsh(np.asarray(host.T)),
+            rtol=1e-8, atol=1e-8,
+        )
+
+    def test_dist_restarted_converges(self):
+        """Planted top pairs on a block operator through the flagship
+        restarted driver (the BASELINE configs[4] driver class)."""
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+        mesh = self._mesh()
+        nb, bs = 512, 4
+        n = nb * bs
+        rng = np.random.default_rng(6)
+        dense_diag = np.linspace(1.0, 50.0, n)
+        top = np.array([80.0, 85.0, 90.0])
+        dense_diag[-3:] = top
+        # block-tridiagonal coupling around the planted diagonal
+        A = BsrMatrix.from_scipy(
+            __import__("scipy.sparse", fromlist=["sparse"]).diags(
+                [np.full(n - 1, 1e-2), dense_diag, np.full(n - 1, 1e-2)],
+                [-1, 0, 1],
+            ).tocsr(),
+            block_size=bs,
+        )
+        cfg = LanczosConfig(s=4, n_wanted=3, tol=1e-7, max_restarts=30)
+        res = dist_restarted_ca_lanczos(A, rng.standard_normal(n), 16, mesh, cfg)
+        assert res.converged
+        np.testing.assert_allclose(
+            np.sort(np.asarray(res.eigs))[::-1], np.sort(top)[::-1], rtol=1e-6
+        )
+
+    @pytest.mark.slow
+    def test_dist_million_row_block_operator(self):
+        """>=1M-row block operator through the dist CA driver on the
+        8-way virtual mesh (VERDICT item 6 'Done' condition)."""
+        from ca_lanczos_tpu.parallel.driver import dist_ca_lanczos
+
+        nb, bs = 131072, 8  # 1,048,576 rows
+        n = nb * bs
+        rng = np.random.default_rng(7)
+        import scipy.sparse as sp
+
+        d = np.linspace(1.0, 4.0, n)
+        a = sp.diags([np.full(n - 1, 0.05), d, np.full(n - 1, 0.05)],
+                     [-1, 0, 1]).tocsr().astype(np.float32)
+        A = BsrMatrix.from_scipy(a, block_size=bs)
+        r = rng.standard_normal(n).astype(np.float32)
+        mesh = self._mesh()
+        res = dist_ca_lanczos(A, r, 4, 8, mesh)
+        evs = np.linalg.eigvalsh(res.T)
+        assert np.isfinite(res.T).all()
+        # Ritz values live inside the spectrum bounds
+        assert evs.max() <= 4.2 and evs.min() >= 0.8
+
+    def test_route_rejects_wrong_engines(self):
+        from ca_lanczos_tpu.parallel.step import partition_operator
+
+        mesh = self._mesh()
+        dense = _block_laplacian(n_blocks=64, bs=4)
+        A = BsrMatrix.from_dense(dense, block_size=4)
+        with pytest.raises(ValueError):
+            partition_operator(A, mesh, s_max=4, dist_format="ilv")
+        with pytest.raises(ValueError):
+            partition_operator(A, mesh, s_max=4, dist_format="pell")
