@@ -7,10 +7,11 @@ AND the locked converged basis + slot-psum TSQR), Ritz locking and
 restart control remain O((st)^2) host math.
 
 TPU-first twist vs the host driver: the locked basis ``Q_conv`` is kept
-at a FIXED padded width (n_wanted columns, zero-filled beyond nconv) so
-the jitted step compiles once and is reused across all restarts —
-projecting against zero columns is a natural no-op (their Gram rows are
-zero), so no masking or recompilation is needed as eigenpairs lock.
+at a FIXED padded width (2*n_wanted columns — headroom for wrong-end
+deflation locks, zero-filled beyond nconv) so the jitted step compiles
+once and is reused across all restarts — projecting against zero columns
+is a natural no-op (their Gram rows are zero), so no masking or
+recompilation is needed as eigenpairs lock.
 """
 
 from __future__ import annotations
@@ -57,7 +58,9 @@ from ca_lanczos_tpu.parallel.step import (
 )
 from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
 from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
-from ca_lanczos_tpu.solvers.restarted import RestartedResult, _finalize, _lock_converged
+from ca_lanczos_tpu.solvers.restarted import (
+    RestartedResult, _finalize, _lock_converged, _wanted_converged,
+)
 
 
 # Lockless cycles tolerated before a random restart (stagnation guard).
@@ -268,8 +271,12 @@ def dist_restarted_ca_lanczos(
     # every Gram/CGS/QR consumer is layout-invariant.  Natural path keeps
     # the f64 history dtype; ilv matches the kernel's f32.
     hist_dtype = dtype if Adist.ilv_engine else np.float64
-    # Fixed-width padded locked basis (see module doc).
-    Qconv = Adist.state_zeros(config.n_wanted, mesh, hist_dtype)
+    # Fixed-width padded locked basis (see module doc).  2x headroom:
+    # Lanczos converges both spectrum ends, and wrong-end pairs are
+    # still locked for deflation while only pairs dominating every
+    # unconverged estimate count as WANTED (_wanted_converged).
+    lock_cap = 2 * config.n_wanted
+    Qconv = Adist.state_zeros(lock_cap, mesh, hist_dtype)
 
     conv_eigs: List[float] = []
     conv_rnorms: List[float] = []
@@ -436,14 +443,14 @@ def dist_restarted_ca_lanczos(
         k_new, d, Vp, ritz_norms = _lock_converged(
             d, Vp, ritz_norms, tol, lam_bound=1.05 * norm_A
         )
-        # The fixed-width Qconv can only hold n_wanted pairs: when more
+        # The fixed-width Qconv can only hold lock_cap pairs: when more
         # converge in one cycle, keep the LARGEST (the reference locks all
         # and trims to the largest at the end, restarted_ca_lanczos.m:183-189).
-        if k_new > config.n_wanted - nconv:
+        if k_new > lock_cap - nconv:
             order = np.argsort(d[:k_new])[::-1]
             keep = np.concatenate([order, np.arange(k_new, len(d))])
             d, Vp, ritz_norms = d[keep], Vp[:, keep], ritz_norms[keep]
-            k_new = config.n_wanted - nconv
+            k_new = lock_cap - nconv
 
         # Loose true-residual sanity check before locking (see
         # solvers.restarted for the rationale and threshold).
@@ -475,7 +482,11 @@ def dist_restarted_ca_lanczos(
         # ordinary there and a random restart would discard progress.
         stall = stall + 1 if (safe_qr and k_new == 0) else 0
 
-        restart = nconv < config.n_wanted
+        # Stop only when n_wanted locked pairs DOMINATE every unconverged
+        # estimate (the reference's commented-out intent,
+        # restarted_ca_lanczos.m:255-261) — see solvers.restarted.
+        restart = _wanted_converged(conv_eigs, d[k_est:],
+                                    config.restart_strategy) < config.n_wanted
         if restart and (breakdown or stall >= _STALL_CYCLES):
             stall = 0
             # The cycle started on an (near-)invariant subspace: its

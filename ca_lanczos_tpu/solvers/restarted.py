@@ -106,6 +106,29 @@ def _generate_start_vector(
     return q / jnp.linalg.norm(q)
 
 
+def _wanted_converged(conv_eigs, d_unconv, strategy=None) -> int:
+    """Count locked eigenvalues that DOMINATE every unconverged Ritz
+    estimate of the current cycle — the stop criterion the reference
+    author wrote but left commented out (restarted_ca_lanczos.m:255-261;
+    the committed code stops on the raw converged COUNT).  Lanczos
+    converges both spectrum ends, so the raw count can fill the wanted
+    set with bottom-end pairs and silently return the wrong answer for
+    'largest' (observed on a tight-top-cluster Hamiltonian: 7 top + 3
+    most-negative pairs reported as the top 10).  Deliberate divergence:
+    we lock every converged pair (deflation is still useful) but only
+    pairs above all unconverged estimates count as WANTED.
+
+    strategy: SMALLEST inverts the dominance test; CLOSEST_CONV/RANDOM
+    have no defined wanted end, so the raw reference count applies."""
+    if len(d_unconv) == 0:
+        return len(conv_eigs)
+    if strategy == RestartStrategy.SMALLEST:
+        return int(np.sum(np.asarray(conv_eigs) < float(np.min(d_unconv))))
+    if strategy in (RestartStrategy.CLOSEST_CONV, RestartStrategy.RANDOM):
+        return len(conv_eigs)
+    return int(np.sum(np.asarray(conv_eigs) > float(np.max(d_unconv))))
+
+
 def _lock_converged(d, Vp, ritz_norms, tol, lam_bound=None):
     """Stable partition: converged Ritz indices first, preserving the
     reference's swap-to-front semantics (restarted_ca_lanczos.m:119-132).
@@ -277,7 +300,7 @@ def restarted_lanczos(
         nconv += k
         rnorm_rows.append(np.asarray(conv_rnorms + [np.nan] * (n_wanted - len(conv_rnorms)))[:n_wanted])
 
-        restart = nconv < n_wanted
+        restart = _wanted_converged(conv_eigs, d[k_est:], restart_strategy) < n_wanted
         if restart:
             # Candidates start after the WHOLE estimate-converged prefix
             # (k_est): entries [k, k_est) are locked pairs or verify-
@@ -522,7 +545,8 @@ def restarted_ca_lanczos(
 
         k = verified
         nconv += k
-        restart = nconv < config.n_wanted
+        restart = _wanted_converged(conv_eigs, d[k_est:],
+                                    config.restart_strategy) < config.n_wanted
         if restart:
             # see restarted_lanczos: skip the whole [verified, k_est)
             # prefix of locked/rejected candidates

@@ -203,3 +203,43 @@ class TestEllOperator:
         assert res.converged
         exact = np.sort(np.linalg.eigvalsh(np.asarray(H.to_dense())))[::-1][:4]
         np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact, rtol=1e-8)
+
+
+class TestWantedEndStop:
+    """Round-4 regression: the stop criterion must not count converged
+    WRONG-END pairs toward n_wanted (the reference's committed code does,
+    restarted_ca_lanczos.m:262-266; its commented-out block :255-261 is
+    the intent we implement).  Fixture: well-separated BOTTOM end + a
+    tight TOP cluster, so bottom pairs converge first."""
+
+    def _op(self, n=3000):
+        d = np.linspace(0.0, 1.0, n)
+        d[:3] = [-6.0, -5.0, -4.0]          # separated bottom end
+        d[-6:] = 1.0 + np.arange(6) * 1e-3  # tight top cluster
+        return diag_spectrum_from(d), np.sort(d)[::-1]
+
+    def test_restarted_ca_returns_wanted_end(self):
+        A, exact = self._op()
+        cfg = LanczosConfig(n_wanted=4, s=4, tol=1e-7, max_restarts=200,
+                            orth=Orth.FULL)
+        res = restarted_ca_lanczos(A, jnp.ones(3000), 24, cfg)
+        assert res.converged
+        got = np.sort(np.asarray(res.eigs))[::-1][:4]
+        np.testing.assert_allclose(got, exact[:4], atol=1e-7)
+        assert np.all(got > 0.9), got  # no bottom-end value reported
+
+    def test_restarted_std_returns_wanted_end(self):
+        A, exact = self._op()
+        res = restarted_lanczos(A, jnp.ones(3000), 24, n_wanted=4,
+                                tol=1e-7, max_restarts=200, orth=Orth.FULL)
+        assert res.converged
+        got = np.sort(np.asarray(res.eigs))[::-1][:4]
+        np.testing.assert_allclose(got, exact[:4], atol=1e-7)
+        assert np.all(got > 0.9), got
+
+
+def diag_spectrum_from(d):
+    from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+    return DiaMatrix(data=jnp.asarray(np.asarray(d, np.float64)[None, :]),
+                     offsets=(0,))
