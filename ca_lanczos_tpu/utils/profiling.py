@@ -184,6 +184,68 @@ def _ca_chain(A: DiaMatrix, Q0: jax.Array, s: int, blocks: int, use_pallas: bool
     return jnp.sum(Qp[:, -1])
 
 
+@partial(jax.jit, static_argnames=("s", "blocks"))
+def _ca_chain_ilv(Ailv, Q0: jax.Array, s: int, blocks: int):
+    """_ca_chain on the interleaved-layout carrier: the whole chain state
+    lives in the permuted space (CGS/CholQR2 are permutation-invariant),
+    powers ride the ilv kernel — the current headline generation."""
+    from ca_lanczos_tpu.ops.pallas_ilv import _ilv_interpret, dia_powers_ilv
+    from ca_lanczos_tpu.ops.qr import cholqr2
+
+    coefs = jnp.zeros((s, 2), Q0.dtype)
+
+    def powers(q):
+        V2, _ = dia_powers_ilv(
+            Ailv.dflat, q, coefs, Ailv.offsets, s, Ailv.tq, Ailv.n_rows,
+            interpret=_ilv_interpret(), with_coefs=True,
+        )
+        return jnp.concatenate([q[:, None], V2.T], axis=1)
+
+    def body(i, Qp):
+        V = powers(Qp[:, -1])
+        X = V[:, 1:]
+        for _ in range(2):
+            X = X - Qp @ (Qp.T @ X)
+        Qn, _ = cholqr2(X)
+        return jnp.concatenate([Qp[:, -1:], Qn], axis=1)
+
+    Qp = lax.fori_loop(0, blocks, body, Q0)
+    return jnp.sum(Qp[:, -1])
+
+
+@partial(jax.jit, static_argnames=("s", "blocks"))
+def _ca_chain_ilv_rm(Ailv, Q0r: jax.Array, s: int, blocks: int):
+    """Row-major (m, n) variant of _ca_chain_ilv: the powers kernel's
+    native (s, n) output chains straight into row-major CGS/CholQR —
+    no (n, s+1) transpose per block (ROADMAP item: the 0.85 ms/block
+    boundary copy).  Q0r is (s+1, n)."""
+    from ca_lanczos_tpu.ops.pallas_ilv import _ilv_interpret, dia_powers_ilv
+    from ca_lanczos_tpu.ops.qr import _chol_safe
+
+    coefs = jnp.zeros((s, 2), Q0r.dtype)
+
+    def cholqr2_rm(X):  # X (k, n) row-major; Q = L^-1 X
+        for _ in range(2):
+            G = X @ X.T
+            L = _chol_safe(G)
+            X = jax.scipy.linalg.solve_triangular(L, X, lower=True)
+        return X
+
+    def body(i, Qp):  # Qp (s+1, n)
+        V2, _ = dia_powers_ilv(
+            Ailv.dflat, Qp[-1], coefs, Ailv.offsets, s, Ailv.tq,
+            Ailv.n_rows, interpret=_ilv_interpret(), with_coefs=True,
+        )
+        X = V2  # (s, n)
+        for _ in range(2):
+            X = X - (X @ Qp.T) @ Qp
+        Qn = cholqr2_rm(X)
+        return jnp.concatenate([Qp[-1:], Qn], axis=0)
+
+    Qp = lax.fori_loop(0, blocks, body, Q0r)
+    return jnp.sum(Qp[-1])
+
+
 def measure_ca_iteration_throughput(
     A: DiaMatrix,
     s: int = 8,
@@ -191,26 +253,45 @@ def measure_ca_iteration_throughput(
     blocks_hi: int = 10,
     trials: int = 3,
     use_pallas: bool = True,
+    kernel: str = "roll",
 ) -> float:
     """CA-Lanczos iterations/second (one iteration = s SpMVs + block orth),
     fully fused on device with latency-cancelled timing — the
-    'iters/sec vs s' north-star metric (BASELINE.md)."""
+    'iters/sec vs s' north-star metric (BASELINE.md).  kernel: "roll"
+    (round-1/2 fused layout), "ilv" (interleaved, the current headline
+    generation; state chained in the permuted space), or "ilv_rm"
+    (interleaved + row-major basis: no per-block transpose)."""
     n = A.n
     rng = np.random.default_rng(0)
-    Q0, _ = np.linalg.qr(rng.standard_normal((n, s + 1)))
-    Q0 = jnp.asarray(Q0, A.dtype)
-    try:
-        float(_ca_chain(A, Q0, s, blocks_lo, use_pallas))
-    except Exception:
-        use_pallas = False
-    float(_ca_chain(A, Q0, s, blocks_lo, use_pallas))
-    float(_ca_chain(A, Q0, s, blocks_hi, use_pallas))
+    Q0h = np.linalg.qr(rng.standard_normal((n, s + 1)))[0].astype(A.dtype)
+    if kernel in ("ilv", "ilv_rm"):
+        # All layout work stays on host (device fetch through the relay
+        # is ~160 KB/s); only the final encoded block ships.
+        from ca_lanczos_tpu.ops.pallas_ilv import IlvDiaMatrix, ilv_encode
+
+        Ailv = IlvDiaMatrix.from_dia(A, keep_dia=False)
+        enc = np.stack([ilv_encode(Q0h[:, j]) for j in range(s + 1)], 1)
+        if kernel == "ilv_rm":
+            Q0 = jnp.asarray(np.ascontiguousarray(enc.T))
+            chain = lambda blocks: float(_ca_chain_ilv_rm(Ailv, Q0, s, blocks))
+        else:
+            Q0 = jnp.asarray(enc)
+            chain = lambda blocks: float(_ca_chain_ilv(Ailv, Q0, s, blocks))
+    else:
+        Q0 = jnp.asarray(Q0h)
+        try:
+            float(_ca_chain(A, Q0, s, blocks_lo, use_pallas))
+        except Exception:
+            use_pallas = False
+        chain = lambda blocks: float(_ca_chain(A, Q0, s, blocks, use_pallas))
+    chain(blocks_lo)
+    chain(blocks_hi)
 
     def timed(blocks):
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(_ca_chain(A, Q0, s, blocks, use_pallas))
+            chain(blocks)
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -179,12 +179,270 @@ def finance_cliques(ncliq=220, cs=24, seed=4):
     return (A + sp.eye(n) * (1.0 + abs(min(0.0, np.min(A.diagonal()))))).tocsr()
 
 
+def trefethen(n=5000):
+    """Trefethen_* (EXACT construction, not an analogue): diagonal =
+    primes, 1s on offsets +-2^k (the reference corpus's Trefethen_2000
+    etc.; famous spectrum with tight top clusters)."""
+    def primes(k):
+        ps, c = [], 2
+        while len(ps) < k:
+            if all(c % p for p in ps if p * p <= c):
+                ps.append(c)
+            c += 1
+        return np.asarray(ps, float)
+
+    d = primes(n)
+    A = sp.diags(d).tolil()
+    k = 1
+    while (1 << k) < n:
+        o = 1 << k
+        A += sp.diags([np.ones(n - o)] * 2, [o, -o])
+        k += 1
+    return A.tocsr()
+
+
+def mass_lumped_singular(npts=5000, seed=5):
+    """bcsstm analogue (SINGULAR): lumped FE mass matrix — diagonal with
+    realistic element-volume spread AND exact zeros on constrained DOFs
+    (the bcsstm series contains rank-deficient mass matrices).  Stored
+    as general sparsity with a sprinkle of tiny off-diagonal consistent-
+    mass couplings so it is not literally diagonal."""
+    rng = np.random.default_rng(seed)
+    m = rng.lognormal(0.0, 1.0, npts)
+    m[rng.choice(npts, npts // 20, replace=False)] = 0.0  # constrained DOFs
+    A = sp.diags(m).tolil()
+    idx = rng.choice(npts - 1, npts // 10, replace=False)
+    for i in idx:
+        v = 0.05 * min(m[i], m[i + 1])
+        A[i, i + 1] += v
+        A[i + 1, i] += v
+    return A.tocsr()
+
+
+def mass_consistent(npts=4800, seed=6):
+    """bcsstm analogue (consistent): tridiagonal-block FE mass from a
+    1-D mesh with graded element sizes — SPD, modest condition."""
+    rng = np.random.default_rng(seed)
+    h = np.exp(rng.uniform(-2, 0, npts - 1))  # graded elements
+    main = np.zeros(npts)
+    main[:-1] += 2 * h / 6
+    main[1:] += 2 * h / 6
+    off = h / 6
+    return sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+
+
+def plate_biharmonic(g=70, seed=7):
+    """nos3/plat analogue: 13-point biharmonic plate operator on a g x g
+    grid (condition ~1e5 at this size; clustered low end)."""
+    n = g * g
+    lap = sp.diags([-1.0, -1.0, 4.0, -1.0, -1.0],
+                   [-g, -1, 0, 1, g], (n, n))
+    return (lap @ lap).tocsr()
+
+
+def mhd_alfven(n=4800, seed=8):
+    """mhd3200b/4800b analogue: Alfven-spectrum B matrix — SPD banded
+    blocks with a HUGE dynamic range (the real mhd*b matrices have
+    eigenvalues spanning ~1e-13..1; stress for the rank-revealing QR)."""
+    rng = np.random.default_rng(seed)
+    scale = np.exp(rng.uniform(np.log(1e-10), 0.0, n))
+    scale = np.sort(scale)
+    off = 0.3 * np.sqrt(scale[:-1] * scale[1:]) * rng.random(n - 1)
+    return sp.diags([off, scale, off], [-1, 0, 1]).tocsr()
+
+
+def kkt_indefinite(m=3600, k=1200, seed=9):
+    """Indefinite saddle-point (the corpus's indefinite members, e.g.
+    bcsstm27-style shifted stiffness): [[H, B^T], [B, 0]] with sparse
+    SPD H and a sparse constraint block — eigenvalues on both sides of
+    zero."""
+    rng = np.random.default_rng(seed)
+    H = sp.diags([np.full(m - 1, -1.0), np.full(m, 2.5), np.full(m - 1, -1.0)],
+                 [-1, 0, 1])
+    rows = np.repeat(np.arange(k), 3)
+    cols = rng.integers(0, m, len(rows))
+    B = sp.csr_matrix((rng.standard_normal(len(rows)) / 3, (rows, cols)),
+                      (k, m))
+    Z = sp.csr_matrix((k, k))
+    return sp.bmat([[H, B.T], [B, Z]]).tocsr()
+
+
+def bus_admittance_small(n=2000, seed=10):
+    """bus494/662/685/1138 analogue at their actual scale: small
+    power-network admittance with heavy-tailed degree distribution."""
+    return power_grid(n=n, seed=seed)
+
+
+def molecular_hamiltonian(n=3600, seed=11):
+    """CO analogue: tight-binding molecular Hamiltonian — orbital blocks
+    with exponentially-decaying long-range couplings (denser rows than
+    FD stencils; irregular fill)."""
+    rng = np.random.default_rng(seed)
+    # box sized for ~30 neighbors within the 1.1 coupling radius
+    side = (n * 4.19 * 1.1**3 / 30.0) ** (1 / 3)
+    pts = rng.random((n, 3)) * side
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(1.1, output_type="ndarray")
+    d = np.linalg.norm(pts[pairs[:, 0]] - pts[pairs[:, 1]], axis=1)
+    w = -np.exp(-2.0 * d)
+    A = sp.coo_matrix((np.concatenate([w, w]),
+                       (np.concatenate([pairs[:, 0], pairs[:, 1]]),
+                        np.concatenate([pairs[:, 1], pairs[:, 0]]))),
+                      (n, n)).tocsr()
+    onsite = rng.uniform(-1.0, 1.0, n)
+    return (A + sp.diags(onsite)).tocsr()
+
+
+def shell_stiffness(nnodes=1400, seed=12):
+    """bcsstk shell analogue: 6-dof/node (3 displacement + 3 rotation)
+    stiffness with penalty-stiffened drilling DOFs — wide entry-magnitude
+    spread (condition ~1e8, like mid-series bcsstk)."""
+    a = frame_stiffness_3d(nnodes=nnodes, seed=seed).tolil()
+    n = a.shape[0]
+    rng = np.random.default_rng(seed)
+    pen = sp.diags(np.where(rng.random(n) < 0.3,
+                            1e4 * (1 + rng.random(n)), 0.0))
+    return (a.tocsr() + pen).tocsr()
+
+
+def msc_reordered(seed=13):
+    """msc01050/04515 analogue: a structural stiffness delivered in an
+    arbitrary node ORDER (vendor numbering) — forces the RCM leg of the
+    route."""
+    a = fem_delaunay_2d(npts=4515, seed=seed).tocsr()
+    rng = np.random.default_rng(seed)
+    p = rng.permutation(a.shape[0])
+    return a[p][:, p].tocsr()
+
+
+def lf_beam_pencil(nel=1600, seed=14):
+    """LF10/LFAT5 analogue: Euler-Bernoulli cantilever beam FE stiffness
+    (4x4 cubic Hermite element blocks, condition grows like nel^4)."""
+    n = 2 * (nel + 1)
+    K = sp.lil_matrix((n, n))
+    rng = np.random.default_rng(seed)
+    for e in range(nel):
+        L = 1.0 / nel * (1 + 0.2 * rng.random())
+        EI = 1.0 + rng.random()
+        c = EI / L**3
+        ke = c * np.array([
+            [12, 6 * L, -12, 6 * L],
+            [6 * L, 4 * L * L, -6 * L, 2 * L * L],
+            [-12, -6 * L, 12, -6 * L],
+            [6 * L, 2 * L * L, -6 * L, 4 * L * L],
+        ])
+        i = 2 * e
+        K[i : i + 4, i : i + 4] += ke
+    K = K.tocsr()
+    return K[2:, 2:].tocsr()  # clamp the root node
+
+
+def nos_poisson_graded(g=68, seed=15):
+    """nos5/nos6 analogue: 5-point Poisson on a strongly graded tensor
+    mesh (coefficient jumps, condition ~1e6)."""
+    rng = np.random.default_rng(seed)
+    hx = np.exp(np.linspace(0, 4, g))
+    n = g * g
+    A = sp.lil_matrix((n, n))
+    for j in range(g):
+        for i in range(g):
+            k = j * g + i
+            for di, dj in ((1, 0), (0, 1)):
+                ii, jj = i + di, j + dj
+                if ii < g and jj < g:
+                    kk = jj * g + ii
+                    w = 1.0 / (hx[i] * hx[j]) * (1 + 0.1 * rng.random())
+                    A[k, kk] = -w
+                    A[kk, k] = -w
+    A = A.tocsr()
+    d = -np.asarray(A.sum(axis=1)).ravel() + 1e-8
+    return (A + sp.diags(d)).tocsr()
+
+
+def mesh_2d_aniso_real(g=72, eps=1e-3, seed=16):
+    """mesh* analogue: anisotropic 2-D Laplacian (clustered top — the
+    corpus family that defeats explicit restart; exercises the IRL leg
+    of the ladder)."""
+    n = g * g
+    return sp.diags(
+        [-eps * np.ones(n - g), -np.ones(n - 1),
+         2 * (1 + eps) * np.ones(n),
+         -np.ones(n - 1), -eps * np.ones(n - g)],
+        [-g, -1, 0, 1, g],
+    ).tocsr()
+
+
+def crystal_phonon(n=4096, seed=17):
+    """A dynamical (phonon) matrix: mass-scaled stiffness M^-1/2 K
+    M^-1/2 with random isotope masses — SPD with sharp acoustic
+    clustering at the low end."""
+    rng = np.random.default_rng(seed)
+    K = sp.diags([-np.ones(n - 1), 2.0 * np.ones(n), -np.ones(n - 1)],
+                 [-1, 0, 1]).tolil()
+    idx = rng.choice(n - 8, n // 50, replace=False)
+    for i in idx:  # defect long-range bonds
+        K[i, i + 7] = K[i + 7, i] = -0.3
+        K[i, i] += 0.3
+        K[i + 7, i + 7] += 0.3
+    m = np.where(rng.random(n) < 0.1, 2.0, 1.0)  # isotopes
+    s = 1.0 / np.sqrt(m)
+    return sp.diags(s) @ K.tocsr() @ sp.diags(s)
+
+
+def finan_portfolio_large(ncliq=320, cs=16, seed=18):
+    """Second finan512 analogue at different clique geometry."""
+    return finance_cliques(ncliq=ncliq, cs=cs, seed=seed)
+
+
+def grid3d_27pt(g=16):
+    """CO/mesh3d analogue: 27-point 3-D stencil (the PELL benchmark
+    pattern at corpus scale)."""
+    d1 = sp.diags([1.0, 1.0, 1.0], [-1, 0, 1], (g, g))
+    return (sp.kron(sp.kron(d1, d1), d1) / 27.0).tocsr()
+
+
+def ring_coupled_oscillators(n=4000, seed=19):
+    """Periodic ring with long-range skips (the runLanczos Hamiltonian
+    pattern class at corpus scale; multi-window PELL stress)."""
+    o = np.ones(n)
+    A = sp.diags([o, o, 4 * o, o, o], [-2, -1, 0, 1, 2], (n, n)).tolil()
+    A[0, n - 1] = A[n - 1, 0] = 1.0
+    A[0, n - 2] = A[n - 2, 0] = 1.0
+    rng = np.random.default_rng(seed)
+    for i in rng.choice(n, 40, replace=False):
+        j = (i + n // 2) % n
+        A[i, j] = A[j, i] = 0.5
+    return A.tocsr()
+
+
 GENERATORS = [
+    # round-3 originals
     ("fem_delaunay_2d", fem_delaunay_2d),
     ("frame_stiffness_3d", frame_stiffness_3d),
     ("power_grid_pa", power_grid),
     ("mesh_tet_3d", mesh_tet_3d),
     ("finance_cliques", finance_cliques),
+    # round-4 family completion (VERDICT item 4): the remaining named
+    # reference families incl. singular mass and indefinite members
+    ("trefethen_5000", trefethen),
+    ("mass_lumped_singular", mass_lumped_singular),
+    ("mass_consistent", mass_consistent),
+    ("plate_biharmonic", plate_biharmonic),
+    ("mhd_alfven_b", mhd_alfven),
+    ("kkt_indefinite", kkt_indefinite),
+    ("bus_admittance_2000", bus_admittance_small),
+    ("molecular_hamiltonian", molecular_hamiltonian),
+    ("shell_stiffness_6dof", shell_stiffness),
+    ("msc_reordered", msc_reordered),
+    ("lf_beam_pencil", lf_beam_pencil),
+    ("nos_poisson_graded", nos_poisson_graded),
+    ("mesh_2d_aniso", mesh_2d_aniso_real),
+    ("crystal_phonon", crystal_phonon),
+    ("finan_portfolio_2", finan_portfolio_large),
+    ("grid3d_27pt", grid3d_27pt),
+    ("ring_oscillators", ring_coupled_oscillators),
 ]
 
 
@@ -253,8 +511,12 @@ def main():
             format=rec["format"], reordered=rec["reordered"],
             route_notes=rec["route_notes"], solver=rec["solver"],
             converged=rec["converged"], n_restarts=rec["n_restarts"],
+            # budget class: "explicit" = first-leg reference budget,
+            # "escalated" = a ladder rung converged it (VERDICT r3 #4)
+            budget_class="escalated" if rec.get("escalated") else "explicit",
             eig_rel_err_vs_eigsh=eig_err, cli_wall_s=round(wall, 1),
             audit_solver=res.solver, audit_converged=res.converged,
+            audit_escalated=bool(res.escalated),
             audit_worst_rel_residual=worst,
         )
         recs.append(out)
