@@ -233,7 +233,16 @@ def _make_cycle_body(
             jnp.einsum("ij,ij->j", R_true, R_true, preferred_element_type=ctype)
         )
 
-        passed = (rn_top < tol) & (true_abs < 0.01 * lam_bound) & (jnp.abs(d_top) <= 1.05 * lam_bound)
+        # Estimate-consistency verification (solvers.restarted._verify_gate
+        # rationale): reject locks whose true residual exceeds the
+        # estimate by >1e3x, floored by the basis dtype's legitimate
+        # drift (f32 basis storage at the >=4M-row scale measures true
+        # lock residuals ~1.2e-4*||A|| with at-the-gate estimates; a
+        # tighter floor deadlocks the flagship rejecting honest pairs —
+        # the f64 polish sets final accuracy afterwards).
+        floor = 1e-3 if dtype == jnp.float32 else 1e-4
+        gate = jnp.maximum(1e3 * rn_top, floor * lam_bound)
+        passed = (rn_top < tol) & (true_abs < gate) & (jnp.abs(d_top) <= 1.05 * lam_bound)
         # Compact ANY passing candidates to the front (stable: descending
         # eigenvalue order preserved within the passing group) — a prefix
         # rule would deadlock whenever the top candidate persistently

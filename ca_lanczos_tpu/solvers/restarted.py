@@ -147,6 +147,21 @@ def _lock_converged(d, Vp, ritz_norms, tol, lam_bound=None):
     return len(conv), d[order], Vp[:, order], ritz_norms[order]
 
 
+def _verify_gate(rn_est: float, norm_A: float, floor: float = 1e-4) -> float:
+    """Acceptance threshold for the true-residual check at lock time.
+
+    Principle: a lock is rejected when the TRUE residual is inconsistent
+    with the ESTIMATE by orders of magnitude — 1e3x covers legitimate
+    orthogonality drift (LOCAL-orth runs where the reference also locks,
+    lanczos.m/ca_lanczos.m semantics), with a 1e-5*||A|| floor for
+    low-precision runs whose estimates sit at the dtype floor.  The old
+    catastrophic-only gate (1e-2*||A||) accepted a ghost pair whose
+    estimate lied by six orders (true residual 3e-4*||A|| at tol
+    1e-9*||A||, graded-Poisson corpus case) — the estimate-consistency
+    form rejects it while keeping every healthy corpus lock."""
+    return max(1e3 * float(rn_est), 1e-5 * norm_A)
+
+
 def _relative_residual(A: Operator, x: jax.Array, lam: float) -> float:
     num = jnp.linalg.norm(spmv(A, x) - lam * x)
     den = abs(lam) * jnp.linalg.norm(x)
@@ -290,7 +305,9 @@ def restarted_lanczos(
             x = Q_new @ jnp.asarray(Vp[:, i], dtype)
             if verify_locked:
                 true_abs = float(jnp.linalg.norm(spmv(A, x) - float(d[i]) * x))
-                if true_abs > 0.01 * norm_A:
+                if true_abs > _verify_gate(
+                        ritz_norms[i], norm_A,
+                        floor=1e-3 if dtype == jnp.float32 else 1e-4):
                     continue
             conv_eigs.append(float(d[i]))
             conv_rnorms.append(float(ritz_norms[i]))
@@ -527,7 +544,9 @@ def restarted_ca_lanczos(
         for i in range(k):
             x = Q_new @ jnp.asarray(Vp[:, i], dtype)
             true_abs = float(jnp.linalg.norm(spmv(A, x) - float(d[i]) * x))
-            if config.verify_locked and true_abs > 0.01 * norm_A:
+            if config.verify_locked and true_abs > _verify_gate(
+                    ritz_norms[i], norm_A,
+                    floor=1e-3 if dtype == jnp.float32 else 1e-4):
                 continue  # estimate lied; leave the pair unlocked
             conv_eigs.append(float(d[i]))
             conv_rnorms.append(float(ritz_norms[i]))
