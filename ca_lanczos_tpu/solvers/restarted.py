@@ -153,13 +153,19 @@ def _verify_gate(rn_est: float, norm_A: float, floor: float = 1e-4) -> float:
     Principle: a lock is rejected when the TRUE residual is inconsistent
     with the ESTIMATE by orders of magnitude — 1e3x covers legitimate
     orthogonality drift (LOCAL-orth runs where the reference also locks,
-    lanczos.m/ca_lanczos.m semantics), with a 1e-5*||A|| floor for
-    low-precision runs whose estimates sit at the dtype floor.  The old
-    catastrophic-only gate (1e-2*||A||) accepted a ghost pair whose
-    estimate lied by six orders (true residual 3e-4*||A|| at tol
-    1e-9*||A||, graded-Poisson corpus case) — the estimate-consistency
-    form rejects it while keeping every healthy corpus lock."""
-    return max(1e3 * float(rn_est), 1e-5 * norm_A)
+    lanczos.m/ca_lanczos.m semantics).  The old catastrophic-only gate
+    (1e-2*||A||) accepted a ghost pair whose estimate lied by six orders
+    (true residual 3e-4*||A|| at tol 1e-9*||A||, graded-Poisson corpus
+    case) — the estimate-consistency form rejects it while keeping every
+    healthy corpus lock.
+
+    floor: relative floor on the gate — 1e-4 for f64 state, 1e-3 for
+    f32 state (f32 basis storage at the >=4M-row scale carries
+    legitimate ~1e-4*||A|| lock residuals); breakdown-recovery (safe_qr)
+    cycles pass 1e-2, the old catastrophic-only level, because
+    pinv-regularized refreshed bases produce honest locks whose
+    estimates legitimately undershoot."""
+    return max(1e3 * float(rn_est), floor * norm_A)
 
 
 def _relative_residual(A: Operator, x: jax.Array, lam: float) -> float:
