@@ -47,14 +47,106 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ca_lanczos_tpu.ops.qr import cholqr2
-from ca_lanczos_tpu.ops.spmv import spmv
+from ca_lanczos_tpu.ops.spmv import DiaMatrix, spmv
+
+
+def _spmv64_rm(A, Z):
+    """A @ rows(Z): row-major (k, n) panel through the f64 operator.
+    DIA: chunked along the row axis with bandwidth halos (one small f64
+    chunk live); other operators: one row at a time through matvec."""
+    from ca_lanczos_tpu.ops.qr import _mp_chunk_shape
+
+    k, n = Z.shape
+    if isinstance(A, DiaMatrix):
+        ck = _mp_chunk_shape(n)
+        offsets = A.offsets
+        w = max((abs(o) for o in offsets), default=0)
+        if ck is None:
+            Z64 = Z.astype(jnp.float64)
+            Zp = jnp.pad(Z64, ((0, 0), (w, w)))
+            y = jnp.zeros((k, n), jnp.float64)
+            for j, o in enumerate(offsets):
+                y = y + A.data[j][None, :] * lax.dynamic_slice(
+                    Zp, (0, w + o), (k, n))
+            return y
+        c, L = ck
+        Zp = jnp.pad(Z, ((0, 0), (w, w)))
+        Dp = jnp.pad(A.data, ((0, 0), (w, w)))
+
+        def body(i, out):
+            lo = i * L
+            zc = lax.dynamic_slice(Zp, (0, lo), (k, L + 2 * w)).astype(jnp.float64)
+            dc = lax.dynamic_slice(Dp, (0, lo), (A.data.shape[0], L + 2 * w))
+            y = jnp.zeros((k, L), jnp.float64)
+            for j, o in enumerate(offsets):
+                y = y + dc[j, w : w + L][None, :] * lax.dynamic_slice(
+                    zc, (0, w + o), (k, L))
+            return lax.dynamic_update_slice(out, y, (0, lo))
+
+        return lax.fori_loop(0, c, body, jnp.zeros((k, n), jnp.float64))
+
+    def row(j, out):
+        zj = lax.dynamic_slice(Z, (j, 0), (1, n))[0]
+        yj = spmv(A, zj.astype(jnp.float64))
+        return lax.dynamic_update_slice(out, yj[None, :], (j, 0))
+
+    return lax.fori_loop(0, k, row, jnp.zeros((k, n), jnp.float64))
+
+
+def _spmv32_rm(A32, Z):
+    """A32 @ rows(Z), all-f32 row-major.  DIA gets the direct shifted
+    form; other operators go row-by-row through matvec (a blocked (n, k)
+    matvec would materialize a lane-padded column-major panel)."""
+    k, n = Z.shape
+    if isinstance(A32, DiaMatrix):
+        offsets = A32.offsets
+        w = max((abs(o) for o in offsets), default=0)
+        Zp = jnp.pad(Z, ((0, 0), (w, w)))
+        y = jnp.zeros((k, n), jnp.float32)
+        for j, o in enumerate(offsets):
+            y = y + A32.data[j][None, :] * lax.dynamic_slice(
+                Zp, (0, w + o), (k, n))
+        return y
+
+    def row(j, out):
+        zj = lax.dynamic_slice(Z, (j, 0), (1, n))[0]
+        return lax.dynamic_update_slice(out, spmv(A32, zj)[None, :], (j, 0))
+
+    return lax.fori_loop(0, k, row, jnp.zeros((k, n), jnp.float32))
+
+
+def _gram64_rm(X, Y):
+    """X Y^T accumulated in f64, column-chunked scan over row-major
+    (k, n) panels — one small f64 chunk pair live."""
+    from ca_lanczos_tpu.ops.qr import _mp_chunk_shape
+
+    ck = _mp_chunk_shape(X.shape[1])
+    if ck is None:
+        return X.astype(jnp.float64) @ Y.astype(jnp.float64).T
+    c, L = ck
+    Xr = X.reshape(X.shape[0], c, L)
+    Yr = Y.reshape(Y.shape[0], c, L)
+
+    def body(i, acc):
+        xc = lax.dynamic_index_in_dim(Xr, i, axis=1, keepdims=False)
+        yc = lax.dynamic_index_in_dim(Yr, i, axis=1, keepdims=False)
+        return acc + xc.astype(jnp.float64) @ yc.astype(jnp.float64).T
+
+    z = jnp.zeros((X.shape[0], Y.shape[0]), jnp.float64)
+    return lax.fori_loop(0, c, body, z)
 
 
 @partial(jax.jit, static_argnames=("k", "depth", "final"))
-def _polish_pass(A, X, k: int, depth: int, final: bool = False):
-    """One block-Krylov RR pass.  X: (n, k) any float dtype; returns
-    (w (k,) f64 Rayleigh quotients, resid (k,) f64, Q (n, k) f32).
+def _polish_pass(A, A32, X, k: int, depth: int, final: bool = False):
+    """One block-Krylov RR pass.  X: (k, n) ROW-MAJOR f32; returns
+    (w (k,) f64 Rayleigh quotients, resid (k,) f64, Q (k, n) f32).
+
+    ROW-MAJOR LAYOUT (the memory fix): TPU tiles pad the minor
+    dimension to 128 lanes, so a column-major (11M, 10) panel occupies
+    5.6 GB on device — the compile-time plan hit a constant ~16 GB for
+    any formulation holding three panels.  (k, n) panels put the long
+    axis on lanes ((16, 11M) after sublane padding = 0.7 GB) and all
+    Grams/projections/CholQR flip to row-contractions on the MXU.
 
     final=True: the RR rotation itself runs off f64 GENERALIZED Gram
     matrices (G = Z^T A Z and M = Z^T Z both f64-accumulated, solved as
@@ -65,94 +157,101 @@ def _polish_pass(A, X, k: int, depth: int, final: bool = False):
     rotation at the end removes it; the generalized form makes the
     f32-level non-orthonormality of the panels cancel to first order."""
     X = X.astype(jnp.float32)
-    n = X.shape[0]
     m = depth + 1
     f32, f64 = jnp.float32, jnp.float64
 
-    def unit_cols(B):
-        return B / jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-300)[None, :]
+    def unit_rows(B):
+        return B / jnp.maximum(
+            jnp.linalg.norm(B, axis=1), 1e-300)[:, None]
+
+    def cholqr2_rm(Z):
+        from ca_lanczos_tpu.ops.qr import _chol_safe
+
+        for _ in range(2):
+            G = Z @ Z.T
+            L = _chol_safe(G)
+            Z = jax.scipy.linalg.solve_triangular(L, Z, lower=True)
+        return Z
 
     def spmv64(Z):
-        return spmv(A, Z.astype(f64))  # f64 planes -> f64 result
+        return _spmv64_rm(A, Z)  # f64 planes -> f64 result
 
     def resid64(Q, w64):
-        return spmv64(Q) - Q.astype(f64) * w64[None, :]
+        return spmv64(Q) - w64[:, None] * Q.astype(f64)
 
     def rq64(Q):
         """Per-vector f64 Rayleigh quotients (elementwise dots)."""
         AQ = spmv64(Q)
         Q64 = Q.astype(f64)
-        num = jnp.einsum("ij,ij->j", Q64, AQ)
-        den = jnp.einsum("ij,ij->j", Q64, Q64)
+        num = jnp.einsum("in,in->i", Q64, AQ)
+        den = jnp.einsum("in,in->i", Q64, Q64)
         return num / den
 
-    Q, _ = cholqr2(X)
+    def pin(*arrs):
+        """optimization_barrier: force program ORDER between phases so
+        XLA cannot co-schedule panel temporaries across them."""
+        return lax.optimization_barrier(tuple(arrs))
+
+    Q = cholqr2_rm(X)
     w = rq64(Q)
 
-    # Stage panels: S[0] = Q, S[d] = orthonormalized A^d-residual.
-    S = jnp.zeros((m, n, k), f32).at[0].set(Q)
-    B = unit_cols(resid64(Q, w).astype(f32))
+    stages = [Q]
+    B = unit_rows(resid64(Q, w).astype(f32))
     for d in range(depth):
         for _pass in range(2):  # CGS2 against previous stages (f32 MXU)
-            def cgs(j, B):
-                Sj = lax.dynamic_index_in_dim(S, j, keepdims=False)
-                return B - Sj @ (Sj.T @ B)
-
-            B = lax.fori_loop(0, d + 1, cgs, B)
-        B, _ = cholqr2(unit_cols(B))
-        S = S.at[d + 1].set(B)
+            for Sx in stages:
+                B = B - (B @ Sx.T) @ Sx
+        B = cholqr2_rm(unit_rows(B))
+        stages.append(B)
         if d < depth - 1:
-            B = unit_cols(spmv64(B).astype(f32))
+            # Krylov expansion stages ride the f32 twin: only the FIRST
+            # residual direction is cancellation-sensitive (f64 above).
+            B = unit_rows(_spmv32_rm(A32, B))
+        pinned = pin(B, *stages)
+        B, stages = pinned[0], list(pinned[1:])
 
     # RR over the joint basis: Gram panels in f32 for the fast passes
     # (rotation only — the VALUES come from per-vector f64 quotients
     # below); f64 generalized Gram for the final pass (docstring).
-    if final:
-        from ca_lanczos_tpu.ops.qr import gram_f64
-
-        G = [[None] * m for _ in range(m)]
-        M = [[None] * m for _ in range(m)]
-        for j in range(m):
-            Sj = S[j]
-            ASj = spmv64(Sj)
+    G = [[None] * m for _ in range(m)]
+    M = [[None] * m for _ in range(m)] if final else None
+    for j in range(m):
+        if final:
+            # ASj stays f64: casting it to f32 rounds A S at
+            # eps_f32*||A||, which would steer the rotation by ~1e-5 —
+            # exactly the noise this pass removes.
+            ASj = spmv64(stages[j])
             for i in range(m):
-                # ASj stays f64: casting it to f32 rounds A S at
-                # eps_f32*||A||, which would steer the rotation by
-                # ~1e-5 — exactly the noise this pass removes.
-                G[i][j] = gram_f64(S[i], ASj)
-                M[i][j] = gram_f64(S[i], Sj)
+                G[i][j] = _gram64_rm(stages[i], ASj)
+                M[i][j] = _gram64_rm(stages[i], stages[j])
+        else:
+            ASj = _spmv32_rm(A32, stages[j])
+            for i in range(m):
+                G[i][j] = (stages[i] @ ASj.T).astype(f64)
+        small = [g for row_ in G for g in row_ if g is not None]
+        if final:
+            small += [g for row_ in M for g in row_ if g is not None]
+        pinned = pin(*small, *stages)
+        stages = list(pinned[len(small):])
+
+    if final:
         Gm = jnp.block(G)
-        Mm = (jnp.block(M) + jnp.block(M).T) / 2
+        Mm = jnp.block(M)
+        Mm = (Mm + Mm.T) / 2
         L = jnp.linalg.cholesky(Mm)
         Gt = jax.scipy.linalg.solve_triangular(L, Gm, lower=True)
         Gt = jax.scipy.linalg.solve_triangular(L, Gt.T, lower=True)
         wa, Ut = jnp.linalg.eigh((Gt + Gt.T) / 2)
         Ua = jax.scipy.linalg.solve_triangular(L.T, Ut, lower=False)
     else:
-        def gram_col(j, G):
-            Sj = lax.dynamic_index_in_dim(S, j, keepdims=False)
-            ASj = spmv64(Sj).astype(f32)
-
-            def gram_row(i, G):
-                Si = lax.dynamic_index_in_dim(S, i, keepdims=False)
-                return lax.dynamic_update_slice(G, Si.T @ ASj, (i * k, j * k))
-
-            return lax.fori_loop(0, m, gram_row, G)
-
-        Gm = lax.fori_loop(0, m, gram_col, jnp.zeros((m * k, m * k), f32))
-        Gm = Gm.astype(f64)
+        Gm = jnp.block(G)
         wa, Ua = jnp.linalg.eigh((Gm + Gm.T) / 2)
     order = jnp.argsort(wa)[::-1][:k]
-    Uk = Ua[:, order].astype(f32).reshape(m, k, k)
-
-    def assemble(i, Q):
-        Si = lax.dynamic_index_in_dim(S, i, keepdims=False)
-        return Q + Si @ lax.dynamic_index_in_dim(Uk, i, keepdims=False)
-
-    Q = lax.fori_loop(0, m, assemble, jnp.zeros((n, k), f32))
-    Q, _ = cholqr2(Q)
+    Uk = Ua[:, order].astype(f32)
+    Q = sum(Uk[i * k : (i + 1) * k].T @ stages[i] for i in range(m))
+    Q = cholqr2_rm(Q)
     w = rq64(Q)
-    resid = jnp.linalg.norm(resid64(Q, w), axis=0)
+    resid = jnp.linalg.norm(resid64(Q, w), axis=1)
     return w, resid, Q
 
 
@@ -176,12 +275,22 @@ def rayleigh_ritz_polish(
             f"polish needs f64 operator planes, got {np.dtype(A64.dtype)}"
         )
     k = int(X.shape[1])
-    Q = X
+    # f32 twin for the non-cancellation-sensitive applies (Krylov
+    # expansion stages, fast-pass Grams).
+    A32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64
+        else x,
+        A64,
+    )
+    # Internal state is ROW-MAJOR (k, n) — see _polish_pass docstring;
+    # one transpose in, one out.
+    Q = jnp.asarray(X).T
     w = resid = None
     total = max(int(iters), 1)
     for it in range(total):
         w, resid, Q = _polish_pass(
-            A64, Q, k, int(depth), final=(it == total - 1)
+            A64, A32, Q, k, int(depth), final=(it == total - 1)
         )
         jax.block_until_ready(Q)
-    return np.asarray(w), np.asarray(resid), Q
+    return np.asarray(w), np.asarray(resid), Q.T

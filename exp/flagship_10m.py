@@ -130,13 +130,16 @@ def main():
     data64[2, :-1] = off[:-1]
     A64 = DiaMatrix(data=jnp.asarray(data64), offsets=(-1, 0, 1))
     X = res.Q_conv
+    res_converged, res_restarts = bool(res.converged), int(res.n_restarts)
+    del res  # free solve-side device buffers before the polish
     if use_ilv:
         from ca_lanczos_tpu.ops.pallas_ilv import ilv_decode_jax
 
         X = jnp.stack([ilv_decode_jax(X[:, j]) for j in range(X.shape[1])], 1)
     t0 = time.perf_counter()
     n_pass = int(os.environ.get("POLISH_ITERS", "4"))
-    w, resid, X = rayleigh_ritz_polish(A64, X, iters=n_pass, depth=4)
+    n_depth = int(os.environ.get("POLISH_DEPTH", "4"))
+    w, resid, X = rayleigh_ritz_polish(A64, X, iters=n_pass, depth=n_depth)
     polish_wall = time.perf_counter() - t0
     wp = np.sort(w)[::-1]
     perr = np.abs(wp - exact) / 100.0
@@ -156,13 +159,13 @@ def main():
                     tol=1e-6, mixed_precision=True, cycles_per_call=cpc,
                     qr="cholqr2", ilv=use_ilv,
                     polish="f64 block-Krylov RR iters=3 depth=4"),
-        converged=bool(res.converged), n_restarts=int(res.n_restarts),
+        converged=res_converged, n_restarts=res_restarts,
         eig_rel_err=float(f"{err_p:.3g}"),
         eig_rel_err_prepolish=float(f"{err:.3g}"),
         worst_true_resid_abs=float(f"{float(np.max(resid)):.3g}"),
         cold_wall_s=round(cold, 1), warm_wall_s=round(wall, 1),
         polish_wall_s=round(polish_wall, 1),
-        per_cycle_s=round(wall / max(int(res.n_restarts), 1), 1),
+        per_cycle_s=round(wall / max(res_restarts, 1), 1),
         oracle="scipy eigsh f64",
         note="round-4: f64 polish closes the at-scale accuracy gap",
     )
