@@ -136,123 +136,227 @@ def _gram64_rm(X, Y):
     return lax.fori_loop(0, c, body, z)
 
 
-@partial(jax.jit, static_argnames=("k", "depth", "final"))
-def _polish_pass(A, A32, X, k: int, depth: int, final: bool = False):
-    """One block-Krylov RR pass.  X: (k, n) ROW-MAJOR f32; returns
-    (w (k,) f64 Rayleigh quotients, resid (k,) f64, Q (k, n) f32).
+@jax.jit
+def _cholqr2_rm(Z):
+    from ca_lanczos_tpu.ops.qr import _chol_safe
 
-    ROW-MAJOR LAYOUT (the memory fix): TPU tiles pad the minor
-    dimension to 128 lanes, so a column-major (11M, 10) panel occupies
-    5.6 GB on device — the compile-time plan hit a constant ~16 GB for
-    any formulation holding three panels.  (k, n) panels put the long
-    axis on lanes ((16, 11M) after sublane padding = 0.7 GB) and all
-    Grams/projections/CholQR flip to row-contractions on the MXU.
+    for _ in range(2):
+        G = Z @ Z.T
+        L = _chol_safe(G)
+        Z = jax.scipy.linalg.solve_triangular(L, Z, lower=True)
+    return Z
 
-    final=True: the RR rotation itself runs off f64 GENERALIZED Gram
-    matrices (G = Z^T A Z and M = Z^T Z both f64-accumulated, solved as
-    G u = w M u via Cholesky of M).  The fast passes' f32 Gram carries
-    ~sqrt(n)*eps_f32 accumulation error (~1e-4 at 4M rows), which
-    re-injects that much subspace mixing per rotation — measured as a
-    non-monotone ~5e-9 relative eigenvalue floor.  One f64-Gram
-    rotation at the end removes it; the generalized form makes the
-    f32-level non-orthonormality of the panels cancel to first order."""
-    X = X.astype(jnp.float32)
-    m = depth + 1
-    f32, f64 = jnp.float32, jnp.float64
 
-    def unit_rows(B):
-        return B / jnp.maximum(
-            jnp.linalg.norm(B, axis=1), 1e-300)[:, None]
+@jax.jit
+def _proj_rm(B, Sx):
+    """One CGS projection B <- B - (B Sx^T) Sx (row-major panels)."""
+    return B - (B @ Sx.T) @ Sx
 
-    def cholqr2_rm(Z):
-        from ca_lanczos_tpu.ops.qr import _chol_safe
 
-        for _ in range(2):
-            G = Z @ Z.T
-            L = _chol_safe(G)
-            Z = jax.scipy.linalg.solve_triangular(L, Z, lower=True)
-        return Z
+@jax.jit
+def _unit_rows(B):
+    return B / jnp.maximum(jnp.linalg.norm(B, axis=1), 1e-300)[:, None]
 
-    def spmv64(Z):
-        return _spmv64_rm(A, Z)  # f64 planes -> f64 result
 
-    def resid64(Q, w64):
-        return spmv64(Q) - w64[:, None] * Q.astype(f64)
+def _dia_chunk_apply64(A, Zp, Dp, lo, rows, L, w):
+    """f64 banded apply on one column-chunk of a padded row-major panel:
+    returns (rows, L) f64.  Zp: (rows, n + 2w) f32; Dp: padded planes."""
+    zc = lax.dynamic_slice(Zp, (0, lo), (rows, L + 2 * w)).astype(jnp.float64)
+    dc = lax.dynamic_slice(Dp, (0, lo), (Dp.shape[0], L + 2 * w))
+    y = jnp.zeros((rows, L), jnp.float64)
+    for j, o in enumerate(A.offsets):
+        y = y + dc[j, w : w + L][None, :] * lax.dynamic_slice(
+            zc, (0, w + o), (rows, L))
+    return y, zc[:, w : w + L]
 
-    def rq64(Q):
-        """Per-vector f64 Rayleigh quotients (elementwise dots)."""
-        AQ = spmv64(Q)
-        Q64 = Q.astype(f64)
+
+@jax.jit
+def _rq64(A, Q):
+    """Per-vector f64 Rayleigh quotients, residual norms, and the f32
+    residual DIRECTION block — all from chunk-fused f64 applies.
+
+    No (k, n) f64 panel is ever materialized: TPU's f64 emulation blew
+    each one up to multi-GB while-loop state (an 11M-row pass planned
+    21 GB); here f64 exists only on (k, chunk) temporaries inside the
+    scan, and the outputs are k-vectors plus an f32 panel."""
+    from ca_lanczos_tpu.ops.qr import _mp_chunk_shape
+
+    k, n = Q.shape
+    if not isinstance(A, DiaMatrix) or _mp_chunk_shape(n) is None:
+        AQ = _spmv64_rm(A, Q)
+        Q64 = Q.astype(jnp.float64)
         num = jnp.einsum("in,in->i", Q64, AQ)
-        den = jnp.einsum("in,in->i", Q64, Q64)
-        return num / den
+        w = num / jnp.einsum("in,in->i", Q64, Q64)
+        R = AQ - w[:, None] * Q64
+        return w, jnp.linalg.norm(R, axis=1), _unit_rows(
+            R.astype(jnp.float32))
+    c, L = _mp_chunk_shape(n)
+    wband = max((abs(o) for o in A.offsets), default=0)
+    Zp = jnp.pad(Q, ((0, 0), (wband, wband)))
+    Dp = jnp.pad(A.data, ((0, 0), (wband, wband)))
 
-    def pin(*arrs):
-        """optimization_barrier: force program ORDER between phases so
-        XLA cannot co-schedule panel temporaries across them."""
-        return lax.optimization_barrier(tuple(arrs))
+    def acc_body(i, nd):
+        num, den = nd
+        y, zc = _dia_chunk_apply64(A, Zp, Dp, i * L, k, L, wband)
+        num = num + jnp.einsum("in,in->i", zc, y)
+        den = den + jnp.einsum("in,in->i", zc, zc)
+        return num, den
 
-    Q = cholqr2_rm(X)
-    w = rq64(Q)
+    z = jnp.zeros((k,), jnp.float64)
+    num, den = lax.fori_loop(0, c, acc_body, (z, z))
+    w = num / den
+
+    def res_body(i, state):
+        rs, B = state
+        y, zc = _dia_chunk_apply64(A, Zp, Dp, i * L, k, L, wband)
+        r = y - w[:, None] * zc
+        rs = rs + jnp.einsum("in,in->i", r, r)
+        B = lax.dynamic_update_slice(B, r.astype(jnp.float32), (0, i * L))
+        return rs, B
+
+    rs, B = lax.fori_loop(
+        0, c, res_body, (z, jnp.zeros((k, n), jnp.float32)))
+    return w, jnp.sqrt(rs), _unit_rows(B)
+
+
+@jax.jit
+def _gram64_pair_chunked(A, Z):
+    """(G, M) = (Z A Z^T, Z Z^T) in f64 from an f32 row-major (mk, n)
+    stacked panel, chunk-fused — f64 only on (mk, chunk) temporaries."""
+    from ca_lanczos_tpu.ops.qr import _mp_chunk_shape
+
+    mk, n = Z.shape
+    ck = _mp_chunk_shape(n)
+    wband = max((abs(o) for o in A.offsets), default=0)
+    Zp = jnp.pad(Z, ((0, 0), (wband, wband)))
+    Dp = jnp.pad(A.data, ((0, 0), (wband, wband)))
+    if ck is None:
+        y, zc = _dia_chunk_apply64(A, Zp, Dp, 0, mk, n, wband)
+        return zc @ y.T, zc @ zc.T
+    c, L = ck
+
+    def body(i, GM):
+        G, M = GM
+        y, zc = _dia_chunk_apply64(A, Zp, Dp, i * L, mk, L, wband)
+        return G + zc @ y.T, M + zc @ zc.T
+
+    z = jnp.zeros((mk, mk), jnp.float64)
+    return lax.fori_loop(0, c, body, (z, z))
+
+
+@jax.jit
+def _spmv32_jit(A32, B):
+    return _unit_rows(_spmv32_rm(A32, B))
+
+
+@jax.jit
+def _gram32_rm(X, ASj):
+    return (X @ ASj.T).astype(jnp.float64)
+
+
+@jax.jit
+def _spmv32_only(A32, B):
+    return _spmv32_rm(A32, B)
+
+
+@jax.jit
+def _spmv64_jit(A, B):
+    return _spmv64_rm(A, B)
+
+
+@jax.jit
+def _gram64_jit(X, Y):
+    return _gram64_rm(X, Y)
+
+
+@jax.jit
+def _assemble_rm(Uki, Sx, Q):
+    return Q + Uki.T @ Sx
+
+
+def _polish_pass(A, A32, X, k: int, depth: int, final: bool = False):
+    """One block-Krylov RR pass, HOST-SEQUENCED: each phase is its own
+    small jit call (state stays device-resident; the relay adds ~30 ms
+    per call, trivial next to the applies).  X: (k, n) ROW-MAJOR f32;
+    returns (w (k,) f64 Rayleigh quotients, resid (k,) f64, Q (k, n)).
+
+    Why not one jit: XLA loop-re-rolls the unrolled stage loops into
+    stacked [n_ops, k, n] buffers (a 5.25 GB copy at 11M rows) and the
+    compile-time plan with fragmentation reached 22.6 GB — host
+    sequencing caps every program at a few panels.  ROW-MAJOR layout:
+    TPU tiles pad the minor dimension to 128 lanes, so a column-major
+    (11M, 10) panel occupies 5.6 GB on device; (k, n) panels pad only
+    sublanes (0.67 GB).
+
+    final=True: the RR rotation runs off f64 GENERALIZED Gram matrices
+    (G = Z A Z^T, M = Z Z^T, solved via Cholesky of M).  The fast
+    passes' f32 Gram carries ~sqrt(n)*eps_f32 accumulation error
+    (~1e-4 at 4M rows) which re-injects that much subspace mixing per
+    rotation — measured as a non-monotone ~5e-9 relative eigenvalue
+    floor; the f64 generalized form removes it and cancels f32-level
+    panel non-orthonormality to first order."""
+    m = depth + 1
+    f32 = jnp.float32
+
+    Q = _cholqr2_rm(X.astype(f32))
+    w, _, B = _rq64(A, Q)
 
     stages = [Q]
-    B = unit_rows(resid64(Q, w).astype(f32))
     for d in range(depth):
         for _pass in range(2):  # CGS2 against previous stages (f32 MXU)
             for Sx in stages:
-                B = B - (B @ Sx.T) @ Sx
-        B = cholqr2_rm(unit_rows(B))
+                B = _proj_rm(B, Sx)
+        B = _cholqr2_rm(_unit_rows(B))
         stages.append(B)
         if d < depth - 1:
             # Krylov expansion stages ride the f32 twin: only the FIRST
-            # residual direction is cancellation-sensitive (f64 above).
-            B = unit_rows(_spmv32_rm(A32, B))
-        pinned = pin(B, *stages)
-        B, stages = pinned[0], list(pinned[1:])
+            # residual direction is cancellation-sensitive (f64 in _rq64).
+            B = _spmv32_jit(A32, B)
 
-    # RR over the joint basis: Gram panels in f32 for the fast passes
-    # (rotation only — the VALUES come from per-vector f64 quotients
-    # below); f64 generalized Gram for the final pass (docstring).
-    G = [[None] * m for _ in range(m)]
-    M = [[None] * m for _ in range(m)] if final else None
-    for j in range(m):
-        if final:
-            # ASj stays f64: casting it to f32 rounds A S at
-            # eps_f32*||A||, which would steer the rotation by ~1e-5 —
-            # exactly the noise this pass removes.
-            ASj = spmv64(stages[j])
-            for i in range(m):
-                G[i][j] = _gram64_rm(stages[i], ASj)
-                M[i][j] = _gram64_rm(stages[i], stages[j])
-        else:
-            ASj = _spmv32_rm(A32, stages[j])
-            for i in range(m):
-                G[i][j] = (stages[i] @ ASj.T).astype(f64)
-        small = [g for row_ in G for g in row_ if g is not None]
-        if final:
-            small += [g for row_ in M for g in row_ if g is not None]
-        pinned = pin(*small, *stages)
-        stages = list(pinned[len(small):])
-
-    if final:
-        Gm = jnp.block(G)
-        Mm = jnp.block(M)
+    # RR over the joint basis: f32 Grams for fast passes, f64
+    # generalized pair for the final pass (docstring).
+    if final and isinstance(A, DiaMatrix):
+        # Chunk-fused f64 Gram pair: accurate A-products (casting A S to
+        # f32 would steer the rotation by ~1e-5 — exactly the noise this
+        # pass removes) without any f64 panel.
+        Gm, Mm = _gram64_pair_chunked(A, jnp.concatenate(stages, axis=0))
+        Gm, Mm = np.asarray(Gm), np.asarray(Mm)
         Mm = (Mm + Mm.T) / 2
-        L = jnp.linalg.cholesky(Mm)
-        Gt = jax.scipy.linalg.solve_triangular(L, Gm, lower=True)
-        Gt = jax.scipy.linalg.solve_triangular(L, Gt.T, lower=True)
-        wa, Ut = jnp.linalg.eigh((Gt + Gt.T) / 2)
-        Ua = jax.scipy.linalg.solve_triangular(L.T, Ut, lower=False)
+        import scipy.linalg as sla
+
+        wa, Ua = sla.eigh((Gm + Gm.T) / 2, Mm)
+    elif final:
+        G = [[None] * m for _ in range(m)]
+        M = [[None] * m for _ in range(m)]
+        for j in range(m):
+            ASj = _spmv64_jit(A, stages[j])
+            for i in range(m):
+                G[i][j] = _gram64_jit(stages[i], ASj)
+                M[i][j] = _gram64_jit(stages[i], stages[j])
+            del ASj
+        Gm = np.block([[np.asarray(g) for g in row_] for row_ in G])
+        Mm = np.block([[np.asarray(g) for g in row_] for row_ in M])
+        Mm = (Mm + Mm.T) / 2
+        import scipy.linalg as sla
+
+        wa, Ua = sla.eigh((Gm + Gm.T) / 2, Mm)
     else:
-        Gm = jnp.block(G)
-        wa, Ua = jnp.linalg.eigh((Gm + Gm.T) / 2)
-    order = jnp.argsort(wa)[::-1][:k]
-    Uk = Ua[:, order].astype(f32)
-    Q = sum(Uk[i * k : (i + 1) * k].T @ stages[i] for i in range(m))
-    Q = cholqr2_rm(Q)
-    w = rq64(Q)
-    resid = jnp.linalg.norm(resid64(Q, w), axis=1)
-    return w, resid, Q
+        G = [[None] * m for _ in range(m)]
+        for j in range(m):
+            ASj = _spmv32_only(A32, stages[j])
+            for i in range(m):
+                G[i][j] = _gram32_rm(stages[i], ASj)
+            del ASj
+        Gm = np.block([[np.asarray(g) for g in row_] for row_ in G])
+        wa, Ua = np.linalg.eigh((Gm + Gm.T) / 2)
+    order = np.argsort(wa)[::-1][:k]
+    Uk = jnp.asarray(Ua[:, order], f32)
+    Q = jnp.zeros_like(stages[0])
+    for i in range(m):
+        Q = _assemble_rm(Uk[i * k : (i + 1) * k], stages[i], Q)
+    Q = _cholqr2_rm(Q)
+    w, resid, _ = _rq64(A, Q)
+    return np.asarray(w), np.asarray(resid), Q
 
 
 def rayleigh_ritz_polish(
@@ -294,3 +398,63 @@ def rayleigh_ritz_polish(
         )
         jax.block_until_ready(Q)
     return np.asarray(w), np.asarray(resid), Q.T
+
+
+def rayleigh_ritz_polish_host(
+    matvec, X, iters: int = 3, depth: int = 4
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-numpy f64 polish — the TPU-relay production variant.
+
+    Ten attempts to fit the f64 polish pass on the 15.75 GB chip at 11M
+    rows all hit XLA planning pathologies (lane-padded column panels,
+    loop re-rolling into stacked copies, f64-emulation buffer blowup,
+    layout-assigned 2.6x pads) — while the whole computation is ~45
+    panel applies + GEMMs that host numpy does in f64 in ~2 minutes, and
+    the one-time device->host fetch of the locked block measures
+    ~12 MB/s (~40 s for 11M x 10 f32).  So the production path fetches
+    once and polishes on the host.
+
+    matvec: callable (n, j) f64 -> (n, j) f64 applying the TRUE f64
+    operator (e.g. a scipy.sparse matrix's __matmul__).
+    X: (n, k) block (device array or numpy, any float dtype).
+    Returns (w desc (k,) f64, true residuals (k,), Q (n, k) f64).
+    """
+    X = np.asarray(X, np.float64)
+    n, k = X.shape
+    m = depth + 1
+
+    def orth(Z):
+        Q, _ = np.linalg.qr(Z)
+        return Q
+
+    def unit(Z):
+        return Z / np.maximum(np.linalg.norm(Z, axis=0), 1e-300)[None, :]
+
+    Q = orth(X)
+    AQ = matvec(Q)
+    w = np.einsum("ij,ij->j", Q, AQ)
+
+    for it in range(max(int(iters), 1)):
+        stages = [Q]
+        B = unit(AQ - Q * w[None, :])
+        for d in range(depth):
+            for _ in range(2):
+                for Sx in stages:
+                    B = B - Sx @ (Sx.T @ B)
+            B = orth(unit(B))
+            stages.append(B)
+            if d < depth - 1:
+                B = unit(matvec(B))
+        Z = np.concatenate(stages, axis=1)  # (n, mk), orthonormal-ish
+        AZ = matvec(Z)
+        G = Z.T @ AZ
+        M = Z.T @ Z
+        import scipy.linalg as sla
+
+        wa, Ua = sla.eigh((G + G.T) / 2, (M + M.T) / 2)
+        order = np.argsort(wa)[::-1][:k]
+        Q = orth(Z @ Ua[:, order])
+        AQ = matvec(Q)
+        w = np.einsum("ij,ij->j", Q, AQ)
+    resid = np.linalg.norm(AQ - Q * w[None, :], axis=0)
+    return w, resid, Q

@@ -61,3 +61,27 @@ def test_polish_requires_f64_planes():
     A32 = DiaMatrix(data=jnp.asarray(data, jnp.float32), offsets=(-1, 0, 1))
     with pytest.raises(ValueError):
         rayleigh_ritz_polish(A32, jnp.ones((2000, 2), jnp.float32))
+
+
+def test_host_polish_matches_device():
+    """The host-numpy production variant reaches the same f64-grade
+    parity as the device path (it IS the 11M production path — see
+    rayleigh_ritz_polish_host docstring)."""
+    import scipy.sparse as sp
+
+    from ca_lanczos_tpu.solvers.polish import rayleigh_ritz_polish_host
+
+    data, exact = _op(n=40000)
+    A32 = DiaMatrix(data=jnp.asarray(data, jnp.float32), offsets=(-1, 0, 1))
+    res = fused_restarted_ca_lanczos(
+        A32, jnp.ones(data.shape[1], jnp.float32), 32,
+        n_wanted=10, s=8, tol=1e-6, mixed_precision=True,
+    )
+    assert res.converged
+    a64 = sp.diags([data[0, 1:], data[1], data[2, :-1]], [-1, 0, 1],
+                   format="csr")
+    w, resid, Q = rayleigh_ritz_polish_host(
+        lambda Z: a64 @ Z, np.asarray(res.Q_conv), iters=3, depth=4)
+    post = np.max(np.abs(np.sort(w)[::-1] - exact)) / exact[0]
+    assert post < 1e-11, post
+    np.testing.assert_allclose(Q.T @ Q, np.eye(10), atol=1e-12)
