@@ -424,8 +424,15 @@ def rayleigh_ritz_polish_host(
     m = depth + 1
 
     def orth(Z):
-        Q, _ = np.linalg.qr(Z)
-        return Q
+        # CholQR2: ~4x faster than Householder QR on tall panels and
+        # orthonormal to roundoff in f64 for the conditioning here.
+        for _ in range(2):
+            G = Z.T @ Z
+            import scipy.linalg as sla
+
+            L = np.linalg.cholesky(G + np.trace(G) * 1e-15 * np.eye(len(G)))
+            Z = sla.solve_triangular(L, Z.T, lower=True).T
+        return Z
 
     def unit(Z):
         return Z / np.maximum(np.linalg.norm(Z, axis=0), 1e-300)[None, :]
