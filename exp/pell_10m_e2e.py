@@ -1,0 +1,132 @@
+"""10M-row GENERAL-sparsity end-to-end on hardware (round-4 VERDICT
+item 5 "Done" condition): the native C++ encoder makes the 10M-row
+corpus scale encodable (~12 s for 270M nnz); this drives the encoded
+operator through the production mixed-precision fused eigensolve on the
+chip and checks the top Ritz values against a scipy eigsh f64 oracle.
+
+Operator: random banded general sparsity at 10.5M rows (a pattern the
+DIA/ILV kernels reject — random columns inside a width-8 band, 4
+nnz/row) carrying a separated-top spectrum.  The solve rides the PELL
+Pallas kernel inside fused_restarted_ca_lanczos (f32 basis/SpMV, f64
+reductions), relay-safe bursts, followed by the f64 polish.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from ca_lanczos_tpu.ops.pell import PellMatrix
+from ca_lanczos_tpu.ops.spmv import DiaMatrix
+from ca_lanczos_tpu.solvers.fused_restarted import fused_restarted_ca_lanczos
+from ca_lanczos_tpu.solvers.polish import rayleigh_ritz_polish
+
+T00 = time.perf_counter()
+
+
+def log(msg):
+    print(f"[{time.perf_counter()-T00:7.1f}s] {msg}", flush=True)
+
+
+def build_operator(n, bw=8, k=4, seed=0):
+    rng = np.random.default_rng(seed)
+    d = np.linspace(1.0, 90.0, n)
+    d[-10:] = np.linspace(95.0, 100.0, 10)
+    rows = np.repeat(np.arange(n), k)
+    keys = rng.random((n, 2 * bw + 1))
+    pick = np.argsort(keys, axis=1)[:, :k]  # k distinct offsets in [-bw, bw]
+    cols = np.arange(n)[:, None] + (pick - bw)
+    cols = np.clip(cols, 0, n - 1).ravel()
+    vals = (rng.standard_normal(n * k) * 1e-3).ravel()
+    off = sp.csr_matrix((vals, (rows, cols)), (n, n))
+    a = off + off.T + sp.diags(d)
+    a.sum_duplicates()
+    return a.tocsr(), d
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10 * (1 << 20) + (1 << 19)
+    t0 = time.perf_counter()
+    a, d = build_operator(n)
+    log(f"operator built: n={n} nnz={a.nnz} ({time.perf_counter()-t0:.1f}s)")
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f"pell_10m_oracle_{n}.npz")
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        exact = np.load(cache)["exact"]
+        log("oracle (cached)")
+    else:
+        exact = np.sort(spla.eigsh(a, k=10, which="LA",
+                                   return_eigenvectors=False))[::-1]
+        np.savez(cache, exact=exact)
+        log(f"oracle eigsh: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    A = PellMatrix.from_scipy(a, encoding="auto")  # native C++ encoder
+    enc_wall = time.perf_counter() - t0
+    log(f"PELL encode (native): {enc_wall:.1f}s  K={A.k_slots} enc={A.enc} "
+        f"sw={A.sw} W={A.n_win}")
+
+    kw = dict(n_wanted=10, s=8, tol=1e-6, mixed_precision=True,
+              cycles_per_call=1)
+    t0 = time.perf_counter()
+    res = fused_restarted_ca_lanczos(
+        A, jnp.ones(n, jnp.float32), 32,
+        on_burst=lambda c, k_: log(f"  burst: cycle={c} nconv={k_}"), **kw
+    )
+    solve_wall = time.perf_counter() - t0
+    got = np.sort(res.eigs)[::-1]
+    err = np.nanmax(np.abs(got - exact)) / 100.0
+    log(f"solve: converged={res.converged} n_restarts={res.n_restarts} "
+        f"eig_rel_err={err:.2e} wall={solve_wall:.1f}s (incl compile)")
+
+    X = res.Q_conv[:n]
+    res_conv, res_rest = bool(res.converged), int(res.n_restarts)
+    del res
+    # f64 polish: general operator — use the scipy matvec? The polish
+    # needs a device operator; PELL planes are f32-only, so build the
+    # f64 DIA-equivalent is impossible for general sparsity.  Instead
+    # polish against an f64 ELL carrier (XLA gather matvec — slow per
+    # apply but only ~30 panel applies).
+    from ca_lanczos_tpu.ops.spmv import EllMatrix
+
+    t0 = time.perf_counter()
+    A64 = EllMatrix.from_scipy(a)  # x64 on -> f64 vals
+    w, resid, _ = rayleigh_ritz_polish(A64, X, iters=3, depth=3)
+    polish_wall = time.perf_counter() - t0
+    errp = float(np.max(np.abs(np.sort(w)[::-1] - exact) / 100.0))
+    log(f"f64 polish: {polish_wall:.1f}s POLISHED eig_rel_err={errp:.2e} "
+        f"(pre {err:.2e}) worst resid {float(np.max(resid)):.2e}")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "results", "pell_10m_e2e.json")
+    with open(out, "w") as f:
+        json.dump(dict(
+            n=n, nnz=int(a.nnz), encode_s=round(enc_wall, 1),
+            k_slots=int(A.k_slots), enc=A.enc,
+            converged=res_conv, n_restarts=res_rest,
+            eig_rel_err=float(f"{errp:.3g}"),
+            eig_rel_err_prepolish=float(f"{err:.3g}"),
+            solve_wall_s=round(solve_wall, 1),
+            polish_wall_s=round(polish_wall, 1),
+            date="2026-08-20",
+        ), f)
+    log(f"wrote {out}")
+
+
+main()
