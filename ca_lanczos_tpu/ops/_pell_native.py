@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
@@ -43,20 +42,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libpell.so"))
-    src = os.path.abspath(os.path.join(_NATIVE_DIR, "pell_encode.cpp"))
-    if not os.path.exists(so) or (
-        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
-    ):
-        if not os.path.exists(src):
-            return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", so, src],
-                check=True, capture_output=True,
-            )
-        except Exception:
-            return None
+    from ca_lanczos_tpu.utils._native_build import build_native
+
+    # Content-addressed build (ADVICE r4: mtimes are unreliable across
+    # git checkouts, and a committed machine-specific binary could be
+    # silently loaded for edited sources).
+    src = os.path.join(_NATIVE_DIR, "pell_encode.cpp")
+    so = build_native(src, ["-O3", "-fopenmp"])
+    if so is None:
+        return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

@@ -305,9 +305,17 @@ class PellMatrix:
         # scatter for the winning encoding only.
         from ca_lanczos_tpu.ops import _pell_native as _pn
 
-        if int(csr.nnz) and (
-            native is True or (native == "auto" and _pn.available())
-        ):
+        if native is True and not _pn.available():
+            # Explicit native=True with no loadable library would crash
+            # deep inside plan_unit with lib=None (ADVICE r4) — fail at
+            # the API boundary with the actionable message instead.
+            raise RuntimeError(
+                "native PELL encoder requested (native=True) but "
+                "native/libpell could not be built or loaded — check "
+                "g++/OpenMP availability, or pass native='auto' to fall "
+                "back to the numpy encoder"
+            )
+        if int(csr.nnz) and native in (True, "auto") and _pn.available():
             csr_c = _pn._Csr(indptr, indices, data, dtype)
             wins32 = np.ascontiguousarray(span_rows, np.int32)
             wcnt = np.asarray([len(w) for w in win_lists], np.int32)

@@ -49,6 +49,10 @@ class DistBsr(RowStateMixin):
     cols: jax.Array
     halo_b: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
+    # Partition-time s bound: halo_b = s_max * block bandwidth, so any
+    # powers call with s > s_max silently contaminates center block rows
+    # (ADVICE r4).  0 = legacy/unknown (unchecked).
+    s_max: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -123,6 +127,7 @@ class DistBsr(RowStateMixin):
             cols=jax.device_put(jnp.asarray(np.stack(sc), jnp.int32), sharding),
             halo_b=halo_b,
             n=A.n,
+            s_max=s_max,
         )
 
     def shard_vector(self, x, mesh: Mesh) -> jax.Array:
@@ -168,6 +173,9 @@ def dist_bsr_matrix_powers(
     A: DistBsr, x: jax.Array, s: int, diag: jax.Array, sub: jax.Array, mesh: Mesh
 ) -> jax.Array:
     """Distributed matrix powers on block sparsity."""
+    from ca_lanczos_tpu.parallel.distributed import check_s_bound
+
+    check_s_bound(A, s)
 
     def body(v_block, c_block, x_local, dg, sb):
         return _bsr_powers_local(

@@ -46,6 +46,10 @@ class DistEll(RowStateMixin):
     halo: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
     periodic: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Partition-time s bound: the halo was sized for this s_max, so any
+    # powers call with s > s_max would silently contaminate center rows
+    # (ADVICE r4).  0 = legacy/unknown (unchecked).
+    s_max: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -79,6 +83,7 @@ class DistEll(RowStateMixin):
             halo=halo,
             n=n,
             periodic=periodic,
+            s_max=s_max,
         )
 
     def shard_vector(self, x, mesh: Mesh) -> jax.Array:

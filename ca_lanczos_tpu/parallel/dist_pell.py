@@ -58,6 +58,8 @@ class DistPell(RowStateMixin):
     n_win: int = dataclasses.field(metadata=dict(static=True))
     periodic: bool = dataclasses.field(default=False, metadata=dict(static=True))
     interpret: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Partition-time s bound (halo sized for s_max; see DistEll.s_max).
+    s_max: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -165,6 +167,7 @@ class DistPell(RowStateMixin):
             n_win=W,
             periodic=periodic,
             interpret=jax.default_backend() != "tpu",
+            s_max=s_max,
         )
 
     def shard_vector(self, x, mesh: Mesh) -> jax.Array:

@@ -88,6 +88,21 @@ def _ilv_plan(offsets, ndiags: int, n_local: int, s_max: int, dtype):
     return tq, imp, ""
 
 
+def check_s_bound(A, s: int) -> None:
+    """Guard a matrix-powers call against the operator's partition-time
+    halo depth: the ghost regions were sized for ``s_max`` hops, so a
+    deeper call would silently contaminate the owned center rows (ADVICE
+    r4).  ``s_max`` == 0 (legacy operators) skips the check; DistDia
+    derives its bound from the stored halo."""
+    smax = getattr(A, "s_max", 0)
+    if smax and s > smax:
+        raise ValueError(
+            f"s={s} exceeds the operator's partition-time s_max={smax}: "
+            "halos were sized at partition time — rebuild the operator "
+            "with a larger s_max"
+        )
+
+
 def dist_ilv_admissible(A, n_devices: int, s_max: int):
     """(ok, reason) shape/dtype-only probe: can this DiaMatrix run the
     padded-domain interleaved engine on an ``n_devices`` mesh?  No data
@@ -609,6 +624,7 @@ def dist_matrix_powers(
     only chains powers.  Chained/kernel-speed callers should use
     ``dist_matrix_powers_rows`` (the layout the drivers use internally);
     this wrapper is the reference-shaped API (matrix_powers.m:1-13)."""
+    check_s_bound(A, s)
     operands, names = dia_powers_operands(A)
     inner = partial(_powers_local, **dia_powers_statics(A, s))
 
@@ -652,6 +668,7 @@ def dist_matrix_powers_rows(
     reads W[s-1] as a cheap row slice instead of paying the q-concat +
     transpose copies the (n, s+1) API forces (~2x at P=1 on hardware).
     """
+    check_s_bound(A, s)
     operands, names = dia_powers_operands(A)
     inner = partial(
         _powers_local, transposed=True, include_q=False,

@@ -445,10 +445,15 @@ def dist_restarted_ca_lanczos(
             d, Vp, ritz_norms, tol, lam_bound=1.05 * norm_A
         )
         # The fixed-width Qconv can only hold lock_cap pairs: when more
-        # converge in one cycle, keep the LARGEST (the reference locks all
-        # and trims to the largest at the end, restarted_ca_lanczos.m:183-189).
+        # converge in one cycle, keep the WANTED end — largest by default
+        # (the reference locks all and trims to the largest at the end,
+        # restarted_ca_lanczos.m:183-189), smallest for a SMALLEST run
+        # (ADVICE r4: trimming to the largest there returns wrong-end
+        # results with converged=True).
         if k_new > lock_cap - nconv:
-            order = np.argsort(d[:k_new])[::-1]
+            order = np.argsort(d[:k_new])
+            if RestartStrategy(config.restart_strategy) != RestartStrategy.SMALLEST:
+                order = order[::-1]
             keep = np.concatenate([order, np.arange(k_new, len(d))])
             d, Vp, ritz_norms = d[keep], Vp[:, keep], ritz_norms[keep]
             k_new = lock_cap - nconv
@@ -555,5 +560,5 @@ def dist_restarted_ca_lanczos(
     Q_conv_final = Adist.gather_columns(Qconv)[:, :nconv] if nconv else None
     return _finalize(
         conv_eigs, conv_rnorms, Q_conv_final, n_restarts, rnorm_rows, [],
-        config.n_wanted, not restart,
+        config.n_wanted, not restart, strategy=config.restart_strategy,
     )

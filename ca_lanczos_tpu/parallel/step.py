@@ -88,6 +88,9 @@ def _local_powers_fn(A, s: int):
     powers closure for DistDia / DistEll / DistPell / DistBsr shards,
     plus the operand arrays to thread through shard_map."""
     from ca_lanczos_tpu.parallel.dist_bsr import DistBsr, _bsr_powers_local
+    from ca_lanczos_tpu.parallel.distributed import check_s_bound
+
+    check_s_bound(A, s)
 
     if isinstance(A, DistBsr):
         def body_bsr(v_block, c_block, x_local, dg, sb):

@@ -337,16 +337,25 @@ def restarted_lanczos(
                 q = q / jnp.linalg.norm(q)
 
     return _finalize(
-        conv_eigs, conv_rnorms, Q_conv, n_restarts, rnorm_rows, orth_err, n_wanted, not restart
+        conv_eigs, conv_rnorms, Q_conv, n_restarts, rnorm_rows, orth_err, n_wanted, not restart,
+        strategy=restart_strategy,
     )
 
 
-def _finalize(conv_eigs, conv_rnorms, Q_conv, n_restarts, rnorm_rows, orth_err, n_wanted, converged):
-    """Sort descending and trim (restarted_ca_lanczos.m:183-201)."""
+def _finalize(conv_eigs, conv_rnorms, Q_conv, n_restarts, rnorm_rows, orth_err, n_wanted, converged, strategy=None):
+    """Sort toward the wanted end and trim (restarted_ca_lanczos.m:183-201).
+
+    strategy: the run's RestartStrategy.  SMALLEST sorts ascending and
+    keeps the smallest locked pairs — without this, a SMALLEST run that
+    incidentally locked top-end pairs (Lanczos converges both spectrum
+    ends) would trim to the LARGEST and return wrong-end results with
+    converged=True (ADVICE r4 medium).  All other strategies keep the
+    reference's descending order."""
     eigs = np.asarray(conv_eigs)
     rn = np.asarray(conv_rnorms)
     keep = min(n_wanted, len(eigs)) if converged else len(eigs)
-    order = np.argsort(eigs)[::-1]
+    ascending = strategy is not None and RestartStrategy(strategy) == RestartStrategy.SMALLEST
+    order = np.argsort(eigs) if ascending else np.argsort(eigs)[::-1]
     eigs, rn = eigs[order][:keep], rn[order][:keep]
     if Q_conv is not None and len(order):
         Q_conv = Q_conv[:, np.asarray(order)][:, :keep]
@@ -594,5 +603,6 @@ def restarted_ca_lanczos(
             ).save(checkpoint_path)
 
     return _finalize(
-        conv_eigs, conv_rnorms, Q_conv, n_restarts, rnorm_rows, orth_err, config.n_wanted, not restart
+        conv_eigs, conv_rnorms, Q_conv, n_restarts, rnorm_rows, orth_err, config.n_wanted, not restart,
+        strategy=config.restart_strategy,
     )

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
@@ -26,20 +25,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmmio.so"))
-    if not os.path.exists(so):
-        src = os.path.abspath(os.path.join(_NATIVE_DIR, "mmio.cpp"))
-        if os.path.exists(src):
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
-                    check=True,
-                    capture_output=True,
-                )
-            except Exception:
-                return None
-        else:
-            return None
+    from ca_lanczos_tpu.utils._native_build import build_native
+
+    # Content-addressed build — see utils/_native_build.py (ADVICE r4).
+    so = build_native(os.path.join(_NATIVE_DIR, "mmio.cpp"), ["-O2"])
+    if so is None:
+        return None
     lib = ctypes.CDLL(so)
     lib.mm_open.restype = ctypes.c_int64
     lib.mm_open.argtypes = [ctypes.c_char_p]

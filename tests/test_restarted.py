@@ -238,6 +238,45 @@ class TestWantedEndStop:
         assert np.all(got > 0.9), got
 
 
+class TestSmallestEnd:
+    """ADVICE r4 medium regression: a restart_strategy=SMALLEST run must
+    return the SMALLEST-end pairs — _finalize and the dist overfill trim
+    used to sort descending and return incidentally-locked top-end pairs
+    with converged=True.  Fixture mirrors TestWantedEndStop with the ends
+    swapped: separated TOP end (converges first) + tight BOTTOM cluster."""
+
+    def _op(self, n=3000):
+        d = np.linspace(0.0, 1.0, n)
+        d[-3:] = [4.0, 5.0, 6.0]            # separated top end
+        d[:6] = -1.0 - np.arange(6) * 1e-3  # tight bottom cluster
+        return diag_spectrum_from(d), np.sort(d)
+
+    def test_restarted_ca_returns_smallest_end(self):
+        from ca_lanczos_tpu.config import RestartStrategy
+
+        A, exact = self._op()
+        cfg = LanczosConfig(n_wanted=4, s=4, tol=1e-7, max_restarts=200,
+                            orth=Orth.FULL,
+                            restart_strategy=RestartStrategy.SMALLEST)
+        res = restarted_ca_lanczos(A, jnp.ones(3000), 24, cfg)
+        assert res.converged
+        got = np.sort(np.asarray(res.eigs))[:4]
+        np.testing.assert_allclose(got, exact[:4], atol=1e-7)
+        assert np.all(got < 0.0), got  # no top-end value reported
+
+    def test_restarted_std_returns_smallest_end(self):
+        from ca_lanczos_tpu.config import RestartStrategy
+
+        A, exact = self._op()
+        res = restarted_lanczos(A, jnp.ones(3000), 24, n_wanted=4,
+                                tol=1e-7, max_restarts=200, orth=Orth.FULL,
+                                restart_strategy=RestartStrategy.SMALLEST)
+        assert res.converged
+        got = np.sort(np.asarray(res.eigs))[:4]
+        np.testing.assert_allclose(got, exact[:4], atol=1e-7)
+        assert np.all(got < 0.0), got
+
+
 def diag_spectrum_from(d):
     from ca_lanczos_tpu.ops.spmv import DiaMatrix
 
