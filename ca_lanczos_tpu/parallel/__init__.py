@@ -1,4 +1,15 @@
-from ca_lanczos_tpu.parallel.mesh import make_mesh, row_sharding, replicated, ROWS
+from ca_lanczos_tpu.parallel.mesh import (
+    CHIP,
+    HOST,
+    ROWS,
+    make_hier_mesh,
+    make_mesh,
+    replicated,
+    row_axes,
+    row_sharding,
+    row_spec,
+)
+from ca_lanczos_tpu.parallel.dist_orth import psum_rows
 from ca_lanczos_tpu.parallel.distributed import (
     DistDia,
     dist_ilv_decode,
@@ -39,9 +50,15 @@ from ca_lanczos_tpu.parallel.runtime import initialize_multihost, scaling_sweep
 
 __all__ = [
     "make_mesh",
+    "make_hier_mesh",
     "row_sharding",
+    "row_spec",
+    "row_axes",
     "replicated",
+    "psum_rows",
     "ROWS",
+    "HOST",
+    "CHIP",
     "DistDia",
     "dist_ilv_decode",
     "dist_ilv_encode",

@@ -31,7 +31,7 @@ from jax.tree_util import register_dataclass
 
 from ca_lanczos_tpu.ops.bsr import BsrMatrix
 from ca_lanczos_tpu.parallel.distributed import RowStateMixin, _halo_exchange
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, RowAxes, row_axes, row_spec
 
 
 @register_dataclass
@@ -121,7 +121,7 @@ class DistBsr(RowStateMixin):
             valid &= (c >= 0) & (c < nb_local + 2 * halo_b)
             sv.append(np.where(valid[..., None, None], v, 0))
             sc.append(np.where(valid, c, 0))
-        sharding = NamedSharding(mesh, PartitionSpec(ROWS))
+        sharding = NamedSharding(mesh, row_spec(mesh))
         return DistBsr(
             vals=jax.device_put(jnp.asarray(np.stack(sv)), sharding),
             cols=jax.device_put(jnp.asarray(np.stack(sc), jnp.int32), sharding),
@@ -136,19 +136,20 @@ class DistBsr(RowStateMixin):
         xp = np.zeros((n_pad,) + x.shape[1:], x.dtype)
         xp[: self.n] = x
         return jax.device_put(
-            jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS))
+            jnp.asarray(xp), NamedSharding(mesh, row_spec(mesh))
         )
 
 
 def _bsr_powers_local(
-    vals, cols, x_local, diag, sub, halo_b: int, bm: int, n_shards: int, s: int
+    vals, cols, x_local, diag, sub, halo_b: int, bm: int, n_shards: int,
+    s: int, axes: RowAxes = ROWS,
 ):
     """One halo exchange + s local block-matvec recurrence steps.
 
     The local step is a batched (bm x bm) x (bm,) tile contraction —
     dense MXU work per structural tile instead of the ELL path's scalar
     gathers (ops/bsr.py module doc)."""
-    xp = _halo_exchange(x_local, halo_b * bm, n_shards, False)
+    xp = _halo_exchange(x_local, halo_b * bm, n_shards, False, axes)
     mb = xp.shape[0] // bm
 
     def matvec(v):
@@ -181,14 +182,15 @@ def dist_bsr_matrix_powers(
         return _bsr_powers_local(
             v_block[0], c_block[0], x_local, dg, sb,
             halo_b=A.halo_b, bm=A.bm, n_shards=A.n_shards, s=s,
+            axes=row_axes(mesh),
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
+            row_spec(mesh), row_spec(mesh), row_spec(mesh),
             PartitionSpec(), PartitionSpec(),
         ),
-        out_specs=PartitionSpec(ROWS),
+        out_specs=row_spec(mesh),
     )(A.vals, A.cols, x, diag, sub)

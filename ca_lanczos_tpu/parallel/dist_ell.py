@@ -28,7 +28,7 @@ from jax.tree_util import register_dataclass
 
 from ca_lanczos_tpu.ops.spmv import EllMatrix
 from ca_lanczos_tpu.parallel.distributed import RowStateMixin, _halo_exchange
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, RowAxes, row_axes, row_spec
 
 
 @register_dataclass
@@ -76,7 +76,7 @@ class DistEll(RowStateMixin):
         into the ghost regions, which the ring halo exchange then fills
         from the opposite end (runLanczos.m:15-18 wrap structure)."""
         sv, sc, halo, n = ell_shard_planes(A, mesh.devices.size, s_max, periodic)
-        sharding = NamedSharding(mesh, PartitionSpec(ROWS))
+        sharding = NamedSharding(mesh, row_spec(mesh))
         return DistEll(
             vals=jax.device_put(jnp.asarray(sv), sharding),
             cols=jax.device_put(jnp.asarray(sc, jnp.int32), sharding),
@@ -91,7 +91,7 @@ class DistEll(RowStateMixin):
         n_pad = self.n_shards * self.n_local
         xp = np.zeros((n_pad,) + x.shape[1:], x.dtype)
         xp[: self.n] = x
-        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
+        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, row_spec(mesh)))
 
 
 def ell_shard_planes(A: EllMatrix, P_: int, s_max: int, periodic: bool = False):
@@ -161,10 +161,10 @@ def ell_shard_planes(A: EllMatrix, P_: int, s_max: int, periodic: bool = False):
 
 def _ell_powers_local(
     vals, cols, x_local, diag, sub, halo: int, n_shards: int, s: int,
-    periodic: bool = False,
+    periodic: bool = False, axes: RowAxes = ROWS,
 ):
     """One halo exchange + s local gather-SpMV recurrence steps."""
-    xp = _halo_exchange(x_local, halo, n_shards, periodic)
+    xp = _halo_exchange(x_local, halo, n_shards, periodic, axes)
 
     def matvec(v):
         return jnp.sum(vals * jnp.take(v, cols, axis=0), axis=1)
@@ -192,14 +192,15 @@ def dist_ell_matrix_powers(
         return _ell_powers_local(
             v_block[0], c_block[0], x_local, dg, sb,
             halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
+            axes=row_axes(mesh),
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
+            row_spec(mesh), row_spec(mesh), row_spec(mesh),
             PartitionSpec(), PartitionSpec(),
         ),
-        out_specs=PartitionSpec(ROWS),
+        out_specs=row_spec(mesh),
     )(A.vals, A.cols, x, diag, sub)

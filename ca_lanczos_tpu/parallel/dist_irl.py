@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ca_lanczos_tpu.config import Basis
 from ca_lanczos_tpu.ops.spmv import normest
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, row_spec
 from ca_lanczos_tpu.parallel.restarted import _dist_reorth
 from ca_lanczos_tpu.parallel.step import (
     dist_ca_block,
@@ -116,7 +116,7 @@ def dist_impl_restarted_ca_lanczos(
     dtype = q.dtype
     diag = jnp.asarray(diag_np, dtype)
     sub = jnp.asarray(sub_np, dtype)
-    shard = NamedSharding(mesh, PartitionSpec(ROWS))
+    shard = NamedSharding(mesh, row_spec(mesh))
 
     def extend(V: Optional[jax.Array], T: np.ndarray, k0: int):
         """Extend the sharded factorization to m+1 columns by CA blocks.

@@ -21,8 +21,21 @@ row-sharded, all reductions are single XLA collectives:
   and is at least as accurate.
 
 All functions run INSIDE ``shard_map`` (they operate on local shards and
-use ``psum``/``all_gather`` over the ``'rows'`` axis); compose them into a
+use ``psum``/``all_gather`` over the mesh row axes); compose them into a
 jitted step with ``jax.shard_map`` — see ``parallel.step``.
+
+**Hierarchical meshes** (``mesh.make_hier_mesh``, axes ``(HOST, CHIP)``):
+every function takes the mesh's row-axis handle via ``axes`` and the
+reductions become explicitly two-level —
+
+* ``psum_rows`` reduces over the chip axis first (ICI all-reduce within
+  each host) and then over the host axis (DCN all-reduce of the
+  already-reduced partials), the classic hierarchical all-reduce tree;
+* ``local_tsqr`` builds a two-level R-factor tree: chip-level stacked-R
+  QR (C*m x m, ICI) then host-level (H*m x m, DCN) — the DCN reduction
+  volume drops from P*m^2 to H*m^2 and the replicated small QR shrinks.
+
+The flat ``('rows',)`` path is unchanged.
 """
 
 from __future__ import annotations
@@ -33,39 +46,69 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, RowAxes
 
 
-def local_tsqr(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """TSQR across the rows axis: X_local (n_local, m) -> (Q_local, R).
+def _hier(axes: RowAxes) -> bool:
+    """True for a hierarchical (host, chip) row-axis handle."""
+    return isinstance(axes, tuple) and len(axes) > 1
+
+
+def psum_rows(x: jax.Array, axes: RowAxes = ROWS) -> jax.Array:
+    """All-reduce over the mesh row axes.  Hierarchical meshes reduce the
+    innermost (chip/ICI) axis first, then the host/DCN axis — each DCN
+    message carries the host's already-reduced partial, so inter-host
+    traffic is one partial per host instead of one per chip."""
+    if _hier(axes):
+        for a in reversed(axes):
+            x = lax.psum(x, a)
+        return x
+    return lax.psum(x, axes)
+
+
+def _stack_qr(R: jax.Array, axis_name: str) -> Tuple[jax.Array, jax.Array]:
+    """One TSQR tree level over ``axis_name``: slot-place this rank's R
+    into a (size*m, m) stack, psum (statically replicated all-gather),
+    QR, and return (my Q-correction slice, next-level R)."""
+    m = R.shape[1]
+    size = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    stacked = jnp.zeros((size * m, m), R.dtype)
+    stacked = lax.dynamic_update_slice_in_dim(stacked, R, idx * m, axis=0)
+    stacked = lax.psum(stacked, axis_name)
+    Qs, Rs = jnp.linalg.qr(stacked, mode="reduced")
+    return lax.dynamic_slice_in_dim(Qs, idx * m, m, axis=0), Rs
+
+
+def local_tsqr(X_local: jax.Array, axes: RowAxes = ROWS) -> Tuple[jax.Array, jax.Array]:
+    """TSQR across the row axes: X_local (n_local, m) -> (Q_local, R).
 
     R is replicated and has a non-negative diagonal (sign-fix parity with
     tsqr.m:9-11).  Call inside shard_map.
+
+    Flat mesh: one R-reduction level (P*m x m).  Hierarchical mesh: the
+    communication-optimal two-level tree — chip level rides ICI, host
+    level moves only H small R factors over DCN.
     """
-    m = X_local.shape[1]
     Q1, R1 = jnp.linalg.qr(X_local, mode="reduced")  # (n_local, m), (m, m)
-    # Gather the P local R factors by slot-placement + psum (equivalent to
-    # all_gather but statically replicated, so the result feeds replicated
-    # small math without VMA casts).
-    P_ = lax.axis_size(ROWS)
-    idx = lax.axis_index(ROWS)
-    stacked = jnp.zeros((P_ * m, m), R1.dtype)
-    stacked = lax.dynamic_update_slice_in_dim(stacked, R1, idx * m, axis=0)
-    stacked = lax.psum(stacked, ROWS)
-    Q2, R = jnp.linalg.qr(stacked, mode="reduced")
+    if _hier(axes):
+        host_ax, chip_ax = axes[0], axes[-1]
+        Q2_mine, R2 = _stack_qr(R1, chip_ax)   # ICI level
+        Q3_mine, R = _stack_qr(R2, host_ax)    # DCN level
+        Q_corr = Q2_mine @ Q3_mine
+    else:
+        Q_corr, R = _stack_qr(R1, axes)
     # Sign fix: diag(R) >= 0.
     sgn = jnp.where(jnp.diag(R) < 0, -1.0, 1.0).astype(R.dtype)
     R = sgn[:, None] * R
-    Q2 = Q2 * sgn[None, :]
-    idx = lax.axis_index(ROWS)
-    Q2_mine = lax.dynamic_slice_in_dim(Q2, idx * m, m, axis=0)
-    return Q1 @ Q2_mine, R
+    Q_corr = Q_corr * sgn[None, :]
+    return Q1 @ Q_corr, R
 
 
 def local_cholqr(
-    X_local: jax.Array, mp: bool = False
+    X_local: jax.Array, mp: bool = False, axes: RowAxes = ROWS
 ) -> Tuple[jax.Array, jax.Array]:
-    """CholQR across the rows axis (cholqr.m:3-9): G = psum(X^T X),
+    """CholQR across the row axes (cholqr.m:3-9): G = psum(X^T X),
     R = chol(G), Q = X R^{-1}.  Call inside shard_map.
 
     mp: accumulate the Gram psum, Cholesky, and triangular solve in
@@ -79,44 +122,47 @@ def local_cholqr(
 
     if mp and X_local.dtype != jnp.float64:
         Xw = X_local.astype(jnp.float64)
-        G = lax.psum(Xw.T @ Xw, ROWS)
+        G = psum_rows(Xw.T @ Xw, axes)
         R = _chol_safe(G).conj().T
         Q = lax.linalg.triangular_solve(
             R, Xw, left_side=False, lower=False
         ).astype(X_local.dtype)
         return Q, R
-    G = lax.psum(X_local.T @ X_local, ROWS)
+    G = psum_rows(X_local.T @ X_local, axes)
     R = _chol_safe(G).conj().T
     Q = lax.linalg.triangular_solve(R, X_local, left_side=False, lower=False)
     return Q, R
 
 
 def local_cholqr2(
-    X_local: jax.Array, mp: bool = False
+    X_local: jax.Array, mp: bool = False, axes: RowAxes = ROWS
 ) -> Tuple[jax.Array, jax.Array]:
     """Two distributed CholQR passes — the TPU-production normalizer
     (XLA's Householder QR of tall-skinny shards is minutes-slow on TPU;
     see config.QrMethod).  Valid for cond(X) < ~eps^{-1/2}."""
-    Q1, R1 = local_cholqr(X_local, mp)
-    Q2, R2 = local_cholqr(Q1, mp)
+    Q1, R1 = local_cholqr(X_local, mp, axes)
+    Q2, R2 = local_cholqr(Q1, mp, axes)
     return Q2, R2 @ R1
 
 
-def local_tsqr_mp(X_local: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def local_tsqr_mp(X_local: jax.Array, axes: RowAxes = ROWS) -> Tuple[jax.Array, jax.Array]:
     """local_tsqr with the factorization in float64; Q returns in X's
     dtype, R stays float64 (distributed ops.qr.tsqr_mp)."""
-    Q, R = local_tsqr(X_local.astype(jnp.float64))
+    Q, R = local_tsqr(X_local.astype(jnp.float64), axes)
     return Q.astype(X_local.dtype), R
 
 
-def local_qr(X_local: jax.Array, qr_method: str = "tsqr", mp: bool = False):
+def local_qr(
+    X_local: jax.Array, qr_method: str = "tsqr", mp: bool = False,
+    axes: RowAxes = ROWS,
+):
     """Dispatch on config.QrMethod value (+ OrthParams.mixed_precision)."""
     from ca_lanczos_tpu.config import QrMethod
 
     mp = mp and X_local.dtype != jnp.float64
     if QrMethod(qr_method) == QrMethod.CHOLQR2:
-        return local_cholqr2(X_local, mp)
-    return local_tsqr_mp(X_local) if mp else local_tsqr(X_local)
+        return local_cholqr2(X_local, mp, axes)
+    return local_tsqr_mp(X_local, axes) if mp else local_tsqr(X_local, axes)
 
 
 def local_qr_safe(
@@ -125,6 +171,7 @@ def local_qr_safe(
     key: jax.Array = None,
     rank_tol: float = 1.0e-12,
     mp: bool = False,
+    axes: RowAxes = ROWS,
 ):
     """Rank-revealing local_qr with masked fixed-shape null-space
     randomization — the in-jit distributed form of the reference's
@@ -149,7 +196,7 @@ def local_qr_safe(
     # mp composes: the factorization R (the T-recovery input) keeps its
     # f64 Gram accumulation in safe mode too; the refresh path below is
     # randomization plumbing and stays in storage dtype.
-    Q, R = local_qr(X_local, qr_method, mp)
+    Q, R = local_qr(X_local, qr_method, mp, axes)
     # Numerical rank via SVD of the small replicated R, exactly like the
     # reference (normalize.m:14-24): singular DIRECTIONS, not columns —
     # an unpivoted QR can leak range components into its garbage columns,
@@ -158,7 +205,7 @@ def local_qr_safe(
     bad = S <= rank_tol * S[0]  # replicated; sorted, so bad is a suffix
     rank = m - jnp.sum(bad)
 
-    idx = lax.axis_index(ROWS)
+    idx = lax.axis_index(axes)  # linearized on hierarchical meshes
     k = jax.random.fold_in(key, idx)
     rnd = jax.random.normal(k, X_local.shape, X_local.dtype)
     # keep the refresh path in storage dtype (mp leaves R f64)
@@ -166,9 +213,9 @@ def local_qr_safe(
     Qgood = jnp.where(bad[None, :], 0.0, Qrot)
     Y = jnp.where(bad[None, :], rnd, Qrot)
     for _ in range(2):  # masked CGS: only the replaced columns move
-        G = local_gram(Qgood, Y)
+        G = local_gram(Qgood, Y, axes=axes)
         Y = jnp.where(bad[None, :], Y - Qgood @ G, Y)
-    Q2, _ = local_qr(Y, qr_method)
+    Q2, _ = local_qr(Y, qr_method, axes=axes)
     # Left-to-right QR keeps the (already orthonormal) surviving columns
     # and completes the replaced ones against them.  On breakdown the
     # returned Q no longer pairs columnwise with R (the basis has been
@@ -180,21 +227,24 @@ def local_qr_safe(
 
 
 def local_gram(
-    Q_local: jax.Array, X_local: jax.Array, mp: bool = False
+    Q_local: jax.Array, X_local: jax.Array, mp: bool = False,
+    axes: RowAxes = ROWS,
 ) -> jax.Array:
-    """Replicated Gram product R = Q^H X via psum.  Call inside
-    shard_map.  mp: accumulate in float64 (returns float64)."""
+    """Replicated Gram product R = Q^H X via psum (two-level on
+    hierarchical meshes).  Call inside shard_map.  mp: accumulate in
+    float64 (returns float64)."""
     if mp and X_local.dtype != jnp.float64:
-        return lax.psum(
+        return psum_rows(
             Q_local.astype(jnp.float64).conj().T
             @ X_local.astype(jnp.float64),
-            ROWS,
+            axes,
         )
-    return lax.psum(Q_local.conj().T @ X_local, ROWS)
+    return psum_rows(Q_local.conj().T @ X_local, axes)
 
 
 def local_project(
-    Q_local: jax.Array, X_local: jax.Array, passes: int = 2, mp: bool = False
+    Q_local: jax.Array, X_local: jax.Array, passes: int = 2, mp: bool = False,
+    axes: RowAxes = ROWS,
 ):
     """Block CGS of X against orthonormal Q with ``passes`` fixed passes
     (distributed project.m:32-39 with the BCGS2 second pass made
@@ -207,7 +257,7 @@ def local_project(
     R = jnp.zeros((Q_local.shape[1], X_local.shape[1]), rdtype)
     Y = X_local
     for _ in range(passes):
-        Rp = local_gram(Q_local, Y, mp)
+        Rp = local_gram(Q_local, Y, mp, axes)
         if mp:
             Y = (
                 Y.astype(jnp.float64) - Q_local.astype(jnp.float64) @ Rp
@@ -218,6 +268,6 @@ def local_project(
     return Y, R
 
 
-def local_norm(x_local: jax.Array) -> jax.Array:
+def local_norm(x_local: jax.Array, axes: RowAxes = ROWS) -> jax.Array:
     """Global 2-norm of a row-sharded vector/multivector (per column)."""
-    return jnp.sqrt(lax.psum(jnp.sum(jnp.abs(x_local) ** 2, axis=0), ROWS))
+    return jnp.sqrt(psum_rows(jnp.sum(jnp.abs(x_local) ** 2, axis=0), axes))

@@ -31,7 +31,7 @@ from ca_lanczos_tpu.ops.pell import LANES, PellMatrix, _pell_step
 from ca_lanczos_tpu.ops.spmv import EllMatrix
 from ca_lanczos_tpu.parallel.dist_ell import ell_shard_planes
 from ca_lanczos_tpu.parallel.distributed import RowStateMixin, _halo_exchange
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, RowAxes, row_axes, row_spec
 
 
 @register_dataclass
@@ -152,7 +152,7 @@ class DistPell(RowStateMixin):
             ssp[p, :, :Wp] = esp
             ssp[p, :, Wp:] = esp[:, -1:]
 
-        sharding = NamedSharding(mesh, PartitionSpec(ROWS))
+        sharding = NamedSharding(mesh, row_spec(mesh))
         return DistPell(
             vals=jax.device_put(jnp.asarray(sv), sharding),
             lidx=jax.device_put(jnp.asarray(sl), sharding),
@@ -175,17 +175,17 @@ class DistPell(RowStateMixin):
         n_pad = self.n_shards * self.n_local
         xp = np.zeros((n_pad,) + x.shape[1:], x.dtype)
         xp[: self.n] = x
-        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
+        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, row_spec(mesh)))
 
 
 def _pell_powers_local(
     vals, lidx, cbase, span_row, x_local, diag, sub,
     *, halo: int, n_shards: int, s: int, periodic: bool,
     tile: int, k_slots: int, sw: int, n_win: int, n_x: int,
-    interpret: bool = False,
+    interpret: bool = False, axes: RowAxes = ROWS,
 ):
     """One halo exchange + s local PELL recurrence steps -> (n_local, s+1)."""
-    xp = _halo_exchange(x_local, halo, n_shards, periodic)
+    xp = _halo_exchange(x_local, halo, n_shards, periodic, axes)
     m = xp.shape[0]
     g_x = n_x // LANES
     x2 = jnp.pad(xp, (0, n_x - m)).reshape(-1, LANES)
@@ -215,7 +215,7 @@ def dist_pell_matrix_powers(
     kw = dict(
         halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
         tile=A.tile, k_slots=A.k_slots, sw=A.sw, n_win=A.n_win,
-        n_x=A.n_x, interpret=A.interpret,
+        n_x=A.n_x, interpret=A.interpret, axes=row_axes(mesh),
     )
 
     def body(v_b, l_b, cb_b, sp_b, x_local, dg, sb):
@@ -227,11 +227,11 @@ def dist_pell_matrix_powers(
         body,
         mesh=mesh,
         in_specs=(
-            PartitionSpec(ROWS), PartitionSpec(ROWS), PartitionSpec(ROWS),
-            PartitionSpec(ROWS), PartitionSpec(ROWS),
+            row_spec(mesh), row_spec(mesh), row_spec(mesh),
+            row_spec(mesh), row_spec(mesh),
             PartitionSpec(), PartitionSpec(),
         ),
-        out_specs=PartitionSpec(ROWS),
+        out_specs=row_spec(mesh),
         # Pallas interpret mode does not propagate varying manual axes;
         # the vma check only has to come off for CPU-interpret runs.
         check_vma=not A.interpret,

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec
 
 from ca_lanczos_tpu.parallel.dist_ell import DistEll
 from ca_lanczos_tpu.parallel.distributed import DistDia, _halo_exchange
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, row_axes, row_spec
 from ca_lanczos_tpu.solvers.propagators import _expm_tridiag, _tridiag
 
 
@@ -46,16 +46,17 @@ def _dia_matvec_cols(offsets, data, x):
 @partial(jax.jit, static_argnames=("mesh",))
 def dist_spmv_cols(A: Union[DistDia, DistEll], x: jax.Array, mesh: Mesh) -> jax.Array:
     """Distributed SpMV of a row-sharded (n_pad, c) multivector."""
+    axes = row_axes(mesh)
     if isinstance(A, DistDia):
         def body(data_block, x_local):
-            xp = _halo_exchange(x_local, A.halo, A.n_shards, A.periodic)
+            xp = _halo_exchange(x_local, A.halo, A.n_shards, A.periodic, axes)
             y = _dia_matvec_cols(A.offsets, data_block[0], xp)
             return y[A.halo : A.halo + x_local.shape[0]]
 
         operands = (A.data,)
     else:
         def body(v_block, c_block, x_local):
-            xp = _halo_exchange(x_local, A.halo, A.n_shards, A.periodic)
+            xp = _halo_exchange(x_local, A.halo, A.n_shards, A.periodic, axes)
             vals, cols = v_block[0], c_block[0]
             y = jnp.sum(vals[..., None] * jnp.take(xp, cols, axis=0), axis=1)
             return y[A.halo : A.halo + x_local.shape[0]]
@@ -65,8 +66,8 @@ def dist_spmv_cols(A: Union[DistDia, DistEll], x: jax.Array, mesh: Mesh) -> jax.
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1)),
-        out_specs=PartitionSpec(ROWS),
+        in_specs=tuple([row_spec(mesh)] * (len(operands) + 1)),
+        out_specs=row_spec(mesh),
     )(*operands, x)
 
 

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from jax.tree_util import register_dataclass
 
 from ca_lanczos_tpu.ops.spmv import DiaMatrix
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, RowAxes, row_axes, row_spec
 
 # Interleaved-center ghost depth, in q-units per interleave plane: 128
 # q-elements = one lane tile, so every per-plane ghost/center slice in
@@ -143,7 +143,7 @@ class RowStateMixin:
         dtype = self.dtype if dtype is None else dtype
         shape = (self.n_shards * self.state_len,) + ((cols,) if cols else ())
         return jax.device_put(
-            jnp.zeros(shape, dtype), NamedSharding(mesh, PartitionSpec(ROWS))
+            jnp.zeros(shape, dtype), NamedSharding(mesh, row_spec(mesh))
         )
 
     def shard_entry(self, x, mesh: Mesh) -> jax.Array:
@@ -316,7 +316,7 @@ class DistDia(RowStateMixin):
             [gdata[:, p * n_local : p * n_local + n_local + 2 * halo] for p in range(P_)]
         )
         sharded = jax.device_put(
-            jnp.asarray(shards), NamedSharding(mesh, PartitionSpec(ROWS))
+            jnp.asarray(shards), NamedSharding(mesh, row_spec(mesh))
         )
         if fused is None:
             # x64 processes are fine: the kernels trace under
@@ -346,7 +346,7 @@ class DistDia(RowStateMixin):
                     padded[:, W : W + m] = shards[p]
                     fshards[p] = padded.reshape(-1)
                 dflat = jax.device_put(
-                    jnp.asarray(fshards), NamedSharding(mesh, PartitionSpec(ROWS))
+                    jnp.asarray(fshards), NamedSharding(mesh, row_spec(mesh))
                 )
         ilv_dflat = None
         ilv_tq = ilv_m_pad = 0
@@ -397,7 +397,7 @@ class DistDia(RowStateMixin):
                         DiaMatrix(data=padded, offsets=A.offsets), tq
                     )
                 ilv_dflat = jax.device_put(
-                    jnp.asarray(ishards), NamedSharding(mesh, PartitionSpec(ROWS))
+                    jnp.asarray(ishards), NamedSharding(mesh, row_spec(mesh))
                 )
                 ilv_tq, ilv_m_pad = tq, imp
         return DistDia(
@@ -422,7 +422,7 @@ class DistDia(RowStateMixin):
         n_pad = self.n_shards * self.n_local
         xp = np.zeros((n_pad,) + x.shape[1:], x.dtype)
         xp[: self.n] = x
-        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, PartitionSpec(ROWS)))
+        return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, row_spec(mesh)))
 
     def ilv_shard_vector(self, x, mesh: Mesh) -> jax.Array:
         """Entry into the padded interleaved domain: global (n,) or
@@ -454,7 +454,7 @@ class DistDia(RowStateMixin):
         )
         out = cols[:, 0] if one else cols
         return jax.device_put(
-            jnp.asarray(out), NamedSharding(mesh, PartitionSpec(ROWS))
+            jnp.asarray(out), NamedSharding(mesh, row_spec(mesh))
         )
 
     def ilv_gather_columns(self, Q) -> np.ndarray:
@@ -491,24 +491,40 @@ def _dia_matvec_local(offsets: Tuple[int, ...], data: jax.Array, x: jax.Array) -
     return y
 
 
-def _halo_exchange(
-    x_local: jax.Array, halo: int, n_shards: int, periodic: bool = False
-) -> jax.Array:
-    """Pull ``halo`` rows from each ring neighbor; edge shards get zeros
-    (ppermute semantics — correct for non-periodic operators whose halo
-    rows beyond the boundary are zero).  With ``periodic=True`` the ring
-    closes: edge shards pull the wrapped rows from the opposite end, so
-    circulant-banded operators (the reference's periodic FD Hamiltonian,
-    runLanczos.m:15-18) distribute like any banded operator."""
+def _ring_perms(n_shards: int, periodic: bool):
+    """Forward/backward neighbor pairs of the linear shard ring.  On a
+    hierarchical mesh the linear index is host-major, so consecutive
+    pairs stay on ICI and exactly the ``(h*C + C-1, (h+1)*C)`` boundary
+    pairs cross DCN."""
     if periodic:
         fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
     else:
         fwd = [(i, i + 1) for i in range(n_shards - 1)]
         bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    return fwd, bwd
+
+
+def _halo_exchange(
+    x_local: jax.Array, halo: int, n_shards: int, periodic: bool = False,
+    axes: RowAxes = ROWS,
+) -> jax.Array:
+    """Pull ``halo`` rows from each ring neighbor; edge shards get zeros
+    (ppermute semantics — correct for non-periodic operators whose halo
+    rows beyond the boundary are zero).  With ``periodic=True`` the ring
+    closes: edge shards pull the wrapped rows from the opposite end, so
+    circulant-banded operators (the reference's periodic FD Hamiltonian,
+    runLanczos.m:15-18) distribute like any banded operator.
+
+    ``axes``: the mesh row-axis handle.  On a hierarchical (host, chip)
+    mesh the single ppermute runs over the linearized axes — XLA's
+    CollectivePermute keeps the intra-host pairs on ICI and only the
+    2*(H-1) host-boundary pairs (2H when periodic) touch DCN, the
+    minimum for a ring exchange."""
+    fwd, bwd = _ring_perms(n_shards, periodic)
     with jax.named_scope("halo_exchange"):
-        left = lax.ppermute(x_local[-halo:], ROWS, perm=fwd)
-        right = lax.ppermute(x_local[:halo], ROWS, perm=bwd)
+        left = lax.ppermute(x_local[-halo:], axes, perm=fwd)
+        right = lax.ppermute(x_local[:halo], axes, perm=bwd)
         return jnp.concatenate([left, x_local, right])
 
 
@@ -529,6 +545,7 @@ def _powers_local(
     transposed: bool = False,
     include_q: bool = True,
     periodic: bool = False,
+    axes: RowAxes = ROWS,
 ) -> jax.Array:
     """One halo exchange + s local three-term-recurrence SpMVs.
 
@@ -545,7 +562,7 @@ def _powers_local(
     but fused_w >= s*w keeps the owned center exact, identical to the
     single-chip kernel's guarantee.
     """
-    xp = _halo_exchange(x_local, halo, n_shards, periodic)
+    xp = _halo_exchange(x_local, halo, n_shards, periodic, axes)
     n_local = x_local.shape[0]
 
     if dflat_local is not None and s * max(
@@ -597,12 +614,12 @@ def dia_powers_operands(A: DistDia):
     return tuple(ops_), tuple(names)
 
 
-def dia_powers_statics(A: DistDia, s: int) -> dict:
+def dia_powers_statics(A: DistDia, s: int, axes: RowAxes = ROWS) -> dict:
     """Static _powers_local kwargs for an operator (shared threading)."""
     return dict(
         offsets=A.offsets, halo=A.halo, n_shards=A.n_shards, s=s,
         fused_w=A.fused_w, m_pad=A.m_pad, fused_tile=A.fused_tile,
-        fused_interpret=A.fused_interpret, periodic=A.periodic,
+        fused_interpret=A.fused_interpret, periodic=A.periodic, axes=axes,
     )
 
 
@@ -626,7 +643,7 @@ def dist_matrix_powers(
     this wrapper is the reference-shaped API (matrix_powers.m:1-13)."""
     check_s_bound(A, s)
     operands, names = dia_powers_operands(A)
-    inner = partial(_powers_local, **dia_powers_statics(A, s))
+    inner = partial(_powers_local, **dia_powers_statics(A, s, row_axes(mesh)))
 
     def body(*args):
         *blocks, x_local, dg, sb = args
@@ -643,9 +660,9 @@ def dist_matrix_powers(
     W = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1))
+        in_specs=tuple([row_spec(mesh)] * (len(operands) + 1))
         + (PartitionSpec(), PartitionSpec()),
-        out_specs=PartitionSpec(None, ROWS),
+        out_specs=row_spec(mesh, lead_none=1),
     )(*operands, x, diag, sub)
     return jnp.concatenate([x[None, :], W], axis=0).T
 
@@ -672,7 +689,7 @@ def dist_matrix_powers_rows(
     operands, names = dia_powers_operands(A)
     inner = partial(
         _powers_local, transposed=True, include_q=False,
-        **dia_powers_statics(A, s),
+        **dia_powers_statics(A, s, row_axes(mesh)),
     )
 
     def body(*args):
@@ -683,9 +700,9 @@ def dist_matrix_powers_rows(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1))
+        in_specs=tuple([row_spec(mesh)] * (len(operands) + 1))
         + (PartitionSpec(), PartitionSpec()),
-        out_specs=PartitionSpec(None, ROWS),
+        out_specs=row_spec(mesh, lead_none=1),
     )(*operands, x, diag, sub)
 
 
@@ -716,6 +733,7 @@ def _ilv_powers_local(
     ilv_m_pad: int,
     periodic: bool = False,
     fused_interpret: bool = False,
+    axes: RowAxes = ROWS,
 ) -> jax.Array:
     """Interleaved-center shard-local s-step: edge exchange + ilv kernel,
     everything staying in the interleaved layout (see DistDia.from_dia's
@@ -731,15 +749,10 @@ def _ilv_powers_local(
     nq = n_local // _J
     nqp = ilv_m_pad // _J
     first, last = _ilv_edges(x_il, nq)
-    if periodic:
-        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
-    else:
-        fwd = [(i, i + 1) for i in range(n_shards - 1)]
-        bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    fwd, bwd = _ring_perms(n_shards, periodic)
     with jax.named_scope("ilv_edge_exchange"):
-        from_left = lax.ppermute(last, ROWS, perm=fwd)
-        from_right = lax.ppermute(first, ROWS, perm=bwd)
+        from_left = lax.ppermute(last, axes, perm=fwd)
+        from_right = lax.ppermute(first, axes, perm=bwd)
 
     xp = jnp.zeros((ilv_m_pad,), x_il.dtype)
     for r in range(_J):
@@ -796,28 +809,29 @@ def dist_matrix_powers_ilv(
             offsets=A.offsets, n_shards=A.n_shards, s=s,
             ilv_tq=A.ilv_tq, ilv_m_pad=A.ilv_m_pad,
             periodic=A.periodic, fused_interpret=A.fused_interpret,
+            axes=row_axes(mesh),
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS),
+        in_specs=(row_spec(mesh), row_spec(mesh),
                   PartitionSpec(), PartitionSpec()),
-        out_specs=PartitionSpec(None, ROWS),
+        out_specs=row_spec(mesh, lead_none=1),
     )(A.ilv_dflat, x_il, diag, sub)
 
 
-def ilv_statics(A: DistDia, s: int) -> dict:
+def ilv_statics(A: DistDia, s: int, axes: RowAxes = ROWS) -> dict:
     """Static kwargs for the padded-domain ilv body helpers below."""
     return dict(
         offsets=A.offsets, n_shards=A.n_shards, s=s, n_local=A.n_local,
         ilv_tq=A.ilv_tq, ilv_m_pad=A.ilv_m_pad, periodic=A.periodic,
-        fused_interpret=A.fused_interpret,
+        fused_interpret=A.fused_interpret, axes=axes,
     )
 
 
 def ilv_refresh_ghosts(xp: jax.Array, *, n_local, ilv_m_pad, n_shards,
-                       periodic=False, **_) -> jax.Array:
+                       periodic=False, axes: RowAxes = ROWS, **_) -> jax.Array:
     """Refresh the ghost slices of a PADDED-DOMAIN interleaved shard
     vector from ring neighbors (shard_map-body helper).
 
@@ -839,15 +853,10 @@ def ilv_refresh_ghosts(xp: jax.Array, *, n_local, ilv_m_pad, n_shards,
     last = jnp.stack([
         lax.dynamic_slice(xp, (r * nqp + nq,), (ILV_HALO_Q,))
         for r in range(_J)])
-    if periodic:
-        fwd = [(i, (i + 1) % P) for i in range(P)]
-        bwd = [((i + 1) % P, i) for i in range(P)]
-    else:
-        fwd = [(i, i + 1) for i in range(P - 1)]
-        bwd = [(i + 1, i) for i in range(P - 1)]
+    fwd, bwd = _ring_perms(P, periodic)
     if P > 1 or periodic:
-        fl = lax.ppermute(last, ROWS, perm=fwd)
-        fr = lax.ppermute(first, ROWS, perm=bwd)
+        fl = lax.ppermute(last, axes, perm=fwd)
+        fr = lax.ppermute(first, axes, perm=bwd)
     else:
         fl, fr = jnp.zeros_like(last), jnp.zeros_like(first)
     for r in range(_J):
@@ -943,7 +952,7 @@ def dist_ilv_encode(A: DistDia, x, mesh: Mesh) -> jax.Array:
         [ilv_encode(xp[p * nl : (p + 1) * nl]) for p in range(A.n_shards)]
     )
     return jax.device_put(
-        jnp.asarray(enc), NamedSharding(mesh, PartitionSpec(ROWS))
+        jnp.asarray(enc), NamedSharding(mesh, row_spec(mesh))
     )
 
 
@@ -976,7 +985,7 @@ def dist_spmv_ilv(A: DistDia, xp: jax.Array, mesh: Mesh) -> jax.Array:
     restarted_ca_lanczos.m:156-166)."""
     if A.ilv_dflat is None:
         raise ValueError("operator built without ilv=True")
-    st = ilv_statics(A, 1)
+    st = ilv_statics(A, 1, row_axes(mesh))
 
     def body(iflat_block, x_local):
         # Kernel seam cast (f32-only kernel, caller-controlled state
@@ -989,8 +998,8 @@ def dist_spmv_ilv(A: DistDia, xp: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS)),
-        out_specs=PartitionSpec(ROWS),
+        in_specs=(row_spec(mesh), row_spec(mesh)),
+        out_specs=row_spec(mesh),
     )(A.ilv_dflat, xp)
 
 
@@ -999,13 +1008,14 @@ def dist_spmv(A: DistDia, x: jax.Array, mesh: Mesh) -> jax.Array:
     """Single distributed SpMV (1-deep use of the stored halo)."""
     def body(data_block, x_local):
         data = data_block[0]
-        xp = _halo_exchange(x_local, A.halo, A.n_shards, A.periodic)
+        xp = _halo_exchange(x_local, A.halo, A.n_shards, A.periodic,
+                            row_axes(mesh))
         y = _dia_matvec_local(A.offsets, data, xp)
         return y[A.halo : A.halo + x_local.shape[0]]
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS)),
-        out_specs=PartitionSpec(ROWS),
+        in_specs=(row_spec(mesh), row_spec(mesh)),
+        out_specs=row_spec(mesh),
     )(A.data, x)

@@ -50,7 +50,7 @@ def _dist_spmv_any(Adist, x, mesh):
     if isinstance(Adist, DistBsr):
         return dist_bsr_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
     return dist_ell_matrix_powers(Adist, x, 1, z, z, mesh)[:, 1]
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, row_axes, row_spec
 from ca_lanczos_tpu.parallel.step import (
     _local_powers_fn,
     _powers_check_vma,
@@ -82,7 +82,8 @@ def _dist_first_block_locked(
     subspace) cannot poison the basis."""
     from ca_lanczos_tpu.parallel.dist_orth import local_qr_safe
 
-    powers, operands = _local_powers_fn(A, s)
+    axes = row_axes(mesh)
+    powers, operands = _local_powers_fn(A, s, axes)
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -90,21 +91,21 @@ def _dist_first_block_locked(
         *op_blocks, x_local, Qc_local, dg, sb, k = args
         V = powers(*op_blocks, x_local, dg, sb)
         if safe:
-            Qb, R, rank = local_qr_safe(V, qr_method, key=k, mp=mp)
+            Qb, R, rank = local_qr_safe(V, qr_method, key=k, mp=mp, axes=axes)
         else:
-            Qb, R = local_qr(V, qr_method, mp)
+            Qb, R = local_qr(V, qr_method, mp, axes)
             rank = jnp.asarray(V.shape[1])
-        Qb, _ = local_project(Qc_local, Qb, passes=2, mp=mp)
+        Qb, _ = local_project(Qc_local, Qb, passes=2, mp=mp, axes=axes)
         # Renormalize after the projection pass (projectAndNormalize).
-        Qb, _ = local_qr(Qb, qr_method, mp)
+        Qb, _ = local_qr(Qb, qr_method, mp, axes)
         return Qb, R, rank
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
+        in_specs=tuple([row_spec(mesh)] * (len(operands) + 2))
         + (PartitionSpec(), PartitionSpec(), PartitionSpec()),
-        out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        out_specs=(row_spec(mesh), PartitionSpec(), PartitionSpec()),
         check_vma=_powers_check_vma(A),
     )(*operands, q, Qconv, diag, sub, key)
 
@@ -119,7 +120,8 @@ def _dist_ca_block_locked(
     (restarted_ca_lanczos.m:324).  A: DistDia or DistEll."""
     from ca_lanczos_tpu.parallel.dist_orth import local_qr_safe
 
-    powers, operands = _local_powers_fn(A, s)
+    axes = row_axes(mesh)
+    powers, operands = _local_powers_fn(A, s, axes)
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -128,20 +130,20 @@ def _dist_ca_block_locked(
         q_local = Qp_local[:, -1]
         V = powers(*op_blocks, q_local, dg, sb)
         X = V[:, 1:]
-        Y, Rkk = local_project(Qp_local, X, passes=2, mp=mp)
-        Y, _ = local_project(Qc_local, Y, passes=1, mp=mp)
+        Y, Rkk = local_project(Qp_local, X, passes=2, mp=mp, axes=axes)
+        Y, _ = local_project(Qc_local, Y, passes=1, mp=mp, axes=axes)
         if safe:
-            Q_new, R, _ = local_qr_safe(Y, qr_method, key=k, mp=mp)
+            Q_new, R, _ = local_qr_safe(Y, qr_method, key=k, mp=mp, axes=axes)
         else:
-            Q_new, R = local_qr(Y, qr_method, mp)
+            Q_new, R = local_qr(Y, qr_method, mp, axes)
         return Q_new, Rkk, R
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 2))
+        in_specs=tuple([row_spec(mesh)] * (len(operands) + 2))
         + (PartitionSpec(), PartitionSpec(), PartitionSpec()),
-        out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        out_specs=(row_spec(mesh), PartitionSpec(), PartitionSpec()),
         check_vma=_powers_check_vma(A),
     )(*operands, Q_prev, Qconv, diag, sub, key)
 
@@ -159,16 +161,18 @@ def _dist_reorth(Qhist, X, mesh: Mesh, qr_method: str = "tsqr",
     factors; the cleanup only restores orthogonality.
     """
 
+    axes = row_axes(mesh)
+
     def body(Qh_local, X_local):
-        Y, _ = local_project(Qh_local, X_local, passes=2, mp=mp)
-        Q, _ = local_qr(Y, qr_method, mp)
+        Y, _ = local_project(Qh_local, X_local, passes=2, mp=mp, axes=axes)
+        Q, _ = local_qr(Y, qr_method, mp, axes)
         return Q
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(PartitionSpec(ROWS), PartitionSpec(ROWS)),
-        out_specs=PartitionSpec(ROWS),
+        in_specs=(row_spec(mesh), row_spec(mesh)),
+        out_specs=row_spec(mesh),
     )(Qhist, X)
 
 
@@ -182,8 +186,8 @@ def _dist_ritz_vector(Q_blocks, w, mesh: Mesh):
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(PartitionSpec(ROWS), PartitionSpec()),
-        out_specs=PartitionSpec(ROWS),
+        in_specs=(row_spec(mesh), PartitionSpec()),
+        out_specs=row_spec(mesh),
     )(Q_blocks, w)
 
 

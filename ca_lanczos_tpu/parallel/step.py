@@ -24,7 +24,7 @@ from ca_lanczos_tpu.parallel.dist_orth import local_project, local_qr
 from ca_lanczos_tpu.parallel.dist_ell import DistEll, _ell_powers_local
 from ca_lanczos_tpu.parallel.dist_pell import DistPell, _pell_powers_local
 from ca_lanczos_tpu.parallel.distributed import DistDia, _powers_local
-from ca_lanczos_tpu.parallel.mesh import ROWS
+from ca_lanczos_tpu.parallel.mesh import ROWS, RowAxes, row_axes, row_spec
 
 
 def partition_operator(A, mesh: Mesh, s_max: int, dist_format: str = "auto"):
@@ -83,7 +83,7 @@ def partition_operator(A, mesh: Mesh, s_max: int, dist_format: str = "auto"):
     )
 
 
-def _local_powers_fn(A, s: int):
+def _local_powers_fn(A, s: int, axes: RowAxes = ROWS):
     """Uniform (operand_blocks..., x_local, diag, sub) -> (n_local, s+1)
     powers closure for DistDia / DistEll / DistPell / DistBsr shards,
     plus the operand arrays to thread through shard_map."""
@@ -97,6 +97,7 @@ def _local_powers_fn(A, s: int):
             return _bsr_powers_local(
                 v_block[0], c_block[0], x_local, dg, sb,
                 halo_b=A.halo_b, bm=A.bm, n_shards=A.n_shards, s=s,
+                axes=axes,
             )
 
         return body_bsr, (A.vals, A.cols)
@@ -105,7 +106,7 @@ def _local_powers_fn(A, s: int):
         pell_kw = dict(
             halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
             tile=A.tile, k_slots=A.k_slots, sw=A.sw, n_win=A.n_win,
-            n_x=A.n_x, interpret=A.interpret,
+            n_x=A.n_x, interpret=A.interpret, axes=axes,
         )
 
         def body_pell(v_b, l_b, cb_b, sp_b, x_local, dg, sb):
@@ -120,6 +121,7 @@ def _local_powers_fn(A, s: int):
             return _ell_powers_local(
                 v_block[0], c_block[0], x_local, dg, sb,
                 halo=A.halo, n_shards=A.n_shards, s=s, periodic=A.periodic,
+                axes=axes,
             )
 
         return body_ell, (A.vals, A.cols)
@@ -139,7 +141,7 @@ def _local_powers_fn(A, s: int):
             ILV_HALO_Q, ilv_padded_powers, ilv_statics,
         )
 
-        st = ilv_statics(A, s)
+        st = ilv_statics(A, s, axes)
         nqp = A.ilv_m_pad // _J
         nq = A.n_local // _J
 
@@ -168,7 +170,7 @@ def _local_powers_fn(A, s: int):
     )
 
     operands, names = dia_powers_operands(A)
-    statics = dia_powers_statics(A, s)
+    statics = dia_powers_statics(A, s, axes)
 
     def body_dia(*args):
         *blocks, x_local, dg, sb = args
@@ -208,19 +210,20 @@ def dist_first_block(
     (ca_lanczos.m:176-182).  A is a DistDia or DistEll; returns
     (Q (n, s+1) sharded, R (s+1, s+1)).  mp: float64 Gram/R reductions
     (OrthParams.mixed_precision) while the basis stays f32."""
-    powers, operands = _local_powers_fn(A, s)
+    axes = row_axes(mesh)
+    powers, operands = _local_powers_fn(A, s, axes)
 
     def body(*args):
         *op_blocks, x_local, dg, sb = args
         V = powers(*op_blocks, x_local, dg, sb)
-        Q, R = local_qr(V, qr_method, mp)
+        Q, R = local_qr(V, qr_method, mp, axes)
         return Q, R
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
-        out_specs=(PartitionSpec(ROWS), PartitionSpec()),
+        in_specs=tuple([row_spec(mesh)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
+        out_specs=(row_spec(mesh), PartitionSpec()),
         check_vma=_powers_check_vma(A),
     )(*operands, q, diag, sub)
 
@@ -239,21 +242,22 @@ def dist_ca_block(
     inputs of the Tk recurrence (solvers._block.block_T).
     """
 
-    powers, operands = _local_powers_fn(A, s)
+    axes = row_axes(mesh)
+    powers, operands = _local_powers_fn(A, s, axes)
 
     def body(*args):
         *op_blocks, Qp_local, dg, sb = args
         q_local = Qp_local[:, -1]
         V = powers(*op_blocks, q_local, dg, sb)
         X = V[:, 1:]
-        Y, Rkk = local_project(Qp_local, X, passes=2, mp=mp)
-        Q_new, R = local_qr(Y, qr_method, mp)
+        Y, Rkk = local_project(Qp_local, X, passes=2, mp=mp, axes=axes)
+        Q_new, R = local_qr(Y, qr_method, mp, axes)
         return Q_new, Rkk, R
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple([PartitionSpec(ROWS)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
-        out_specs=(PartitionSpec(ROWS), PartitionSpec(), PartitionSpec()),
+        in_specs=tuple([row_spec(mesh)] * (len(operands) + 1)) + (PartitionSpec(), PartitionSpec()),
+        out_specs=(row_spec(mesh), PartitionSpec(), PartitionSpec()),
         check_vma=_powers_check_vma(A),
     )(*operands, Q_prev, diag, sub)

@@ -66,7 +66,8 @@ def main():
                 )
                 vol_orth, _ = collective_bytes(
                     lambda QQ: dist_ca_block(A, QQ, z, z, s, mesh), Q,
-                    names=("ppermute", "psum", "all_gather", "all_reduce"),
+                    names=("ppermute", "psum", "psum_invariant",
+                           "all_gather", "all_reduce"),
                 )
                 expect = 2 * s * w * 4  # halo = s_max*w here, s_max = s
                 rec = dict(
@@ -78,6 +79,68 @@ def main():
                     block_orth_collective_bytes=vol_orth,
                 )
                 rows.append(rec)
+    # ---- Hierarchical (host x chip) meshes (round-5): same volumes,
+    # partitioned by transport — intra-host ppermute pairs ride ICI,
+    # only the 2*(H-1) host-boundary pairs cross DCN, and the psum tree
+    # reduces chip-level (ICI) before host-level (DCN).
+    from ca_lanczos_tpu.parallel import make_hier_mesh
+
+    def ppermute_perms(fn, *args):
+        jx = jax.make_jaxpr(fn)(*args)
+        perms = []
+
+        def walk(jaxpr):
+            for eq in jaxpr.eqns:
+                if eq.primitive.name == "ppermute":
+                    shp = next(
+                        tuple(v.aval.shape) for v in eq.invars
+                        if hasattr(v.aval, "shape")
+                    )
+                    perms.append((eq.params["perm"], shp))
+                for v in eq.params.values():
+                    for sub in jax.tree_util.tree_leaves(
+                        v, is_leaf=lambda t: hasattr(t, "eqns") or hasattr(t, "jaxpr")
+                    ):
+                        if hasattr(sub, "jaxpr"):
+                            sub = sub.jaxpr
+                        if hasattr(sub, "eqns"):
+                            walk(sub)
+
+        walk(jx.jaxpr)
+        return perms
+
+    s, w = 8, 4
+    for H, C in ((2, 4), (4, 2)):
+        mesh = make_hier_mesh(H, C, devices=devs[: H * C])
+        n = H * C * 2048
+        A = DistDia.from_dia(banded(n, w), mesh, s_max=s)
+        x = A.shard_vector(np.ones(n, np.float32), mesh)
+        z = jnp.zeros(s, jnp.float32)
+        perms = ppermute_perms(
+            lambda xx: dist_matrix_powers(A, xx, s, z, z, mesh), x
+        )
+        halo_b = 2 * s * w * 4
+        dcn_pairs = sum(
+            1 for perm, _ in perms for a, b in perm if a // C != b // C
+        )
+        ici_pairs = sum(
+            1 for perm, _ in perms for a, b in perm if a // C == b // C
+        )
+        # per-pair bytes: each ppermute moves its operand per pair
+        per_pair = int(np.prod(perms[0][1])) * 4
+        rec = dict(
+            table="hier_halo", H=H, C=C, s=s, w=w, n=n,
+            halo_bytes_per_device=halo_b,
+            dcn_pairs=dcn_pairs, ici_pairs=ici_pairs,
+            dcn_bytes_per_boundary=per_pair,
+            dcn_pairs_model=2 * (H - 1),
+            match=bool(dcn_pairs == 2 * (H - 1)),
+        )
+        rows.append(rec)
+        print(f"hier {H}x{C}: halo {halo_b} B/device, DCN pairs "
+              f"{dcn_pairs} (model {2*(H-1)}), ICI pairs {ici_pairs}, "
+              f"{per_pair} B per boundary")
+
     with open(OUT, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
@@ -88,7 +151,7 @@ def main():
     print("\n| s | halo bytes/device/block | bytes per SpMV | orth collective bytes |")
     print("|---|---|---|---|")
     for r in rows:
-        if r["P"] == 8 and r["w"] == 4:
+        if r.get("P") == 8 and r["w"] == 4:
             print(f"| {r['s']} | {r['halo_bytes_per_device']} | "
                   f"{r['halo_bytes_per_device'] // r['s']} | "
                   f"{r['block_orth_collective_bytes']} |")

@@ -106,10 +106,15 @@ class TestHaloVolume:
                 np.ones((n, s + 1), np.float32) / np.sqrt(n), mesh
             )
             z = jnp.zeros(s, jnp.float32)
+            # "psum_invariant" is the psum primitive's jaxpr name in
+            # current JAX — the old "psum" name collected nothing, which
+            # silently weakened this test to ppermute-only (round-5 fix).
             total, calls = collective_bytes(
                 lambda QQ: dist_ca_block(A, QQ, z, z, s, mesh), Q,
-                names=("ppermute", "psum", "all_gather", "all_reduce"),
+                names=("ppermute", "psum", "psum_invariant", "all_gather",
+                       "all_reduce"),
             )
+            assert any(name.startswith("psum") for name, _ in calls)
             # no collective operand may scale with n
             n_local = n // 8
             for name, ops in calls:
