@@ -53,35 +53,57 @@ def _n_locked(res) -> int:
     return int(np.sum(np.isfinite(e)))
 
 
-def _ladder(cfg: LanczosConfig, first: str, second: str):
+_M_LARGE = 96  # larger-basis rescue rung (see _ladder)
+
+
+def _ladder(cfg: LanczosConfig, first: str, second: str,
+            max_lanczos: Optional[int] = None):
     """Escalation ladder: the two probe-ordered drivers at the case's own
     config, then numerically-SAFE rescue legs for the failure physics the
     round-2 corpus campaign left open (BENCHMARKS.md: the s=10 Newton
     basis condition number exceeds f64 on kappa~1e8 spectra, and weak
     orth modes lose the clustered partners) — full reorthogonalization at
     the case's s, then the s=4 full-orth CA-safe regime for both drivers.
-    The budget (max_basis vectors per cycle, max_restarts) never grows.
+    The budget (max_basis vectors per cycle, max_restarts) never grows on
+    these rungs.
 
-    Returns [(driver, cfg, label), ...]; labels record any config
-    deviation so results stay auditable."""
+    Final rung (round-5, the mesh_2d_aniso closer): when the caller's
+    per-cycle basis budget is below ``_M_LARGE``, one IRL full-orth
+    attempt at m=96.  Near-degenerate tops (1e-6-relative gaps at
+    eps=1e-3 anisotropy) are unresolvable in a 60-vector window at any
+    orth setting — the restart polynomial cannot separate the cluster —
+    but a 96-vector window converges them in ~100 implicit restarts
+    (measured: err 1.5e-12 where every 60-vector leg stalls at 4.9e-6).
+    The larger budget is explicit in the label so results stay
+    auditable against the reference-budget legs.
+
+    Returns [(driver, cfg, label, m_override), ...]; m_override=None
+    keeps the caller's budget."""
     from ca_lanczos_tpu.config import Orth
 
-    attempts = [(first, cfg, first), (second, cfg, second)]
+    attempts = [(first, cfg, first, None), (second, cfg, second, None)]
     if cfg.orth != Orth.FULL:
         c = dataclasses.replace(cfg, orth=Orth.FULL)
         attempts.append(
             ("impl_restarted_ca_lanczos", c,
-             "impl_restarted_ca_lanczos[orth=full]")
+             "impl_restarted_ca_lanczos[orth=full]", None)
         )
     if cfg.s > 4:
         c4 = dataclasses.replace(cfg, s=4, orth=Orth.FULL)
         attempts.append(
             ("impl_restarted_ca_lanczos", c4,
-             "impl_restarted_ca_lanczos[s=4,orth=full]")
+             "impl_restarted_ca_lanczos[s=4,orth=full]", None)
         )
         attempts.append(
             ("restarted_ca_lanczos", c4,
-             "restarted_ca_lanczos[s=4,orth=full]")
+             "restarted_ca_lanczos[s=4,orth=full]", None)
+        )
+    if max_lanczos is not None and max_lanczos < _M_LARGE:
+        cf = dataclasses.replace(cfg, orth=Orth.FULL)
+        attempts.append(
+            ("impl_restarted_ca_lanczos", cf,
+             f"impl_restarted_ca_lanczos[orth=full,m={_M_LARGE}]",
+             _M_LARGE)
         )
     return attempts
 
@@ -89,12 +111,12 @@ def _ladder(cfg: LanczosConfig, first: str, second: str):
 def _escalate(run, attempts):
     """Shared escalation policy for the single- and multi-chip entries:
     walk the ladder until a driver converges; otherwise keep the attempt
-    that locked the most (finite) pairs.  ``run(name, cfg)`` returns the
-    driver result.  Returns (result, label, escalated)."""
+    that locked the most (finite) pairs.  ``run(name, cfg, m_override)``
+    returns the driver result.  Returns (result, label, escalated)."""
     best = best_label = None
     best_i = 0
-    for i, (name, c, label) in enumerate(attempts):
-        res = run(name, c)
+    for i, (name, c, label, m) in enumerate(attempts):
+        res = run(name, c, m)
         if res.converged:
             return res, label, i > 0
         if best is None or _n_locked(res) > _n_locked(best):
@@ -189,9 +211,9 @@ def solve_auto(
         else "restarted_ca_lanczos"
     )
     res, solver, escalated = _escalate(
-        lambda name, c: _run(name, A, r, max_lanczos, c, engine,
-                             cycles_per_call),
-        _ladder(cfg, first, second),
+        lambda name, c, m: _run(name, A, r, m or max_lanczos, c, engine,
+                                cycles_per_call),
+        _ladder(cfg, first, second, max_lanczos),
     )
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:

@@ -162,16 +162,18 @@ def dist_solve_auto(
 
         a = negate_operator(a)
 
-    def _run(name, c):
+    def _run(name, c, m=None):
         # c is the attempt's (possibly rescue-leg) config; the dist IRL
         # driver has no orth knob (its inner iteration is always fully
         # reorthogonalized against the window), so only s/budget vary.
+        # m: the rung's basis-budget override (the m=96 closer rung).
+        budget = m or max_lanczos
         if name == "restarted_ca_lanczos":
             return dist_restarted_ca_lanczos(
-                a, r, max_lanczos, mesh, c, dist_format=dist_format
+                a, r, budget, mesh, c, dist_format=dist_format
             )
         return dist_impl_restarted_ca_lanczos(
-            a, r, max_lanczos, mesh,
+            a, r, budget, mesh,
             n_wanted=c.n_wanted, s=c.s, basis=c.basis,
             tol=c.tol, max_restarts=c.max_restarts,
             dist_format=dist_format,
@@ -187,7 +189,9 @@ def dist_solve_auto(
     )
     from ca_lanczos_tpu.harness.auto import _escalate, _ladder
 
-    res, solver, escalated = _escalate(_run, _ladder(cfg, first, second))
+    res, solver, escalated = _escalate(
+        _run, _ladder(cfg, first, second, max_lanczos)
+    )
     solver = "dist_" + solver
     Q = res.Q_conv
     if route is not None and route.perm is not None and Q is not None:

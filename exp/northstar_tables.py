@@ -48,11 +48,18 @@ def bench_operator(n=1 << 22):
 
 
 def main():
+    rows = []
+    skip_tables = bool(os.environ.get("NSTAR_SKIP_TABLES"))
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "results", "northstar_tables.jsonl")
+    if skip_tables and os.path.exists(out):
+        # keep previously-measured table rows, re-measure propagation only
+        rows = [json.loads(l) for l in open(out)
+                if json.loads(l).get("table") != "propagation_runlanczos"]
     A = bench_operator()
     n, nd = A.data.shape[1], A.data.shape[0]
     log(f"operator {n} x {nd} diagonals ({n*nd/1e6:.1f}M nnz)")
-    rows = []
-    for s in (2, 4, 8, 16):
+    for s in () if skip_tables else (2, 4, 8, 16):
         for kernel in ("ilv_rm", "ilv", "roll"):
             trials = []
             for t in range(5):
@@ -77,7 +84,7 @@ def main():
     # runLanczos propagation experiment timing refresh (reference
     # runLanczos.m:1-5 config: N=512, dt=0.025, 200 steps, 24 Krylov
     # steps) on the current fused split propagator.
-    from ca_lanczos_tpu.solvers.propagators import _propagate_split_fused, _to_split
+    from ca_lanczos_tpu.solvers.propagators import _propagate_split_fused
     from ca_lanczos_tpu.utils.matrices import gaussian_packet, harmonic_oscillator
 
     from ca_lanczos_tpu.ops.spmv import EllMatrix
@@ -85,7 +92,13 @@ def main():
     H, x = harmonic_oscillator(512)
     H32 = EllMatrix(vals=jnp.asarray(np.asarray(H.vals), jnp.float32),
                     cols=H.cols)
-    psi = _to_split(jnp.asarray(gaussian_packet(x), jnp.complex64))
+    # Split representation built on HOST numpy: complex dtypes are
+    # unimplemented/hang on the axon TPU relay (memory/axon-tpu-quirks),
+    # and the split path exists precisely to avoid them on device.
+    psi_np = np.asarray(gaussian_packet(np.asarray(x)))
+    psi = jnp.asarray(
+        np.stack([psi_np.real, psi_np.imag], axis=1), jnp.float32
+    )
     dt32 = jnp.asarray(0.025, jnp.float32)
 
     def run():
@@ -110,12 +123,10 @@ def main():
     log(f"propagation: {med*1e3:.1f} ms total ({med*1e3/200:.2f} ms/step) "
         f"spread {min(ts)*1e3:.1f}-{max(ts)*1e3:.1f} ms")
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "results", "northstar_tables.jsonl")
     with open(out, "w") as f:
         for rec in rows:
-            rec["kernel_generation"] = "round-4 (ilv headline)"
-            rec["date"] = "2026-08-20"
+            rec.setdefault("kernel_generation", "round-5 (ilv headline)")
+            rec.setdefault("date", "2026-08-20")
             f.write(json.dumps(rec) + "\n")
     log(f"wrote {out}")
 

@@ -369,8 +369,24 @@ class TestEscalationLadder:
         ]
         assert rungs[2][1].orth == Orth.FULL and rungs[2][1].s == 10
         assert rungs[3][1].s == 4
-        # budget never grows
+        # budget never grows on the reference-budget rungs
         assert all(r[1].max_restarts == cfg.max_restarts for r in rungs)
+        assert all(r[3] is None for r in rungs)
+
+    def test_larger_basis_rung_when_budget_small(self):
+        """Round-5: the m=96 IRL closer rung appears exactly when the
+        caller's budget is below 96, and its override is explicit."""
+        from ca_lanczos_tpu.config import LanczosConfig, Orth
+        from ca_lanczos_tpu.harness.auto import _M_LARGE, _ladder
+
+        cfg = LanczosConfig(s=6, orth=Orth.LOCAL)
+        rungs = _ladder(cfg, "restarted_ca_lanczos",
+                        "impl_restarted_ca_lanczos", max_lanczos=60)
+        assert rungs[-1][2] == "impl_restarted_ca_lanczos[orth=full,m=96]"
+        assert rungs[-1][3] == _M_LARGE
+        big = _ladder(cfg, "restarted_ca_lanczos",
+                      "impl_restarted_ca_lanczos", max_lanczos=128)
+        assert all(r[3] is None for r in big)
 
     def test_safe_config_has_no_rescue_rungs(self):
         from ca_lanczos_tpu.config import LanczosConfig, Orth
@@ -390,14 +406,42 @@ class TestEscalationLadder:
 
         calls = []
 
-        def run(name, c):
+        def run(name, c, m):
             calls.append(name)
             return R(len(calls) == 3, [1.0] * len(calls))
 
-        rungs = [(f"d{i}", None, f"d{i}") for i in range(4)]
+        rungs = [(f"d{i}", None, f"d{i}", None) for i in range(4)]
         res, label, esc = _escalate(run, rungs)
         assert label == "d2" and esc and res.converged
         assert calls == ["d0", "d1", "d2"]  # stops at convergence
+
+    @pytest.mark.slow
+    def test_m96_rung_closes_near_degenerate_top(self):
+        """The mesh_2d_aniso corpus closer (round-5 VERDICT item 4):
+        eps=1e-3 anisotropic 2-D Laplacian, 1e-6-relative top gaps —
+        unconverged on every 60-vector rung, converged by the m=96 IRL
+        rung to ~1e-12."""
+        import scipy.sparse as sp
+        from scipy.sparse.linalg import eigsh
+
+        from ca_lanczos_tpu.config import LanczosConfig, Orth
+        from ca_lanczos_tpu.harness.auto import solve_auto
+
+        g, eps = 72, 1e-3
+        n = g * g
+        a = sp.diags(
+            [-eps * np.ones(n - g), -np.ones(n - 1),
+             2 * (1 + eps) * np.ones(n), -np.ones(n - 1),
+             -eps * np.ones(n - g)], [-g, -1, 0, 1, g]).tocsr()
+        a = a / sp.linalg.norm(a, np.inf)
+        oracle = np.sort(eigsh(a, k=10, which="LA",
+                               return_eigenvectors=False))[::-1]
+        res = solve_auto(a, np.random.default_rng(0).standard_normal(n), 60,
+                         LanczosConfig(tol=1e-9, orth=Orth.FULL))
+        assert res.converged
+        assert res.solver.endswith("m=96]"), res.solver
+        got = np.sort(np.asarray(res.eigs, float))[::-1][:10]
+        assert np.max(np.abs(got - oracle)) / oracle[0] < 1e-8
 
     def test_escalate_keeps_most_locked_on_total_failure(self):
         from ca_lanczos_tpu.harness.auto import _escalate
@@ -409,7 +453,7 @@ class TestEscalationLadder:
 
         seq = [R([1.0]), R([1.0, 2.0, 3.0]), R([1.0, 2.0])]
         res, label, esc = _escalate(
-            lambda name, c: seq.pop(0),
-            [(f"d{i}", None, f"d{i}") for i in range(3)],
+            lambda name, c, m: seq.pop(0),
+            [(f"d{i}", None, f"d{i}", None) for i in range(3)],
         )
         assert label == "d1" and esc and len(res.eigs) == 3
