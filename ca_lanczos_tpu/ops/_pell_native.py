@@ -68,12 +68,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pell_plan_grouped.restype = _i64
     lib.pell_plan_grouped.argtypes = [
         _i64, _i64, _i64, _p_i64, _p_i32, _p_i32, _p_i32, _i64, _i64,
-        _p_i32, _p_i8, _p_i32,
+        _i64, _p_i32, _p_i8, _p_i32,
     ]
     lib.pell_emit_grouped.restype = None
     lib.pell_emit_grouped.argtypes = [
         _i64, _i64, _p_i64, _p_i32, ctypes.c_void_p, ctypes.c_int,
-        _p_i32, _p_i8, _p_i32, _i64, ctypes.c_void_p, _p_i16, _p_i32,
+        _p_i32, _p_i8, _p_i32, _i64, _i64, ctypes.c_void_p, _p_i16,
+        _p_i32,
     ]
     _LIB = lib
     return lib
@@ -124,19 +125,22 @@ def emit_unit(csr: _Csr, n, tile, ch, uord, K, dtype):
     return vals, lidx, cbase, K
 
 
-def plan_grouped(csr: _Csr, n, tile, sr, wins, win_cnt, max_units=512):
+def plan_grouped(csr: _Csr, n, tile, sr, wins, win_cnt, max_units=512,
+                 nw=2):
     """(slot, sub, bases, K2) or None when constraints fail (caller
-    falls back to the unit encoding, like the numpy encoder)."""
+    falls back to the unit encoding, like the numpy encoder).  nw:
+    window count per slot-tile (2 = two spread-4 windows, 4 = four
+    spread-2; ops/pell.py GROUPED_GEOM)."""
     lib = _load()
     nnz = len(csr.indices)
     ntiles = -(-n // tile)
     nblocks = ntiles * (tile // LANES)
     slot = np.empty(nnz, np.int32)
     sub = np.empty(nnz, np.int8)
-    bases = np.zeros(nblocks * KTMAX * 2, np.int32)
+    bases = np.zeros(nblocks * KTMAX * 4, np.int32)  # stride 4 always
     kt2 = lib.pell_plan_grouped(
         n, tile, sr, csr.indptr, csr.indices, wins, win_cnt,
-        wins.shape[1] if wins.ndim == 2 else 1, max_units,
+        wins.shape[1] if wins.ndim == 2 else 1, max_units, nw,
         slot, sub, bases,
     )
     if kt2 == 0:
@@ -144,7 +148,7 @@ def plan_grouped(csr: _Csr, n, tile, sr, wins, win_cnt, max_units=512):
     return slot, sub, bases, int(kt2) * SLOTS
 
 
-def emit_grouped(csr: _Csr, n, tile, slot, sub, bases, K2, dtype):
+def emit_grouped(csr: _Csr, n, tile, slot, sub, bases, K2, dtype, nw=2):
     lib = _load()
     ntiles = -(-n // tile)
     B = tile // LANES
@@ -152,11 +156,11 @@ def emit_grouped(csr: _Csr, n, tile, slot, sub, bases, K2, dtype):
     ntiles_pad8 = 8 * (-(-ntiles // 8))
     vals = np.zeros((ntiles * K2, tile), dtype)
     idx16 = np.zeros((ntiles * K2, tile), np.int16)
-    cbase2 = np.zeros((ntiles_pad8, B * KT2 * 2), np.int32)
+    cbase2 = np.zeros((ntiles_pad8, B * KT2 * nw), np.int32)
     lib.pell_emit_grouped(
         n, tile, csr.indptr, csr.indices,
         csr.data.ctypes.data_as(ctypes.c_void_p), csr.dbl,
-        slot, sub, bases, KT2,
+        slot, sub, bases, KT2, nw,
         vals.ctypes.data_as(ctypes.c_void_p), idx16, cbase2,
     )
     return vals, idx16, cbase2, K2

@@ -148,10 +148,11 @@ class PellMatrix:
         span = np.asarray(self.span_row).reshape(self.ntiles, self.n_win)
         sr = self.sw // LANES
         out = np.zeros((self.n, self.n), vals.dtype)
-        if self.enc == "grouped":
+        if self.enc in GROUPED_GEOM:
+            nw, sp = GROUPED_GEOM[self.enc]
             KT = K // SLOTS
             cb2 = np.asarray(self.cbase)[: self.ntiles].reshape(
-                self.ntiles, B, KT, 2
+                self.ntiles, B, KT, nw
             )
             for t in range(self.ntiles):
                 for s in range(K):
@@ -162,8 +163,7 @@ class PellMatrix:
                         b, r = divmod(c, LANES)
                         lane = int(lidx[t, s, c]) & 127
                         sub = (int(lidx[t, s, b * LANES + lane]) >> 7) & 7
-                        b00, b01 = cb2[t, b, s // SLOTS]
-                        scr = b00 + sub if sub < 4 else b01 + sub - 4
+                        scr = cb2[t, b, s // SLOTS][sub // sp] + sub % sp
                         w, rel = divmod(int(scr), sr)
                         chunk = span[t, w] + rel
                         row = t * T + c
@@ -315,23 +315,33 @@ class PellMatrix:
                 "g++/OpenMP availability, or pass native='auto' to fall "
                 "back to the numpy encoder"
             )
+        if encoding not in ("unit", "grouped", "grouped4", "auto"):
+            raise ValueError(f"unknown PELL encoding {encoding!r}")
         if int(csr.nnz) and native in (True, "auto") and _pn.available():
             csr_c = _pn._Csr(indptr, indices, data, dtype)
             wins32 = np.ascontiguousarray(span_rows, np.int32)
             wcnt = np.asarray([len(w) for w in win_lists], np.int32)
             ch_u, uord_u, K_u = _pn.plan_unit(csr_c, n, tile, sr, wins32, wcnt)
-            gp = None
-            if encoding in ("grouped", "auto"):
-                gp = _pn.plan_grouped(csr_c, n, tile, sr, wins32, wcnt)
-            if encoding == "grouped" and gp is None:
+            plans = {}
+            for g in _grouped_tries(encoding):
+                nw = GROUPED_GEOM[g][0]
+                gp = _pn.plan_grouped(csr_c, n, tile, sr, wins32, wcnt, nw=nw)
+                if gp is not None:
+                    plans[g] = gp
+                if g in plans and _grouped_settles(encoding, g, plans[g][3], K_u):
+                    break
+            if encoding in GROUPED_GEOM and encoding not in plans:
                 raise ValueError(
-                    "grouped PELL encoding failed; use encoding='unit'"
+                    f"{encoding} PELL encoding failed; use encoding='unit'"
                 )
-            if gp is not None and (encoding == "grouped" or 6 * gp[3] < 5 * K_u):
+            pick = _pick_encoding(encoding, K_u, {g: p[3] for g, p in plans.items()})
+            if pick != "unit":
+                gp = plans[pick]
                 planes = _pn.emit_grouped(
-                    csr_c, n, tile, gp[0], gp[1], gp[2], gp[3], dtype
+                    csr_c, n, tile, gp[0], gp[1], gp[2], gp[3], dtype,
+                    nw=GROUPED_GEOM[pick][0],
                 )
-                return _finish(*planes, "grouped")
+                return _finish(*planes, pick)
             planes = _pn.emit_unit(csr_c, n, tile, ch_u, uord_u, K_u, dtype)
             return _finish(*planes, "unit")
 
@@ -342,13 +352,23 @@ class PellMatrix:
         # int64 accumulate/gather paths are ~100x slower.
         nnz = int(csr.nnz)
 
-        grouped = None
-        if encoding in ("grouped", "auto") and nnz:
-            grouped = _encode_grouped(
-                indptr, indices, data, n, tile, win_lists, sw, dtype
+        grouped = grouped_enc = None
+        if nnz:
+            for g in _grouped_tries(encoding):
+                cand = _encode_grouped(
+                    indptr, indices, data, n, tile, win_lists, sw, dtype,
+                    geom=g,
+                )
+                if cand is not None and (
+                    grouped is None or cand[3] < grouped[3]
+                ):
+                    grouped, grouped_enc = cand, g
+                if grouped is not None and encoding != "auto":
+                    break
+        if encoding in ("grouped", "grouped4") and grouped is None:
+            raise ValueError(
+                f"{encoding} PELL encoding failed; use encoding='unit'"
             )
-        if encoding == "grouped" and grouped is None:
-            raise ValueError("grouped PELL encoding failed; use encoding='unit'")
 
         def run_rank(brk, ar):
             """Per-element offset within runs delimited by brk (int32)."""
@@ -411,13 +431,13 @@ class PellMatrix:
             u_max = 1
 
         K = SLOTS * (-(-u_max // SLOTS))
-        use_grouped = grouped is not None and (
-            encoding == "grouped" or 6 * grouped[3] < 5 * K
+        pick = _pick_encoding(
+            encoding, K, {grouped_enc: grouped[3]} if grouped else {}
         )
         ntiles_pad8 = 8 * (-(-ntiles // 8))
-        if use_grouped:
+        if pick != "unit":
             vals, lidx, cbase, K = grouped
-            enc = "grouped"
+            enc = grouped_enc
         else:
             enc = "unit"
             vals = np.zeros((ntiles * K, tile), dtype)
@@ -442,33 +462,102 @@ class PellMatrix:
         return PellMatrix.from_scipy(sp.csr_matrix(np.asarray(a)), **kw)
 
 
+# Grouped-window geometries: nw windows of spread sp, nw*sp == 8 (the
+# gather source is one (8, 128) tile either way).  "grouped" is the
+# original two-spread-4 form; "grouped4" (round-5) covers up to four
+# scattered chunk clusters — the 216^3-scale multi-window-tile case
+# where three z-plane clusters per slot-tile made the 2-window packing
+# inflate K2 past the unit encoding's price (VERDICT r4 item 5).  Any
+# 2x4 cover is also a 4x2 cover (split each window), so grouped4 is
+# strictly more general; it costs two extra dynamic slices per
+# slot-tile, so "auto" prefers the 2-window form at equal K.
+GROUPED_GEOM = {"grouped": (2, 4), "grouped4": (4, 2)}
+
+
+def _cover_windows(chunks, nw: int, sp: int):
+    """Greedy fixed-length interval cover: bases of ``nw`` spread-``sp``
+    windows covering the chunk set, or None if more would be needed.
+    Greedy (next window starts at the first uncovered chunk) is optimal
+    for fixed-length covers.  Unused windows repeat the last base."""
+    cs = sorted(set(chunks))
+    bases = []
+    i = 0
+    while i < len(cs):
+        if len(bases) == nw:
+            return None
+        b = cs[i]
+        bases.append(b)
+        while i < len(cs) and cs[i] - b < sp:
+            i += 1
+    if not bases:
+        bases = [0]
+    while len(bases) < nw:
+        bases.append(bases[-1])
+    return bases
+
+
 def _cover2(chunks) -> bool:
     """True if the sorted chunk iterable fits two 4-row spread windows."""
-    cs = sorted(set(chunks))
-    if not cs or cs[-1] - cs[0] < 4:
-        return True
-    rest = [c for c in cs if c - cs[0] >= 4]
-    return rest[-1] - rest[0] < 4
+    return _cover_windows(chunks, 2, 4) is not None
+
+
+def _grouped_tries(encoding: str):
+    """Grouped geometries to attempt for an encoding request, cheapest
+    mechanism first."""
+    if encoding == "unit":
+        return []
+    if encoding in GROUPED_GEOM:
+        return [encoding]
+    return ["grouped", "grouped4"]  # auto
+
+
+def _grouped_settles(encoding: str, geom: str, K_g: int, K_u: int) -> bool:
+    """In auto mode, stop planning further geometries once the current
+    one already beats the unit price (geometries are tried cheapest
+    mechanism first)."""
+    return encoding != "auto" or 6 * K_g < 5 * K_u
+
+
+def _pick_encoding(encoding: str, K_u: int, grouped_Ks: dict) -> str:
+    """Choose among unit and the successfully-planned grouped
+    geometries.  Explicit requests win unconditionally; auto prices by
+    HBM bytes per SpMV (unit 5 B/slot, grouped 6 B/slot) with a 15%
+    mechanism penalty on the 4-window form (two extra dynamic slices
+    per slot-tile)."""
+    if encoding in GROUPED_GEOM:
+        return encoding  # caller has validated availability
+    if encoding == "unit" or not grouped_Ks:
+        return "unit"
+    best, cost = "unit", 5.0 * K_u
+    for g in ("grouped", "grouped4"):
+        if g in grouped_Ks:
+            c = 6.0 * grouped_Ks[g] * (1.15 if g == "grouped4" else 1.0)
+            if c < cost:
+                best, cost = g, c
+    return best
 
 
 def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
-                    max_iter=64, max_units=512):
-    """Grouped (two-spread-4-window, per-element) PELL encoding.
+                    max_iter=64, max_units=512, geom: str = "grouped"):
+    """Grouped (windowed, per-element) PELL encoding.
 
-    Returns (vals, idx16, cbase2, K2) or None when the constraints do
-    not converge (caller falls back to the unit encoding).  See module
-    docstring for the layout; the assignment is:
+    geom: "grouped" = two spread-4 windows; "grouped4" = four spread-2
+    windows (GROUPED_GEOM).  Returns (vals, idx16, cbase2, K2) or None
+    when the constraints do not converge (caller falls back to the unit
+    encoding).  See module docstring for the layout; the assignment is:
 
       1. cluster = per-block run of touched scratch chunks (gap >= 3
          splits), per-(row, cluster) rank, cluster-segmented unit ids;
       2. conflict bumping until every unit has <=1 entry per row and
          one chunk per source lane;
       3. per-block greedy packing of units into slot-tiles of 8 under
-         the two-window cover, recording (b00, b01) bases;
+         the nw-window cover, recording the per-slot-tile window bases;
       4. plane emission: vals + ONE int16 plane with the lane (low 7
          bits, at the entry's OUT-row position) and the chunk-window
-         offset (bits 7-9, at the entry's SOURCE-lane position).
+         offset (bits 7-9, at the entry's SOURCE-lane position):
+         sub = w*sp + (chunk - base_w).
     """
+    nw, sp = GROUPED_GEOM[geom]
     nnz = int(indptr[-1])
     sr = sw // LANES
     ntiles = len(win_lists)
@@ -629,14 +718,14 @@ def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
         for k in range(len(ustarts)):
             u = int(units_u[ustarts[k]])
             cset = list(chs[ustarts[k] : uends[k]])
-            if len(cur_units) < SLOTS and _cover2(cur_chunks + cset):
+            if (len(cur_units) < SLOTS
+                    and _cover_windows(cur_chunks + cset, nw, sp) is not None):
                 cur_units.append(u)
                 cur_chunks += cset
             else:
-                if not cur_units or not _cover2(cset):
+                if not cur_units or _cover_windows(cset, nw, sp) is None:
                     # A single unit whose own chunk spread exceeds the
-                    # two 4-row windows (a >=3-gap-free cluster wider
-                    # than 8 chunks) cannot be grouped at all — fall
+                    # nw-window cover cannot be grouped at all — fall
                     # back to the unit encoding rather than emit an
                     # empty slot-tile.
                     return None
@@ -645,11 +734,7 @@ def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
         btiles.append((cur_units, cur_chunks))
         bases = []
         for s_t, (us, cks) in enumerate(btiles):
-            cs = sorted(set(cks))
-            b00 = cs[0]
-            rest = [c for c in cs if c - b00 >= 4]
-            b01 = rest[0] if rest else b00
-            bases.append((b00, b01))
+            bases.append(tuple(_cover_windows(cks, nw, sp)))
             for j, u in enumerate(us):
                 slot_map[bk, u] = s_t * SLOTS + j
         per_block_bases.append(bases)
@@ -659,19 +744,22 @@ def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
     KT2 = K2 // SLOTS
 
     # -- 4. plane emission -------------------------------------------------
-    base_arr = np.zeros((nblocks, KT2, 2), np.int32)
+    base_arr = np.zeros((nblocks, KT2, nw), np.int32)
     for bk, bases in enumerate(per_block_bases):
-        for kt, (b00, b01) in enumerate(bases):
-            base_arr[bk, kt, 0] = b00
-            base_arr[bk, kt, 1] = b01
+        for kt, bs in enumerate(bases):
+            base_arr[bk, kt, :] = bs
     slot_e = slot_map[block, unit]
     assert (slot_e >= 0).all()
     kt_e = slot_e // SLOTS
-    b00_e = base_arr[block, kt_e, 0]
-    b01_e = base_arr[block, kt_e, 1]
-    sub_e = np.where(ch - b00_e < 4, ch - b00_e, 4 + ch - b01_e)
-    if not ((sub_e >= 0) & (sub_e < 8)).all():
+    b_e = base_arr[block, kt_e, :]          # (nnz, nw)
+    off_e = ch[:, None] - b_e               # (nnz, nw)
+    valid = (off_e >= 0) & (off_e < sp)
+    if not valid.any(axis=1).all():
         return None  # cover bookkeeping failure; fall back
+    w_e = np.argmax(valid, axis=1).astype(np.int32)  # first covering window
+    sub_e = w_e * np.int32(sp) + off_e[np.arange(nnz), w_e]
+    if not ((sub_e >= 0) & (sub_e < 8)).all():
+        return None
     t_e = block // B
     bl_e = block % B
     rix = t_e * np.int32(K2) + slot_e
@@ -683,12 +771,12 @@ def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
     idx16[rix, cix_out] |= lane.astype(np.int16)
     idx16[rix, cix_src] |= (sub_e.astype(np.int16) << 7)
     ntiles_pad8 = 8 * (-(-ntiles // 8))
-    cbase2 = np.zeros((ntiles_pad8, B * KT2 * 2), np.int32)
+    cbase2 = np.zeros((ntiles_pad8, B * KT2 * nw), np.int32)
     for bk, bases in enumerate(per_block_bases):
         t, b_l = divmod(bk, B)
-        for kt, (b00, b01) in enumerate(bases):
-            cbase2[t, (b_l * KT2 + kt) * 2] = b00
-            cbase2[t, (b_l * KT2 + kt) * 2 + 1] = b01
+        for kt, bs in enumerate(bases):
+            for w in range(nw):
+                cbase2[t, (b_l * KT2 + kt) * nw + w] = bs[w]
     return vals_p, idx16, cbase2, K2
 
 
@@ -763,14 +851,14 @@ def _pell_kernel(
 def _pell_kernel_g2(
     coef_ref,  # SMEM (2,)
     span_ref,  # SMEM (ntiles, W) whole
-    cbase_ref,  # SMEM (8, B*KT*2) block — (b00, b01) per (block, slot-tile)
+    cbase_ref,  # SMEM (8, B*KT*NW) block — NW window bases per slot-tile
     vals_ref,  # VMEM (K, T)
     idx_ref,  # VMEM (K, T) int16: sub<<7 | lane (see module docstring)
     xblk_ref,  # VMEM (B, 128)
     vprev_ref,  # VMEM (B, 128)
     x_ref,  # ANY (Gtot, 128)
     out_ref,  # VMEM (B, 128)
-    xspan,  # VMEM (2*W*SR + 4, 128) scratch (+4: spread-4 slice overrun)
+    xspan,  # VMEM (2*W*SR + 4, 128) scratch (+4: window slice overrun)
     sems,
     *,
     B: int,
@@ -778,11 +866,15 @@ def _pell_kernel_g2(
     SR: int,
     NT: int,
     W: int,
+    NW: int = 2,
+    SP: int = 4,
 ):
-    """Grouped-encoding inner loop: per slot-tile, TWO unaligned (4, 128)
-    dynamic slices replace the unit kernel's 8 scattered row reads; a
-    same-shape sublane gather (idx>>7) then a lane gather (idx&127)
-    place each element.  exp/pell_probe3.py prices the mechanism."""
+    """Grouped-encoding inner loop: per slot-tile, NW unaligned
+    (SP, 128) dynamic slices (NW*SP == 8) replace the unit kernel's 8
+    scattered row reads; a same-shape sublane gather (idx>>7) then a
+    lane gather (idx&127) place each element.  exp/pell_probe3.py
+    prices the 2-window mechanism; the 4-window form costs two extra
+    slices and buys multi-cluster tiles (GROUPED_GEOM)."""
     g = pl.program_id(0)
     slot = g % 2
 
@@ -816,11 +908,10 @@ def _pell_kernel_g2(
                             b * LANES : (b + 1) * LANES]
             idx = idx_ref[kt * SLOTS : (kt + 1) * SLOTS,
                           b * LANES : (b + 1) * LANES].astype(jnp.int32)
-            base = (b * KT + kt) * 2
-            b0 = cbase_ref[g % 8, base]
-            b1 = cbase_ref[g % 8, base + 1]
+            base = (b * KT + kt) * NW
             Cg = jnp.concatenate(
-                [xspan[pl.ds(off + b0, 4), :], xspan[pl.ds(off + b1, 4), :]],
+                [xspan[pl.ds(off + cbase_ref[g % 8, base + w], SP), :]
+                 for w in range(NW)],
                 axis=0,
             )
             C = jnp.take_along_axis(Cg, idx >> 7, axis=0)
@@ -850,9 +941,11 @@ def _pell_step(
     SR = sw // LANES
     W = n_win
     g_out = ntiles * B
-    if enc == "grouped":
-        kern = partial(_pell_kernel_g2, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
-        scratch_rows = 2 * W * SR + 4  # spread-4 slices may overrun by 3
+    if enc in GROUPED_GEOM:
+        nw_, sp_ = GROUPED_GEOM[enc]
+        kern = partial(_pell_kernel_g2, B=B, KT=KT, SR=SR, NT=ntiles, W=W,
+                       NW=nw_, SP=sp_)
+        scratch_rows = 2 * W * SR + 4  # window slices may overrun by SP-1
     else:
         kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
         scratch_rows = 2 * W * SR

@@ -13,8 +13,10 @@
 // format-generality extension point SpMV.m:1-5):
 //   UNIT    — slot-tile sublane k bound to one chunk; vals[t*K+u, bl*128
 //             + row] = a_ij, lidx int8 = col%128, cbase[t8, bl*K+u] = ch.
-//   GROUPED — per-element int16 (sub<<7 | lane); two spread-4 windows
-//             per slot-tile with bases cbase2[t8, (bl*KT+kt)*2 + {0,1}].
+//   GROUPED — per-element int16 (sub<<7 | lane); nw windows of spread
+//             8/nw per slot-tile (nw=2: the original two-spread-4 form;
+//             nw=4: four spread-2 windows for multi-cluster tiles) with
+//             bases cbase2[t8, (bl*KT+kt)*nw + w].
 //
 // C ABI (ctypes):
 //   pell_plan_unit(...)     -> u_max   (per-entry ch + uord out)
@@ -159,16 +161,18 @@ void pell_emit_unit(int64_t n, int64_t tile, const int64_t* indptr,
 // GROUPED encoding.
 //
 // plan: per entry, the block slot (kt*8 + j) and the window-relative
-// sub index (0..7); per block, up to KTMAX (b00, b01) window bases.
+// sub index (0..7); per block, up to KTMAX window-base tuples (stride 4
+// in bases_out regardless of nw).  nw windows of spread 8/nw.
 // Returns KT2 = max slot-tiles over blocks, or 0 when the constraints
 // fail anywhere (caller falls back to the unit encoding, exactly like
 // the numpy encoder's None return).
 int64_t pell_plan_grouped(int64_t n, int64_t tile, int64_t sr,
                           const int64_t* indptr, const int32_t* indices,
                           const int32_t* wins, const int32_t* win_cnt,
-                          int64_t W, int64_t max_units,
+                          int64_t W, int64_t max_units, int64_t nw,
                           int32_t* slot_out, int8_t* sub_out,
-                          int32_t* bases_out /* nblocks*KTMAX*2 */) {
+                          int32_t* bases_out /* nblocks*KTMAX*4 */) {
+  const int32_t sp = (int32_t)(8 / nw);  // window spread: nw*sp == 8
   const int64_t ntiles = (n + tile - 1) / tile;
   const int64_t B = tile / LANES;
   const int64_t nblocks = ntiles * B;
@@ -278,26 +282,30 @@ int64_t pell_plan_grouped(int64_t n, int64_t tile, int64_t sr,
       }
 
       // 3. pack units (in (cid, rank) order) into slot-tiles under the
-      // two-spread-4-window cover (ops/pell.py:566-609).
-      // cover2(set) := chunks fit windows [b00, b00+4) u [b01, b01+4).
-      auto cover2 = [](const std::vector<int32_t>& cs, int32_t* b00,
-                       int32_t* b01) -> bool {
-        if (cs.empty()) { *b00 = *b01 = 0; return true; }
-        const int32_t lo = cs.front();
-        *b00 = lo;
-        *b01 = lo;
-        if (cs.back() - lo < 4) return true;
-        int32_t first_rest = -1;
-        for (int32_t c : cs)
-          if (c - lo >= 4) { first_rest = c; break; }
-        *b01 = first_rest;
-        return cs.back() - first_rest < 4;
+      // nw-window cover (ops/pell.py _cover_windows): greedy fixed-
+      // length interval cover — next window starts at the first
+      // uncovered chunk — optimal for fixed-length covers.
+      auto coverN = [nw, sp](const std::vector<int32_t>& cs,
+                             int32_t* b /* [4] */) -> bool {
+        b[0] = b[1] = b[2] = b[3] = 0;
+        if (cs.empty()) return true;
+        int64_t w = 0;
+        size_t i = 0;
+        while (i < cs.size()) {
+          if (w == nw) return false;
+          b[w] = cs[i];
+          while (i < cs.size() && cs[i] - b[w] < sp) ++i;
+          ++w;
+        }
+        for (; w < 4; ++w) b[w] = b[w - 1];  // harmless repeats
+        return true;
       };
 
       std::vector<int32_t> cur;  // merged chunk set of the open tile
       std::vector<std::pair<int32_t, int32_t>> tiles_units;  // (unit, slot j)
-      int32_t kt = 0, j = 0, b00 = 0, b01 = 0;
-      int32_t* bases = bases_out + bk * KTMAX * 2;
+      int32_t kt = 0, j = 0;
+      int32_t bw[4] = {0, 0, 0, 0};
+      int32_t* bases = bases_out + bk * KTMAX * 4;
       std::vector<int32_t> merged;
       bool open = false;
       for (int32_t ci = 0; ci < ncl && !bad; ++ci) {
@@ -313,25 +321,24 @@ int64_t pell_plan_grouped(int64_t n, int64_t tile, int64_t sr,
                        u.chunks.end(), merged.begin());
             merged.erase(std::unique(merged.begin(), merged.end()),
                          merged.end());
-            int32_t nb0, nb1;
-            if (cover2(merged, &nb0, &nb1)) {
+            int32_t nb[4];
+            if (coverN(merged, nb)) {
               cur.swap(merged);
-              b00 = nb0; b01 = nb1;
+              std::memcpy(bw, nb, sizeof(nb));
               placed = true;
             }
           }
           if (!placed) {
             if (open) {  // close the tile
               if (kt >= KTMAX) { bad = true; break; }
-              bases[kt * 2] = b00;
-              bases[kt * 2 + 1] = b01;
+              std::memcpy(bases + kt * 4, bw, 4 * sizeof(int32_t));
               ++kt;
               j = 0;
             }
-            int32_t nb0, nb1;
-            if (!cover2(u.chunks, &nb0, &nb1)) { bad = true; break; }
+            int32_t nb[4];
+            if (!coverN(u.chunks, nb)) { bad = true; break; }
             cur = u.chunks;
-            b00 = nb0; b01 = nb1;
+            std::memcpy(bw, nb, sizeof(nb));
             open = true;
           }
           tiles_units.emplace_back(ci * (int32_t)max_units + (int32_t)rk,
@@ -342,8 +349,7 @@ int64_t pell_plan_grouped(int64_t n, int64_t tile, int64_t sr,
       if (!bad && open) {
         if (kt >= KTMAX) bad = true;
         else {
-          bases[kt * 2] = b00;
-          bases[kt * 2 + 1] = b01;
+          std::memcpy(bases + kt * 4, bw, 4 * sizeof(int32_t));
           ++kt;
         }
       }
@@ -368,8 +374,11 @@ int64_t pell_plan_grouped(int64_t n, int64_t tile, int64_t sr,
         const int32_t sl = it->second;
         const int32_t ktile = sl / SLOTS;
         const int32_t c = chs[ii];
-        const int32_t s0 = bases[ktile * 2], s1 = bases[ktile * 2 + 1];
-        const int32_t sub = (c - s0 < 4) ? c - s0 : 4 + (c - s1);
+        int32_t sub = -1;
+        for (int64_t w = 0; w < nw; ++w) {
+          const int32_t off = c - bases[ktile * 4 + w];
+          if (off >= 0 && off < sp) { sub = (int32_t)(w * sp + off); break; }
+        }
         if (sub < 0 || sub >= 8) {
 #pragma omp atomic write
           fail = 1;
@@ -386,17 +395,17 @@ int64_t pell_plan_grouped(int64_t n, int64_t tile, int64_t sr,
 }
 
 // emit: vals (ntiles*K2, tile); idx16 int16 same shape; cbase2
-// (ntiles_pad8, B*KT2*2) int32.  All caller-zeroed.
+// (ntiles_pad8, B*KT2*nw) int32.  All caller-zeroed.
 void pell_emit_grouped(int64_t n, int64_t tile, const int64_t* indptr,
                        const int32_t* indices, const void* data, int dbl,
                        const int32_t* slot, const int8_t* sub,
-                       const int32_t* bases /* nblocks*KTMAX*2 */,
-                       int64_t KT2, void* vals, int16_t* idx16,
+                       const int32_t* bases /* nblocks*KTMAX*4 */,
+                       int64_t KT2, int64_t nw, void* vals, int16_t* idx16,
                        int32_t* cbase2) {
   const int64_t B = tile / LANES;
   const int64_t nblocks = ((n + tile - 1) / tile) * B;
   const int64_t K2 = KT2 * SLOTS;
-  const int64_t row_stride = B * KT2 * 2;  // cbase2 row length
+  const int64_t row_stride = B * KT2 * nw;  // cbase2 row length
 
 #pragma omp parallel for schedule(dynamic, 16)
   for (int64_t bk = 0; bk < nblocks; ++bk) {
@@ -405,11 +414,10 @@ void pell_emit_grouped(int64_t n, int64_t tile, const int64_t* indptr,
     const int64_t row0 = bk * LANES;
     if (row0 >= n) continue;
     const int64_t rows = std::min<int64_t>(LANES, n - row0);
-    const int32_t* bb = bases + bk * KTMAX * 2;
-    for (int64_t kt = 0; kt < KT2; ++kt) {
-      cbase2[t * row_stride + (bl * KT2 + kt) * 2] = bb[kt * 2];
-      cbase2[t * row_stride + (bl * KT2 + kt) * 2 + 1] = bb[kt * 2 + 1];
-    }
+    const int32_t* bb = bases + bk * KTMAX * 4;
+    for (int64_t kt = 0; kt < KT2; ++kt)
+      for (int64_t w = 0; w < nw; ++w)
+        cbase2[t * row_stride + (bl * KT2 + kt) * nw + w] = bb[kt * 4 + w];
     for (int64_t r = 0; r < rows; ++r) {
       for (int64_t e = indptr[row0 + r]; e < indptr[row0 + r + 1]; ++e) {
         const int64_t rix = t * K2 + slot[e];

@@ -299,6 +299,79 @@ class TestGroupedFallback:
         np.testing.assert_allclose(got, csr @ x, rtol=1e-5, atol=1e-5)
 
 
+class TestGrouped4:
+    """Four-spread-2-window grouped encoding (round-5 VERDICT item 5):
+    the 216^3-class failure — three z-plane chunk clusters per slot-tile
+    on multi-window tiles — made the 2-window packing inflate K2 to the
+    unit encoding's price (auto fell back, -35%).  Four spread-2 windows
+    strictly generalize the 2x4 cover (split each window) and pack all
+    three clusters into one slot-tile."""
+
+    def _lap27(self, g):
+        n = g ** 3
+        offs = [dz * g * g + dy * g + dx
+                for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)]
+        mats, ks = [], []
+        for o in offs:
+            if o == 0:
+                mats.append(26.0 * np.ones(n)); ks.append(0)
+            else:
+                mats.append(-np.ones(n - abs(o))); ks.append(o)
+        return sp.csr_matrix(sp.diags(mats, ks, (n, n))).astype(np.float32)
+
+    def test_parity_small(self):
+        """Dense reconstruction + interpret matvec on a multi-cluster
+        pattern, both encoders."""
+        a = self._lap27(16)
+        ad = a.toarray()
+        x = np.random.default_rng(0).standard_normal(a.shape[0]).astype(np.float32)
+        for native in (False, True):
+            A = PellMatrix.from_scipy(a, encoding="grouped4", sw=1024,
+                                      native=native, device=False)
+            assert A.enc == "grouped4"
+            assert np.abs(A.to_dense() - ad).max() == 0.0
+            got = np.asarray(pell_apply(A, jnp.asarray(x), interpret=True))
+            np.testing.assert_allclose(got, ad @ x, rtol=2e-5, atol=2e-4)
+
+    @pytest.mark.slow
+    def test_multiwindow_k_reduction_and_auto_pick(self):
+        """On the multi-window 27-pt pattern the 4-window form reaches
+        the ideal K=32 (2-window: 40, unit: 48) and auto now selects it
+        instead of falling back to unit."""
+        a = self._lap27(64)
+        Ks = {}
+        for enc in ("unit", "grouped", "grouped4", "auto"):
+            A = PellMatrix.from_scipy(a, encoding=enc, sw=4096,
+                                      device=False)
+            Ks[enc] = (A.enc, A.k_slots)
+        assert Ks["grouped4"] == ("grouped4", 32), Ks
+        assert Ks["auto"][0] == "grouped4", Ks
+        assert Ks["grouped4"][1] < Ks["grouped"][1] < Ks["unit"][1], Ks
+
+    def test_grouped4_subsumes_grouped(self):
+        """Any 2x4-coverable chunk set is 4x2-coverable: grouped4 must
+        encode every pattern grouped encodes (banded + ring wrap)."""
+        n = 1024
+        o = np.ones(n)
+        ring = sp.diags([2 * o, o[:-1], o[:-1]], [0, -1, 1]).tolil()
+        ring[0, n - 1] = 1.0
+        ring[n - 1, 0] = 1.0
+        for pat in (sp.diags([1.0, -4.0, 6.0, -4.0, 1.0],
+                             [-2, -1, 0, 1, 2], (n, n)), ring):
+            csr = sp.csr_matrix(pat)
+            A2 = PellMatrix.from_scipy(csr, tile=256, encoding="grouped",
+                                       device=False)
+            A4 = PellMatrix.from_scipy(csr, tile=256, encoding="grouped4",
+                                       device=False)
+            x = np.random.default_rng(1).standard_normal(n)
+            for A in (A2, A4):
+                got = np.asarray(
+                    pell_apply(A, jnp.asarray(x, jnp.float32), interpret=True)
+                )
+                np.testing.assert_allclose(got, csr @ x, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 class TestEncodingSweepCorpusPatterns:
     """Every encoding (unit/grouped/auto) must reproduce the matrix
@@ -332,7 +405,7 @@ class TestEncodingSweepCorpusPatterns:
         pats["arrow"] = arrow
         return {k: sp.csr_matrix(v) for k, v in pats.items()}
 
-    @pytest.mark.parametrize("enc", ["unit", "grouped", "auto"])
+    @pytest.mark.parametrize("enc", ["unit", "grouped", "grouped4", "auto"])
     def test_matvec_parity_all_patterns(self, enc):
         rng = np.random.default_rng(5)
         for name, csr in self._patterns().items():
@@ -340,7 +413,7 @@ class TestEncodingSweepCorpusPatterns:
             try:
                 A = PellMatrix.from_scipy(csr, tile=256, encoding=enc)
             except ValueError as e:
-                if enc == "grouped":
+                if enc in ("grouped", "grouped4"):
                     # forcing grouped may legitimately fail (e.g. the
                     # arrow's dense row exceeds the two spread-4
                     # windows); "auto" must fall back instead
