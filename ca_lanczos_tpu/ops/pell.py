@@ -210,10 +210,13 @@ class PellMatrix:
         in VMEM) is rejected.
         cmax is ignored: the unit encoding always carries 8 chunk bindings
         per slot-tile.
-        encoding: "unit", "grouped", or "auto" (encode both, keep the one
-        with less HBM traffic per SpMV — grouped moves 6 B/slot vs unit's
-        5, but usually needs fewer slots AND runs a cheaper inner loop,
-        see module docstring).
+        encoding: "unit", "grouped" (two spread-4 windows), "grouped4"
+        (four spread-2 windows — multi-cluster tiles, GROUPED_GEOM), or
+        "auto" (plan all, keep the lowest HBM traffic per SpMV — grouped
+        moves 6 B/slot vs unit's 5, but usually needs fewer slots AND
+        runs a cheaper inner loop; grouped4 pays ~15% extra mechanism
+        and wins when 2-window packing inflates K, see module
+        docstring).
         native: "auto" (use the C++ encoder when its library loads —
         ~40x the numpy path, OpenMP block-parallel; see
         native/pell_encode.cpp), True (require it), or False (numpy).

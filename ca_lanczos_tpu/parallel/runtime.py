@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ca_lanczos_tpu.parallel.distributed import DistDia, dist_matrix_powers
-from ca_lanczos_tpu.parallel.mesh import make_mesh
+from ca_lanczos_tpu.parallel.mesh import make_hier_mesh, make_mesh
 from ca_lanczos_tpu.utils.matrices import laplacian_1d
 
 
@@ -49,9 +49,14 @@ def scaling_sweep(
     s: int = 8,
     reps: int = 5,
     dtype=jnp.float32,
+    n_hosts: Optional[int] = None,
 ) -> List[Dict]:
     """Weak-scaling sweep of dist_matrix_powers: the problem grows with
     the mesh (rows_per_device per device), ideal efficiency = flat time.
+
+    n_hosts: build hierarchical ('host','chip') meshes with this many
+    hosts (mesh.make_hier_mesh) instead of the flat ring — the DCN-aware
+    collective path a real multi-host slice runs.
 
     Returns one record per device count with nnz/s and efficiency vs the
     smallest mesh."""
@@ -60,7 +65,11 @@ def scaling_sweep(
     for P in device_counts:
         n = rows_per_device * P
         A = laplacian_1d(n, dtype=dtype)
-        mesh = make_mesh(P)
+        mesh = (
+            make_hier_mesh(n_hosts, P // n_hosts)
+            if n_hosts and P % n_hosts == 0 and P > n_hosts
+            else make_mesh(P)
+        )
         Adist = DistDia.from_dia(A, mesh, s_max=s)
         x = Adist.shard_vector(np.ones(n, np.dtype(dtype).type), mesh)
         z = jnp.zeros(s, x.dtype)

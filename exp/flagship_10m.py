@@ -163,6 +163,11 @@ def main():
         eig_rel_err=float(f"{err_p:.3g}"),
         eig_rel_err_prepolish=float(f"{err:.3g}"),
         worst_true_resid_abs=float(f"{float(np.max(resid)):.3g}"),
+        # ||Ax - wx|| / ||A|| — the reference's own convergence metric
+        # (restarted_ca_lanczos.m:110-116 scales tol by normest(A));
+        # ||A|| = 100 for this planted spectrum (round-5 VERDICT item 6:
+        # report the vector floor honestly, values-only was misleading)
+        worst_true_resid_rel=float(f"{float(np.max(resid)) / 100.0:.3g}"),
         cold_wall_s=round(cold, 1), warm_wall_s=round(wall, 1),
         polish_wall_s=round(polish_wall, 1),
         per_cycle_s=round(wall / max(res_restarts, 1), 1),

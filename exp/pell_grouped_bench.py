@@ -47,14 +47,20 @@ def patterns():
     rb = sp.csr_matrix((vals, (rows, cols)), (n, n))
     rb.sum_duplicates()
 
-    return {"lap27": lap, "ring": ring.tocsr(), "randband": rb}
+    # Multi-window 27-pt: sw forced below the z-plane separation so
+    # every tile carries three scattered chunk clusters — the 216^3-tile
+    # structure at benchable size (round-5: the grouped4 target case).
+    return {"lap27": (lap, {}), "ring": (ring.tocsr(), {}),
+            "randband": (rb, {}),
+            "lap27mw": ((sp.kron(sp.kron(d1, d1), d1) / 27.0).tocsr(),
+                        {"sw": 4096})}
 
 
-def bench(a, enc):
+def bench(a, enc, **kw):
     a = sp.csr_matrix(a).astype(np.float32)
     n = a.shape[0]
     t0 = time.perf_counter()
-    A = PellMatrix.from_scipy(a, tile=1024, encoding=enc)
+    A = PellMatrix.from_scipy(a, tile=1024, encoding=enc, **kw)
     enc_t = time.perf_counter() - t0
     K = A.k_slots
 
@@ -100,10 +106,10 @@ def bench(a, enc):
 
 
 def main():
-    for name, a in patterns().items():
-        for enc in ("unit", "grouped"):
+    for name, (a, kw) in patterns().items():
+        for enc in ("unit", "grouped", "grouped4"):
             try:
-                r = bench(a, enc)
+                r = bench(a, enc, **kw)
             except Exception as e:
                 print(f"{name:9s} {enc:7s} FAILED: {e}", flush=True)
                 continue
