@@ -785,7 +785,8 @@ def _encode_grouped(indptr, indices, data, n, tile, win_lists, sw, dtype,
 
 def _pell_kernel(
     coef_ref,  # SMEM (2,)
-    span_ref,  # SMEM (ntiles, W) whole
+    spanc_ref,  # SMEM (8, W) block — this tile's window starts
+    spann_ref,  # SMEM (8, W) block — NEXT tile's (rolled copy; prefetch)
     cbase_ref,  # SMEM (8, B*K) block — 8 grid steps per block
     vals_ref,  # VMEM (K, T)
     lidx_ref,  # VMEM (K, T)
@@ -805,9 +806,15 @@ def _pell_kernel(
     g = pl.program_id(0)
     slot = g % 2
 
-    def span_dma(i, w, sl):
+    # The span table rides in 8-row SMEM BLOCKS like cbase: an
+    # (ntiles, W) whole-array SMEM operand lane-pads to ntiles*128 words
+    # and blows the 1 MB SMEM at >= ~2000 tiles (first hit at the 10M-row
+    # scale, round-5).  Tile g's starts live in spanc[g % 8]; tile g+1's
+    # in spann[g % 8] (the rolled copy), so the double-buffered prefetch
+    # never needs a row outside this block.
+    def span_dma(sref, w, sl):
         return pltpu.make_async_copy(
-            x_ref.at[pl.ds(span_ref[i, w], SR), :],
+            x_ref.at[pl.ds(sref[g % 8, w], SR), :],
             xspan.at[pl.ds((sl * W + w) * SR, SR), :],
             sems.at[sl * W + w],
         )
@@ -818,15 +825,15 @@ def _pell_kernel(
     @pl.when(g == 0)
     def _():
         for w in range(W):
-            span_dma(0, w, 0).start()
+            span_dma(spanc_ref, w, 0).start()
 
     @pl.when(g + 1 < NT)
     def _():
         for w in range(W):
-            span_dma(g + 1, w, (g + 1) % 2).start()
+            span_dma(spann_ref, w, (g + 1) % 2).start()
 
     for w in range(W):
-        span_dma(g, w, slot).wait()
+        span_dma(spanc_ref, w, slot).wait()
 
     K = KT * SLOTS
     d = coef_ref[0]
@@ -853,7 +860,8 @@ def _pell_kernel(
 
 def _pell_kernel_g2(
     coef_ref,  # SMEM (2,)
-    span_ref,  # SMEM (ntiles, W) whole
+    spanc_ref,  # SMEM (8, W) block — this tile's window starts
+    spann_ref,  # SMEM (8, W) block — next tile's (rolled; see _pell_kernel)
     cbase_ref,  # SMEM (8, B*KT*NW) block — NW window bases per slot-tile
     vals_ref,  # VMEM (K, T)
     idx_ref,  # VMEM (K, T) int16: sub<<7 | lane (see module docstring)
@@ -881,9 +889,9 @@ def _pell_kernel_g2(
     g = pl.program_id(0)
     slot = g % 2
 
-    def span_dma(i, w, sl):
+    def span_dma(sref, w, sl):
         return pltpu.make_async_copy(
-            x_ref.at[pl.ds(span_ref[i, w], SR), :],
+            x_ref.at[pl.ds(sref[g % 8, w], SR), :],
             xspan.at[pl.ds((sl * W + w) * SR, SR), :],
             sems.at[sl * W + w],
         )
@@ -891,15 +899,15 @@ def _pell_kernel_g2(
     @pl.when(g == 0)
     def _():
         for w in range(W):
-            span_dma(0, w, 0).start()
+            span_dma(spanc_ref, w, 0).start()
 
     @pl.when(g + 1 < NT)
     def _():
         for w in range(W):
-            span_dma(g + 1, w, (g + 1) % 2).start()
+            span_dma(spann_ref, w, (g + 1) % 2).start()
 
     for w in range(W):
-        span_dma(g, w, slot).wait()
+        span_dma(spanc_ref, w, slot).wait()
 
     d = coef_ref[0]
     sb = coef_ref[1]
@@ -944,6 +952,14 @@ def _pell_step(
     SR = sw // LANES
     W = n_win
     g_out = ntiles * B
+    if not interpret and x2.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        # f64 planes are for interpret-mode parity only: Mosaic cannot
+        # lower 64-bit kernels (convert recursion).  Encode the operator
+        # at f32 for device solves (from_scipy on an f32 matrix).
+        raise ValueError(
+            "PELL kernel traced at float64 on TPU — encode the operator "
+            "with float32 planes (f64 planes are interpret-mode only)"
+        )
     if enc in GROUPED_GEOM:
         nw_, sp_ = GROUPED_GEOM[enc]
         kern = partial(_pell_kernel_g2, B=B, KT=KT, SR=SR, NT=ntiles, W=W,
@@ -952,13 +968,23 @@ def _pell_step(
     else:
         kern = partial(_pell_kernel, B=B, KT=KT, SR=SR, NT=ntiles, W=W)
         scratch_rows = 2 * W * SR
+    # Span table in 8-row blocks (see _pell_kernel): current rows plus a
+    # rolled next-tile copy so the g+1 prefetch stays inside block g//8.
+    tp8 = 8 * (-(-ntiles // 8))
+    span_c = jnp.pad(span_row, ((0, tp8 - ntiles), (0, 0)))
+    span_n = jnp.pad(span_row[1:], ((0, tp8 - ntiles + 1), (0, 0)))
     with x64_trace_off(x2.dtype):
         return pl.pallas_call(
         kern,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # span_row, whole
+            pl.BlockSpec(  # span, current rows: 8 grid steps per block
+                (8, n_win), lambda g: (g // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(  # span, next rows (rolled)
+                (8, n_win), lambda g: (g // 8, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(  # cbase: 8 grid steps per SMEM block
                 (8, cbase.shape[1]), lambda g: (g // 8, 0), memory_space=pltpu.SMEM
             ),
@@ -977,7 +1003,7 @@ def _pell_step(
             pltpu.SemaphoreType.DMA((2 * W,)),
         ],
         interpret=interpret,
-    )(coefs, span_row, cbase, vals, lidx, x2, vprev2, x2)
+    )(coefs, span_c, span_n, cbase, vals, lidx, x2, vprev2, x2)
 
 
 def pell_apply(
@@ -988,21 +1014,27 @@ def pell_apply(
     sb: float = 0.0,
     interpret: bool = False,
 ) -> jax.Array:
-    """y = A x - d x - sb v_prev on (n,) vectors (zero-padded internally)."""
+    """y = A x - d x - sb v_prev on (n,) vectors (zero-padded internally).
+
+    The kernel runs at the PLANES' dtype (kernel-seam cast, like the
+    dist-ilv engine): an x64 caller probing an f32-plane operator (e.g.
+    normest under jax_enable_x64) must not trace an f64 Pallas kernel —
+    Mosaic cannot lower 64-bit converts (observed as a RecursionError in
+    _convert_helper).  The result is cast back to x's dtype."""
     n, n_x = A.n, A.n_x
-    dt = x.dtype
-    x2 = jnp.pad(x, (0, n_x - n)).reshape(-1, LANES)
+    kdt = A.vals.dtype
+    x2 = jnp.pad(x, (0, n_x - n)).reshape(-1, LANES).astype(kdt)
     vp = (
         jnp.zeros_like(x2)
         if vprev is None
-        else jnp.pad(vprev, (0, n_x - n)).reshape(-1, LANES)
+        else jnp.pad(vprev, (0, n_x - n)).reshape(-1, LANES).astype(kdt)
     )
-    coefs = jnp.asarray([d, sb], dt)
+    coefs = jnp.asarray([d, sb], kdt)
     y2 = _pell_step(
-        A.vals.astype(dt), A.lidx, A.cbase, A.span_row, x2, vp, coefs,
+        A.vals, A.lidx, A.cbase, A.span_row, x2, vp, coefs,
         A.tile, A.k_slots, A.sw, A.n_win, interpret, A.enc,
     )
-    return y2.reshape(-1)[:n]
+    return y2.reshape(-1)[:n].astype(x.dtype)
 
 
 def matrix_powers_pell(
@@ -1021,20 +1053,20 @@ def matrix_powers_pell(
     n, n_x = A.n, A.n_x
     g_x = n_x // LANES
     dt = q.dtype
+    kdt = A.vals.dtype  # kernel-seam dtype; see pell_apply
     diag = np.zeros(s) if diag is None else np.asarray(diag, np.float64)
     sub = np.zeros(s) if sub is None else np.asarray(sub, np.float64)
-    x2 = jnp.pad(q, (0, n_x - n)).reshape(-1, LANES)
+    x2 = jnp.pad(q, (0, n_x - n)).reshape(-1, LANES).astype(kdt)
     vp = jnp.zeros_like(x2)
-    vals = A.vals.astype(dt)
     cols = [x2]
     for k in range(s):
-        coefs = jnp.asarray([diag[k], sub[k]], dt)
+        coefs = jnp.asarray([diag[k], sub[k]], kdt)
         y2 = _pell_step(
-            vals, A.lidx, A.cbase, A.span_row, x2, vp, coefs,
+            A.vals, A.lidx, A.cbase, A.span_row, x2, vp, coefs,
             A.tile, A.k_slots, A.sw, A.n_win, interpret, A.enc,
         )
         y2 = jnp.pad(y2, ((0, g_x - y2.shape[0]), (0, 0)))
         cols.append(y2)
         vp, x2 = x2, y2
     V = jnp.stack([c.reshape(-1) for c in cols], axis=1)
-    return V[:n]
+    return V[:n].astype(dt)

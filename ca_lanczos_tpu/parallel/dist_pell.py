@@ -184,16 +184,21 @@ def _pell_powers_local(
     tile: int, k_slots: int, sw: int, n_win: int, n_x: int,
     interpret: bool = False, axes: RowAxes = ROWS,
 ):
-    """One halo exchange + s local PELL recurrence steps -> (n_local, s+1)."""
+    """One halo exchange + s local PELL recurrence steps -> (n_local, s+1).
+
+    Kernel-seam cast: the kernel runs at the plane dtype (f32); driver
+    state dtype is caller-controlled (f64 IRL state), cast at the seam
+    only — same contract as the dist-ilv engine and pell_apply."""
     xp = _halo_exchange(x_local, halo, n_shards, periodic, axes)
     m = xp.shape[0]
     g_x = n_x // LANES
-    x2 = jnp.pad(xp, (0, n_x - m)).reshape(-1, LANES)
+    kdt = vals.dtype
+    x2 = jnp.pad(xp, (0, n_x - m)).reshape(-1, LANES).astype(kdt)
     vp = jnp.zeros_like(x2)
     centers = []
     n_local = x_local.shape[0]
     for k in range(s):
-        coefs = jnp.stack([diag[k], sub[k]]).astype(x2.dtype)
+        coefs = jnp.stack([diag[k], sub[k]]).astype(kdt)
         y2 = _pell_step(
             vals, lidx, cbase, span_row, x2, vp, coefs,
             tile, k_slots, sw, n_win, interpret,
@@ -202,7 +207,8 @@ def _pell_powers_local(
         centers.append(y2.reshape(-1)[halo : halo + n_local])
         vp, x2 = x2, y2
     return jnp.concatenate(
-        [x_local[:, None], jnp.stack(centers, axis=1)], axis=1
+        [x_local[:, None],
+         jnp.stack(centers, axis=1).astype(x_local.dtype)], axis=1
     )
 
 

@@ -59,8 +59,8 @@ from ca_lanczos_tpu.parallel.step import (
 from ca_lanczos_tpu.solvers._block import block_T, extend_T, first_block_T
 from ca_lanczos_tpu.solvers.ca_lanczos import build_basis_matrix, monomial_basis_matrix
 from ca_lanczos_tpu.solvers.restarted import (
-    RestartedResult, _finalize, _lock_converged, _verify_gate,
-    _wanted_converged,
+    RestartedResult, _finalize, _lock_converged, _verify_floor,
+    _verify_gate, _wanted_converged,
 )
 
 
@@ -471,8 +471,7 @@ def dist_restarted_ca_lanczos(
             true_abs = float(jnp.linalg.norm(_dist_spmv_any(Adist, x, mesh) - float(d[i]) * x))
             if config.verify_locked and true_abs > _verify_gate(
                     ritz_norms[i], norm_A,
-                    floor=1e-2 if safe_qr
-                    else (1e-3 if dtype == jnp.float32 else 1e-4)):
+                    floor=_verify_floor(dtype, config.tol, safe_qr=safe_qr)):
                 continue
             Qconv = Qconv.at[:, nconv + verified].set(x)
             conv_eigs.append(float(d[i]))

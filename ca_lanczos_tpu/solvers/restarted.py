@@ -159,13 +159,31 @@ def _verify_gate(rn_est: float, norm_A: float, floor: float = 1e-4) -> float:
     case) — the estimate-consistency form rejects it while keeping every
     healthy corpus lock.
 
-    floor: relative floor on the gate — 1e-4 for f64 state, 1e-3 for
-    f32 state (f32 basis storage at the >=4M-row scale carries
-    legitimate ~1e-4*||A|| lock residuals); breakdown-recovery (safe_qr)
-    cycles pass 1e-2, the old catastrophic-only level, because
-    pinv-regularized refreshed bases produce honest locks whose
-    estimates legitimately undershoot."""
+    floor: relative floor on the gate — see _verify_floor; 1e-3 for f32
+    state (f32 basis storage at the >=4M-row scale carries legitimate
+    ~1e-4*||A|| lock residuals); breakdown-recovery (safe_qr) cycles
+    pass 1e-2, the old catastrophic-only level, because pinv-regularized
+    refreshed bases produce honest locks whose estimates legitimately
+    undershoot."""
     return max(1e3 * float(rn_est), floor * norm_A)
+
+
+def _verify_floor(dtype, tol_rel: float, safe_qr: bool = False) -> float:
+    """Relative floor for _verify_gate by state dtype and requested
+    tolerance.  f64 scales with the caller's tolerance,
+    max(1e-7, 100*tol_rel): the old fixed 1e-4 floor let a GHOST pair
+    (estimate 1e-12, true residual 7e-5 relative) lock as converged on a
+    tol=1e-9 graded-Poisson run — a tol=1e-9 caller cares about
+    1e-7-grade truth, while a loose-tol caller keeps the old slack.
+    f32 keeps 1e-3 (the legitimate at-scale storage drift); safe_qr
+    keeps the catastrophic-only 1e-2 (see _verify_gate)."""
+    import jax.numpy as _jnp
+
+    if safe_qr:
+        return 1e-2
+    if dtype == _jnp.float32:
+        return 1e-3
+    return max(1e-7, 100.0 * float(tol_rel))
 
 
 def _relative_residual(A: Operator, x: jax.Array, lam: float) -> float:
@@ -313,7 +331,7 @@ def restarted_lanczos(
                 true_abs = float(jnp.linalg.norm(spmv(A, x) - float(d[i]) * x))
                 if true_abs > _verify_gate(
                         ritz_norms[i], norm_A,
-                        floor=1e-3 if dtype == jnp.float32 else 1e-4):
+                        floor=_verify_floor(dtype, tol / norm_A)):
                     continue
             conv_eigs.append(float(d[i]))
             conv_rnorms.append(float(ritz_norms[i]))
@@ -561,7 +579,7 @@ def restarted_ca_lanczos(
             true_abs = float(jnp.linalg.norm(spmv(A, x) - float(d[i]) * x))
             if config.verify_locked and true_abs > _verify_gate(
                     ritz_norms[i], norm_A,
-                    floor=1e-3 if dtype == jnp.float32 else 1e-4):
+                    floor=_verify_floor(dtype, config.tol)):
                 continue  # estimate lied; leave the pair unlocked
             conv_eigs.append(float(d[i]))
             conv_rnorms.append(float(ritz_norms[i]))

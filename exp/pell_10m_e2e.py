@@ -75,7 +75,10 @@ def main():
         log(f"oracle eigsh: {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    A = PellMatrix.from_scipy(a, encoding="auto")  # native C++ encoder
+    # f32 planes for the device solve (the f64 csr stays for the oracle
+    # and the host polish); f64 PELL planes would trace an f64 Mosaic
+    # kernel, which cannot lower on TPU.
+    A = PellMatrix.from_scipy(a.astype(np.float32), encoding="auto")
     enc_wall = time.perf_counter() - t0
     log(f"PELL encode (native): {enc_wall:.1f}s  K={A.k_slots} enc={A.enc} "
         f"sw={A.sw} W={A.n_win}")
