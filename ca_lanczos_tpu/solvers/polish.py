@@ -49,6 +49,28 @@ from jax import lax
 
 from ca_lanczos_tpu.ops.spmv import DiaMatrix, spmv
 
+# Per-(rows, L) f64 temporary budget for the chunk-fused passes.  The
+# divisor-based _mp_chunk_shape kept L at ~2M rows regardless of panel
+# height; at 11M rows the final generalized Gram pair (mk = 40-row
+# stacked panel) then planned 22.75 GB (f64-emulation dot_general
+# buffers scale with the chunk), the last round-4 blocker to running
+# the polish on device at the flagship scale.  Bytes-budgeted chunks
+# with tail padding (zero columns contribute nothing to applies, Grams
+# or residual norms) keep every f64 temporary ~<=48 MB at any n.
+_F64_CHUNK_BYTES = 48 << 20
+
+
+def _chunks_for(n: int, rows: int):
+    """(c, L, n_pad): column-chunking for f64 temporaries of ``rows``
+    panel rows — L sized to the byte budget (1024-multiple), c*L =
+    n_pad >= n; callers zero-pad columns [n, n_pad)."""
+    L = _F64_CHUNK_BYTES // (max(rows, 1) * 8)
+    L = max(1 << 15, min(1 << 21, (L // 1024) * 1024))
+    if n <= L:
+        return None
+    c = -(-n // L)
+    return c, L, c * L
+
 
 def _spmv64_rm(A, Z):
     """A @ rows(Z): row-major (k, n) panel through the f64 operator.
@@ -182,7 +204,8 @@ def _rq64(A, Q):
     from ca_lanczos_tpu.ops.qr import _mp_chunk_shape
 
     k, n = Q.shape
-    if not isinstance(A, DiaMatrix) or _mp_chunk_shape(n) is None:
+    ck = _chunks_for(n, k)
+    if not isinstance(A, DiaMatrix) or ck is None:
         AQ = _spmv64_rm(A, Q)
         Q64 = Q.astype(jnp.float64)
         num = jnp.einsum("in,in->i", Q64, AQ)
@@ -190,10 +213,12 @@ def _rq64(A, Q):
         R = AQ - w[:, None] * Q64
         return w, jnp.linalg.norm(R, axis=1), _unit_rows(
             R.astype(jnp.float32))
-    c, L = _mp_chunk_shape(n)
+    c, L, n_pad = ck
     wband = max((abs(o) for o in A.offsets), default=0)
-    Zp = jnp.pad(Q, ((0, 0), (wband, wband)))
-    Dp = jnp.pad(A.data, ((0, 0), (wband, wband)))
+    # Tail-pad to c*L: zero data/vector columns contribute nothing to
+    # the quotients, residual norms, or the residual block.
+    Zp = jnp.pad(Q, ((0, 0), (wband, wband + n_pad - n)))
+    Dp = jnp.pad(A.data, ((0, 0), (wband, wband + n_pad - n)))
 
     def acc_body(i, nd):
         num, den = nd
@@ -215,30 +240,43 @@ def _rq64(A, Q):
         return rs, B
 
     rs, B = lax.fori_loop(
-        0, c, res_body, (z, jnp.zeros((k, n), jnp.float32)))
-    return w, jnp.sqrt(rs), _unit_rows(B)
+        0, c, res_body, (z, jnp.zeros((k, n_pad), jnp.float32)))
+    return w, jnp.sqrt(rs), _unit_rows(B[:, :n])
 
 
 @jax.jit
-def _gram64_pair_chunked(A, Z):
-    """(G, M) = (Z A Z^T, Z Z^T) in f64 from an f32 row-major (mk, n)
-    stacked panel, chunk-fused — f64 only on (mk, chunk) temporaries."""
-    from ca_lanczos_tpu.ops.qr import _mp_chunk_shape
-
-    mk, n = Z.shape
-    ck = _mp_chunk_shape(n)
+def _gram64_pair_chunked(A, *stages):
+    """(G, M) = (Z A Z^T, Z Z^T) in f64 for the STACKED panel Z =
+    rows(stages), chunk-fused without ever materializing the (mk, n)
+    stack — f64 exists only on (mk, chunk) temporaries sized to
+    _F64_CHUNK_BYTES, and the per-stage pads replace the round-4
+    concat+pad (two full-panel copies, part of the 11M OOM)."""
+    k, n = stages[0].shape
+    mk = len(stages) * k
+    ck = _chunks_for(n, mk)
     wband = max((abs(o) for o in A.offsets), default=0)
-    Zp = jnp.pad(Z, ((0, 0), (wband, wband)))
-    Dp = jnp.pad(A.data, ((0, 0), (wband, wband)))
     if ck is None:
+        Zp = jnp.pad(jnp.concatenate(stages, axis=0),
+                     ((0, 0), (wband, wband)))
+        Dp = jnp.pad(A.data, ((0, 0), (wband, wband)))
         y, zc = _dia_chunk_apply64(A, Zp, Dp, 0, mk, n, wband)
         return zc @ y.T, zc @ zc.T
-    c, L = ck
+    c, L, n_pad = ck
+    pads = tuple(
+        jnp.pad(S, ((0, 0), (wband, wband + n_pad - n))) for S in stages
+    )
+    Dp = jnp.pad(A.data, ((0, 0), (wband, wband + n_pad - n)))
 
     def body(i, GM):
         G, M = GM
-        y, zc = _dia_chunk_apply64(A, Zp, Dp, i * L, mk, L, wband)
-        return G + zc @ y.T, M + zc @ zc.T
+        ys, zs = [], []
+        for Sp in pads:
+            y, zc = _dia_chunk_apply64(A, Sp, Dp, i * L, k, L, wband)
+            ys.append(y)
+            zs.append(zc)
+        yc = jnp.concatenate(ys, axis=0)  # (mk, L) — small
+        zc = jnp.concatenate(zs, axis=0)
+        return G + zc @ yc.T, M + zc @ zc.T
 
     z = jnp.zeros((mk, mk), jnp.float64)
     return lax.fori_loop(0, c, body, (z, z))
@@ -319,7 +357,7 @@ def _polish_pass(A, A32, X, k: int, depth: int, final: bool = False):
         # Chunk-fused f64 Gram pair: accurate A-products (casting A S to
         # f32 would steer the rotation by ~1e-5 — exactly the noise this
         # pass removes) without any f64 panel.
-        Gm, Mm = _gram64_pair_chunked(A, jnp.concatenate(stages, axis=0))
+        Gm, Mm = _gram64_pair_chunked(A, *stages)
         Gm, Mm = np.asarray(Gm), np.asarray(Mm)
         Mm = (Mm + Mm.T) / 2
         import scipy.linalg as sla

@@ -122,7 +122,10 @@ def main():
     # basis storage; the block-Krylov Rayleigh-Ritz polish runs against
     # f64 planes as its own device call.  Per-pair true residuals are
     # the instrumentation the 2.3e-5 record lacked.
-    from ca_lanczos_tpu.solvers.polish import rayleigh_ritz_polish_host
+    from ca_lanczos_tpu.ops.spmv import DiaMatrix
+    from ca_lanczos_tpu.solvers.polish import (
+        rayleigh_ritz_polish, rayleigh_ritz_polish_host,
+    )
 
     a64 = sp.diags([off[:-1], d, off[:-1]], [-1, 0, 1], format="csr")
     X = res.Q_conv
@@ -132,14 +135,27 @@ def main():
         from ca_lanczos_tpu.ops.pallas_ilv import ilv_decode_jax
 
         X = jnp.stack([ilv_decode_jax(X[:, j]) for j in range(X.shape[1])], 1)
-    t0 = time.perf_counter()
-    Xh = np.asarray(X)  # one-time device->host fetch (~12 MB/s relay)
-    log(f"fetched locked block ({Xh.nbytes/1e6:.0f} MB) in "
-        f"{time.perf_counter()-t0:.1f}s")
     n_pass = int(os.environ.get("POLISH_ITERS", "3"))
     n_depth = int(os.environ.get("POLISH_DEPTH", "4"))
-    w, resid, _ = rayleigh_ritz_polish_host(
-        lambda Z: a64 @ Z, Xh, iters=n_pass, depth=n_depth)
+    t0 = time.perf_counter()
+    if os.environ.get("POLISH_HOST"):
+        # Fallback: the round-4 production path (fetch + host numpy).
+        Xh = np.asarray(X)  # one-time device->host fetch (~12 MB/s relay)
+        log(f"fetched locked block ({Xh.nbytes/1e6:.0f} MB) in "
+            f"{time.perf_counter()-t0:.1f}s")
+        w, resid, _ = rayleigh_ritz_polish_host(
+            lambda Z: a64 @ Z, Xh, iters=n_pass, depth=n_depth)
+    else:
+        # Round-5 default: DEVICE f64 polish (bytes-budgeted chunked
+        # passes fit the 11M scale in HBM now: results/polish_device
+        # .jsonl, 24 s warm vs 512 s host+fetch) — no block fetch at all.
+        data64 = np.zeros((3, n))
+        data64[0, 1:] = off[:-1]  # A[i, i-1]
+        data64[1] = d
+        data64[2, :-1] = off[:-1]  # A[i, i+1]
+        A64 = DiaMatrix(data=jnp.asarray(data64), offsets=(-1, 0, 1))
+        w, resid, _ = rayleigh_ritz_polish(
+            A64, jnp.asarray(X, jnp.float32), iters=n_pass, depth=n_depth)
     polish_wall = time.perf_counter() - t0
     wp = np.sort(w)[::-1]
     perr = np.abs(wp - exact) / 100.0

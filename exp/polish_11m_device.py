@@ -63,10 +63,16 @@ def main():
     # f32 solve: ~1e-4-angle subspace error).
     X = np.zeros((n, k), np.float32)
     X[-10:, :] = np.eye(10, dtype=np.float32)[::-1]
-    X += (rng.standard_normal((n, k)) * 1e-4).astype(np.float32)
+    # ~1e-4 subspace ANGLE (the f32 solve's floor), i.e. a unit-norm
+    # random direction scaled 1e-4 per column — not 1e-4 per entry,
+    # which at 11M rows would be a 0.33-norm perturbation.
+    X += (rng.standard_normal((n, k)) * (1e-4 / np.sqrt(n))).astype(
+        np.float32)
 
+    iters, depth = 3, 3
     t0 = time.perf_counter()
-    w, resid, _ = rayleigh_ritz_polish(A64, jnp.asarray(X), iters=2, depth=3)
+    w, resid, _ = rayleigh_ritz_polish(A64, jnp.asarray(X), iters=iters,
+                                       depth=depth)
     cold = time.perf_counter() - t0
     err = float(np.max(np.abs(np.sort(w)[::-1] - exact)) / 100.0)
     worst = float(np.max(resid))
@@ -74,7 +80,8 @@ def main():
         f"worst_resid={worst:.2e}")
 
     t0 = time.perf_counter()
-    w, resid, _ = rayleigh_ritz_polish(A64, jnp.asarray(X), iters=2, depth=3)
+    w, resid, _ = rayleigh_ritz_polish(A64, jnp.asarray(X), iters=iters,
+                                       depth=depth)
     warm = time.perf_counter() - t0
     err = float(np.max(np.abs(np.sort(w)[::-1] - exact)) / 100.0)
     worst = float(np.max(resid))
@@ -83,7 +90,7 @@ def main():
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "results", "polish_device.jsonl")
     rec = dict(experiment="polish_11m_device", n=n, k=k,
-               iters=2, depth=3,
+               iters=iters, depth=depth,
                cold_wall_s=round(cold, 1), warm_wall_s=round(warm, 1),
                eig_rel_err=float(f"{err:.3g}"),
                worst_true_resid_abs=float(f"{worst:.3g}"),
