@@ -19,8 +19,21 @@ from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# BSR_CPU=1: correctness-only leg on the 8-way VIRTUAL mesh (the XLA:TPU
+# remote compiler hangs >25 min on the BSR gather at 10M rows —
+# memory/axon-tpu-quirks; the 10M-scale CORRECTNESS contract runs on the
+# virtual mesh, the hardware throughput row at the largest compiling
+# scale via exp/dist_bsr_bench.py).
+CPU = bool(os.environ.get("BSR_CPU"))
+if CPU:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 import jax
 
+if CPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -80,42 +93,45 @@ def main():
     log(f"operator: n={n} ({n/1e6:.2f}M rows) block {bs}x{bs} "
         f"structural nnz={nnz/1e6:.0f}M")
 
-    mesh = make_mesh(1)
+    mesh = make_mesh(8 if CPU else 1)
     t0 = time.perf_counter()
     Ad = DistBsr.from_bsr(A, mesh, s_max=s)
-    log(f"partitioned in {time.perf_counter()-t0:.1f}s "
+    log(f"partitioned over {mesh.devices.size} device(s) in "
+        f"{time.perf_counter()-t0:.1f}s "
         f"(halo_b={Ad.halo_b} nb_local={Ad.nb_local})")
 
     rng = np.random.default_rng(1)
     x = np.asarray(rng.standard_normal(n), np.float32)
     x /= np.linalg.norm(x)
-    xs = Ad.shard_vector(x, mesh)
-    z = jnp.zeros(s, jnp.float32)
+    rate = None
+    if not CPU:
+        xs = Ad.shard_vector(x, mesh)
+        z = jnp.zeros(s, jnp.float32)
 
-    @partial(jax.jit, static_argnames=("reps",))
-    def chain(v, reps):
-        def body(i, v):
-            W = dist_bsr_matrix_powers(Ad, v, s, z, z, mesh)
-            return W[:, s] / jnp.linalg.norm(W[:, s])
+        @partial(jax.jit, static_argnames=("reps",))
+        def chain(v, reps):
+            def body(i, v):
+                W = dist_bsr_matrix_powers(Ad, v, s, z, z, mesh)
+                return W[:, s] / jnp.linalg.norm(W[:, s])
 
-        return jnp.sum(lax.fori_loop(0, reps, body, v))
+            return jnp.sum(lax.fori_loop(0, reps, body, v))
 
-    lo, hi = 3, 23
-    t0 = time.perf_counter()
-    float(chain(xs, lo)); float(chain(xs, hi))
-    log(f"compiled chains in {time.perf_counter()-t0:.1f}s")
+        lo, hi = 3, 23
+        t0 = time.perf_counter()
+        float(chain(xs, lo)); float(chain(xs, hi))
+        log(f"compiled chains in {time.perf_counter()-t0:.1f}s")
 
-    def timed(reps, trials=3):
-        return min(
-            (lambda t0=time.perf_counter(): (float(chain(xs, reps)),
-                                             time.perf_counter() - t0)[1])()
-            for _ in range(trials)
-        )
+        def timed(reps, trials=3):
+            return min(
+                (lambda t0=time.perf_counter(): (float(chain(xs, reps)),
+                                                 time.perf_counter() - t0)[1])()
+                for _ in range(trials)
+            )
 
-    t_lo, t_hi = timed(lo), timed(hi)
-    rate = int(nnz) * s * (hi - lo) / (t_hi - t_lo) / 1e9
-    log(f"dist P=1 BSR matrix-powers @ {n/1e6:.1f}M rows: "
-        f"{rate:.2f} Gnnz/s/chip")
+        t_lo, t_hi = timed(lo), timed(hi)
+        rate = int(nnz) * s * (hi - lo) / (t_hi - t_lo) / 1e9
+        log(f"dist P=1 BSR matrix-powers @ {n/1e6:.1f}M rows: "
+            f"{rate:.2f} Gnnz/s/chip")
 
     # End-to-end: the distributed restarted driver locks the planted top.
     cfg = LanczosConfig(s=s, n_wanted=3, tol=1e-4, max_restarts=30)
@@ -134,7 +150,8 @@ def main():
     with open(out, "a") as f:
         f.write(json.dumps(dict(
             experiment="bsr_10m_e2e", n=n, block=bs, nnz=int(nnz), s=s,
-            gnnz_per_s_chip=round(rate, 2),
+            mesh="8-way virtual (cpu)" if CPU else "P=1 hardware",
+            gnnz_per_s_chip=None if rate is None else round(rate, 2),
             converged=bool(res.converged),
             n_restarts=int(res.n_restarts),
             eig_rel_err=float(f"{err:.3g}"),
