@@ -108,8 +108,10 @@ def main():
         xs = Ad.shard_vector(x, mesh)
         z = jnp.zeros(s, jnp.float32)
 
+        # Ad as an ARGUMENT (a closure would bake its 1 GB planes into
+        # the program as constants — the >25-min remote-compile hang).
         @partial(jax.jit, static_argnames=("reps",))
-        def chain(v, reps):
+        def chain(Ad, v, reps):
             def body(i, v):
                 W = dist_bsr_matrix_powers(Ad, v, s, z, z, mesh)
                 return W[:, s] / jnp.linalg.norm(W[:, s])
@@ -118,12 +120,12 @@ def main():
 
         lo, hi = 3, 23
         t0 = time.perf_counter()
-        float(chain(xs, lo)); float(chain(xs, hi))
+        float(chain(Ad, xs, lo)); float(chain(Ad, xs, hi))
         log(f"compiled chains in {time.perf_counter()-t0:.1f}s")
 
         def timed(reps, trials=3):
             return min(
-                (lambda t0=time.perf_counter(): (float(chain(xs, reps)),
+                (lambda t0=time.perf_counter(): (float(chain(Ad, xs, reps)),
                                                  time.perf_counter() - t0)[1])()
                 for _ in range(trials)
             )

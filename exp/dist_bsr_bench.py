@@ -79,8 +79,10 @@ def main():
         err = np.max(np.abs(V[:, k] - v_ref)) / np.max(np.abs(v_ref))
         print(f"  power {k}: rel err {err:.2e}", flush=True)
 
+    # Ad as an ARGUMENT (a closure would bake its 1 GB planes into the
+    # program as constants — the >25-min remote-compile hang).
     @partial(jax.jit, static_argnames=("reps",))
-    def chain(v, reps):
+    def chain(Ad, v, reps):
         def body(i, v):
             W = dist_bsr_matrix_powers(Ad, v, s, z, z, mesh)
             return W[:, s]
@@ -88,13 +90,13 @@ def main():
         return jnp.sum(lax.fori_loop(0, reps, body, v))
 
     lo, hi = 5, 45
-    float(chain(xs, lo)); float(chain(xs, hi))
+    float(chain(Ad, xs, lo)); float(chain(Ad, xs, hi))
 
     def timed(reps, trials=3):
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(chain(xs, reps))
+            float(chain(Ad, xs, reps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -122,7 +122,6 @@ def main():
     # basis storage; the block-Krylov Rayleigh-Ritz polish runs against
     # f64 planes as its own device call.  Per-pair true residuals are
     # the instrumentation the 2.3e-5 record lacked.
-    from ca_lanczos_tpu.ops.spmv import DiaMatrix
     from ca_lanczos_tpu.solvers.polish import (
         rayleigh_ritz_polish, rayleigh_ritz_polish_host,
     )

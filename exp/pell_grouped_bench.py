@@ -76,8 +76,11 @@ def bench(a, enc, **kw):
     coefs = jnp.zeros(2, jnp.float32)
     vals, lidx, cbase, span = A.vals, A.lidx, A.cbase, A.span_row
 
+    # Planes ride as ARGUMENTS: a closure would capture them as
+    # compile-time constants and ship GBs through the remote compiler
+    # (2.84 GB at 10M rows — the round-5 compile hangs / HTTP 413s).
     @partial(jax.jit, static_argnames=("reps",))
-    def chain(v, reps):
+    def chain(vals, lidx, cbase, span, v, reps):
         def body(i, v):
             y2 = _pell_step(
                 vals, lidx, cbase, span, v, jnp.zeros_like(v), coefs,
@@ -88,13 +91,14 @@ def bench(a, enc, **kw):
         return jnp.sum(lax.fori_loop(0, reps, body, v))
 
     lo, hi_r = 50, 450
-    float(chain(x2, lo)); float(chain(x2, hi_r))
+    float(chain(vals, lidx, cbase, span, x2, lo))
+    float(chain(vals, lidx, cbase, span, x2, hi_r))
 
     def timed(reps, trials=3):
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(chain(x2, reps))
+            float(chain(vals, lidx, cbase, span, x2, reps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
