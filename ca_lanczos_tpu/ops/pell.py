@@ -504,6 +504,17 @@ def _cover2(chunks) -> bool:
     return _cover_windows(chunks, 2, 4) is not None
 
 
+# Measured per-slot cost weights for the auto pricing (relative to the
+# unit encoding's slot).  Hardware slot rates (exp/pell_grouped_bench,
+# exp/pell_216_bench): grouped processes slots 24-31% faster than unit
+# on every >=262k-row pattern (52 vs 68 Gslot/s at 216^3; 50 vs 60 at
+# the 262k 27-pt), so the earlier HBM-bytes-only model (6 vs 5 B/slot)
+# mispriced it — at 216^3 it picked unit (24.9 Gnnz/s) over grouped
+# (37.9, +53%).  grouped4 pays ~4% over grouped for its two extra
+# dynamic slices (measured -8%..+1%).
+_ENC_SLOT_COST = {"unit": 1.0, "grouped": 0.80, "grouped4": 0.84}
+
+
 def _grouped_tries(encoding: str):
     """Grouped geometries to attempt for an encoding request, cheapest
     mechanism first."""
@@ -515,26 +526,24 @@ def _grouped_tries(encoding: str):
 
 
 def _grouped_settles(encoding: str, geom: str, K_g: int, K_u: int) -> bool:
-    """In auto mode, stop planning further geometries once the current
-    one already beats the unit price (geometries are tried cheapest
-    mechanism first)."""
-    return encoding != "auto" or 6 * K_g < 5 * K_u
+    """auto plans EVERY geometry (a 4-window K reduction can beat an
+    already-winning 2-window plan; planning costs ~15 s at 10M rows
+    next to minutes of solve); explicit requests stop at their own."""
+    return encoding != "auto"
 
 
 def _pick_encoding(encoding: str, K_u: int, grouped_Ks: dict) -> str:
     """Choose among unit and the successfully-planned grouped
-    geometries.  Explicit requests win unconditionally; auto prices by
-    HBM bytes per SpMV (unit 5 B/slot, grouped 6 B/slot) with a 15%
-    mechanism penalty on the 4-window form (two extra dynamic slices
-    per slot-tile)."""
+    geometries.  Explicit requests win unconditionally; auto minimizes
+    K x the measured per-slot cost (_ENC_SLOT_COST)."""
     if encoding in GROUPED_GEOM:
         return encoding  # caller has validated availability
     if encoding == "unit" or not grouped_Ks:
         return "unit"
-    best, cost = "unit", 5.0 * K_u
+    best, cost = "unit", _ENC_SLOT_COST["unit"] * K_u
     for g in ("grouped", "grouped4"):
         if g in grouped_Ks:
-            c = 6.0 * grouped_Ks[g] * (1.15 if g == "grouped4" else 1.0)
+            c = _ENC_SLOT_COST[g] * grouped_Ks[g]
             if c < cost:
                 best, cost = g, c
     return best
