@@ -201,8 +201,6 @@ def _rq64(A, Q):
     each one up to multi-GB while-loop state (an 11M-row pass planned
     21 GB); here f64 exists only on (k, chunk) temporaries inside the
     scan, and the outputs are k-vectors plus an f32 panel."""
-    from ca_lanczos_tpu.ops.qr import _mp_chunk_shape
-
     k, n = Q.shape
     ck = _chunks_for(n, k)
     if not isinstance(A, DiaMatrix) or ck is None:

@@ -107,6 +107,8 @@ def main():
         f"n_restarts={res.n_restarts} eig_rel_err={err:.2e} "
         f"cold_wall={cold:.1f}s"
     )
+    res = None  # free the cold run's device state before the warm rerun
+    # (holding both full solve states OOM'd the 15.75 GB HBM at 11M)
     t0 = time.perf_counter()
     res = fused_restarted_ca_lanczos(A, r, 32, **kw)
     wall = time.perf_counter() - t0
