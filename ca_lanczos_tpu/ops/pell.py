@@ -247,19 +247,63 @@ class PellMatrix:
             cmax_col = int(seg.max()) if seg.size else lo_r
             need = max(need, cmax_col + 1 - ((cmin // 1024) * 1024))
         need = ((need + 1023) // 1024) * 1024
+
+        tile_chunks = []
+        for t in range(ntiles):
+            lo_r, hi_r = t * tile, min((t + 1) * tile, n)
+            seg = indices[indptr[lo_r] : indptr[hi_r]]
+            tile_chunks.append(
+                np.unique(seg // LANES).astype(np.int64) if seg.size
+                else np.asarray([lo_r // LANES], np.int64)
+            )
+
+        def _greedy_count(chunks, srq):
+            """Windows of srq chunks (1024-aligned starts) a tile needs."""
+            i = cnt = 0
+            while i < len(chunks):
+                start = (int(chunks[i]) // 8) * 8
+                cnt += 1
+                i = int(np.searchsorted(chunks, start + srq, side="left"))
+            return cnt
+
         if sw is None:
-            sw = need if need <= SW_MAX else SW_MULTI
+            if need <= SW_MAX:
+                sw = need
+            else:
+                # Multi-window regime: choose the window width that
+                # MINIMIZES the total span-DMA fetch (sum over tiles of
+                # windows x sw) subject to max_windows.  The old fixed
+                # SW_MULTI=16K width over-fetched ~8x on 216^3-scale
+                # cluster sparsity (three ~1.5K-column clusters per
+                # tile), making the span stream ~40% of kernel traffic
+                # (round-5; see BENCHMARKS.md).
+                best = None
+                for cand in (1024, 2048, 4096, 8192, SW_MULTI, 32768):
+                    srq = cand // LANES
+                    tot = mx = 0
+                    for ch in tile_chunks:
+                        c = _greedy_count(ch, srq)
+                        tot += c
+                        mx = max(mx, c)
+                        if mx > max_windows:
+                            break
+                    if mx > max_windows:
+                        continue
+                    # Each window costs its fetch plus a fixed DMA-start
+                    # charge (~2K elements) so the optimizer doesn't
+                    # fragment into many tiny windows for a marginal
+                    # fetch saving.
+                    cost = tot * (cand + 2048)
+                    if best is None or cost < best[0]:
+                        best = (cost, cand)
+                sw = best[1] if best else SW_MULTI
         sw = max(((sw + 1023) // 1024) * 1024, 1024)
         sw = min(sw, max(((n_pad + 1023) // 1024) * 1024, 1024))
         sr = sw // LANES  # window width in 128-element rows (multiple of 8)
         g_x = max(g_tot, sr)
         win_lists = []
         for t in range(ntiles):
-            lo_r, hi_r = t * tile, min((t + 1) * tile, n)
-            seg = indices[indptr[lo_r] : indptr[hi_r]]
-            chunks = np.unique(seg // LANES).astype(np.int64) if seg.size else np.asarray(
-                [lo_r // LANES], np.int64
-            )
+            chunks = tile_chunks[t]
             wins = []
             i = 0
             while i < len(chunks):
