@@ -712,6 +712,35 @@ class TestDistPell:
         V_ref = np.asarray(matrix_powers_from_B(Aell, q, Bk))
         np.testing.assert_allclose(V, V_ref, rtol=1e-11, atol=1e-9)
 
+    def test_f64_state_through_f32_planes(self, mesh):
+        """Round-5 kernel-seam contract: f32-plane DistPell with f64
+        driver STATE (the dist IRL's requirement) computes powers at the
+        plane dtype and returns them at the state dtype — the real-TPU
+        path would otherwise trace an unlowerable f64 Mosaic kernel."""
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+        from ca_lanczos_tpu.parallel.dist_pell import (
+            DistPell, dist_pell_matrix_powers,
+        )
+
+        n, s = 512, 2
+        Aell = self._random_banded_ell(n, bw=8, nnz_per_row=5, seed=5)
+        A32 = EllMatrix(vals=jnp.asarray(np.asarray(Aell.vals), jnp.float32),
+                        cols=Aell.cols)
+        Adist = DistPell.from_ell(A32, mesh, s_max=s)
+        assert Adist.vals.dtype == jnp.float32
+        x = np.random.default_rng(9).standard_normal(n)
+        xs = Adist.shard_vector(x, mesh)
+        assert xs.dtype == jnp.float64
+        V = dist_pell_matrix_powers(Adist, xs, s, jnp.zeros(s), jnp.zeros(s),
+                                    mesh)
+        assert V.dtype == jnp.float64  # state dtype preserved
+        V_ref = np.asarray(
+            matrix_powers(A32, jnp.asarray(x, jnp.float32), s, None,
+                          Basis.MONOMIAL)
+        )
+        np.testing.assert_allclose(np.asarray(V)[:n], V_ref, rtol=2e-4,
+                                   atol=2e-4)
+
     def test_driver_parity(self, mesh):
         """dist_ca_lanczos(dist_format='pell') matches the single-chip
         driver's Ritz values on a general ELL operator."""

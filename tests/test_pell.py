@@ -57,6 +57,45 @@ class TestEncoder:
         assert A.n_win == 2
         np.testing.assert_allclose(A.to_dense(), a.toarray(), atol=0)
 
+    def test_sw_optimizer_prefers_tight_windows(self):
+        """Round-5: in the multi-window regime (span > SW_MAX) the
+        window width minimizes total span fetch instead of a fixed 16K —
+        three narrow clusters ~70K columns apart must get ~2K windows,
+        not 16K ones, at identical reconstruction."""
+        n = 1 << 18  # 262144 cols; spread 2*70K+1K > SW_MAX
+        a = sp.lil_matrix((n, n))
+        a.setdiag(2.0 * np.ones(n))
+        step = 70000
+        rows = np.arange(n - 2 * step)
+        a[rows, rows + step] = 0.5
+        a[rows, rows + 2 * step] = 0.25
+        csr = sp.csr_matrix(a)
+        A = PellMatrix.from_scipy(csr, tile=1024, encoding="unit",
+                                  device=False)
+        assert A.sw <= 4096, (A.sw, A.n_win)  # not the old fixed 16K
+        assert A.n_win <= 5
+        x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+        got = np.asarray(pell_apply(A, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(got, csr @ x, rtol=2e-5, atol=2e-5)
+
+    def test_kernel_seam_dtype(self):
+        """Round-5: the kernel runs at the PLANE dtype; an f64 caller
+        (x64 probes like normest) gets an f64 result computed through
+        the f32 kernel — never an f64 Pallas trace."""
+        n = 1024
+        a = sp.diags([np.ones(n - 1), 2.0 * np.ones(n), np.ones(n - 1)],
+                     [-1, 0, 1]).tocsr().astype(np.float32)
+        A = PellMatrix.from_scipy(a, tile=256, encoding="grouped",
+                                  device=False)
+        assert A.vals.dtype == np.float32
+        x64 = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+        assert x64.dtype == jnp.float64  # conftest enables x64
+        y = pell_apply(A, x64, interpret=True)
+        assert y.dtype == jnp.float64
+        np.testing.assert_allclose(
+            np.asarray(y), a @ np.asarray(x64), rtol=2e-5, atol=2e-5
+        )
+
     def test_window_overflow_raises(self):
         # One row touching chunks all over the matrix: needs more windows
         # than max_windows allows.
