@@ -90,7 +90,16 @@ def main():
     # tol=1e-7 — candidates hovered just above the 1e-5 gate).  Final
     # accuracy is set by the f64-Gram refine pass and REPORTED against
     # the scipy oracle, not assumed from the gate.
-    kw = dict(n_wanted=10, s=8, tol=1e-6, mixed_precision=True,
+    # FLAGSHIP_MP=0: drop the in-solve f64 Gram/R reductions (f64
+    # emulation dominates the cycle time at scale) and lean on the f64
+    # polish for final accuracy — round-5 experiment.
+    mp = os.environ.get("FLAGSHIP_MP", "0") != "0"
+    tol = float(os.environ.get("FLAGSHIP_TOL", "1e-4" if not mp else "1e-6"))
+    # FLAGSHIP_NW > 10: over-lock so the loose-solve span contains the
+    # true top-10 even when some locked directions are sloppy; the f64
+    # polish RR keeps the top 10 (two-stage experiment, round 5).
+    nw = int(os.environ.get("FLAGSHIP_NW", "13" if not mp else "10"))
+    kw = dict(n_wanted=nw, s=8, tol=tol, mixed_precision=mp,
               cycles_per_call=cpc)
 
     def prog(cycle, nconv):
@@ -100,7 +109,7 @@ def main():
     res = fused_restarted_ca_lanczos(A, r, 32, on_burst=prog, **kw)
     cold = time.perf_counter() - t0
     log(f"cold (incl compile): {cold:.1f}s")
-    got = np.sort(res.eigs)[::-1]
+    got = np.sort(res.eigs)[::-1][:10]
     err = np.nanmax(np.abs(got - exact)) / 100.0
     log(
         f"flagship mp n={n} cpc={cpc}: converged={res.converged} "
@@ -112,7 +121,7 @@ def main():
     t0 = time.perf_counter()
     res = fused_restarted_ca_lanczos(A, r, 32, **kw)
     wall = time.perf_counter() - t0
-    got = np.sort(res.eigs)[::-1]
+    got = np.sort(res.eigs)[::-1][:10]
     err = np.nanmax(np.abs(got - exact)) / 100.0
     log(
         f"warm rerun: converged={res.converged} n_restarts={res.n_restarts} "
@@ -136,7 +145,7 @@ def main():
         from ca_lanczos_tpu.ops.pallas_ilv import ilv_decode_jax
 
         X = jnp.stack([ilv_decode_jax(X[:, j]) for j in range(X.shape[1])], 1)
-    n_pass = int(os.environ.get("POLISH_ITERS", "3"))
+    n_pass = int(os.environ.get("POLISH_ITERS", "10" if not mp else "3"))
     n_depth = int(os.environ.get("POLISH_DEPTH", "4"))
     t0 = time.perf_counter()
     if os.environ.get("POLISH_HOST"):
@@ -158,7 +167,7 @@ def main():
         w, resid, _ = rayleigh_ritz_polish(
             A64, jnp.asarray(X, jnp.float32), iters=n_pass, depth=n_depth)
     polish_wall = time.perf_counter() - t0
-    wp = np.sort(w)[::-1]
+    wp = np.sort(w)[::-1][:10]
     perr = np.abs(wp - exact) / 100.0
     log(f"f64 polish: {polish_wall:.1f}s  per-pair rel err: "
         + " ".join(f"{e:.1e}" for e in perr))
@@ -172,10 +181,11 @@ def main():
     rec = dict(
         experiment="flagship_10m", n=n, nnz=3 * n - 2,
         offsets=[-1, 0, 1],
-        config=dict(n_wanted=10, s=8, basis="newton", max_lanczos=32,
-                    tol=1e-6, mixed_precision=True, cycles_per_call=cpc,
+        config=dict(n_wanted=nw, s=8, basis="newton", max_lanczos=32,
+                    tol=tol, mixed_precision=mp, cycles_per_call=cpc,
                     qr="cholqr2", ilv=use_ilv,
-                    polish="f64 block-Krylov RR iters=3 depth=4"),
+                    polish=f"f64 block-Krylov RR iters={n_pass} "
+                           f"depth={n_depth} (device)"),
         converged=res_converged, n_restarts=res_restarts,
         eig_rel_err=float(f"{err_p:.3g}"),
         eig_rel_err_prepolish=float(f"{err:.3g}"),
