@@ -107,6 +107,12 @@ def main(argv=None):
         "(parallel.dist_solve_auto; on CPU this forces N virtual "
         "devices, on a pod it uses the first N real chips)",
     )
+    p.add_argument(
+        "--hosts", type=int, default=0, metavar="H",
+        help="with --mesh N: use the hierarchical ('host','chip') mesh "
+        "with H hosts x N/H chips (DCN-aware collectives, "
+        "parallel.make_hier_mesh) instead of the flat ring",
+    )
     _add_common(p)
 
     p = sub.add_parser("scaling", help="weak-scaling sweep on the local mesh")
@@ -217,7 +223,16 @@ def main(argv=None):
                     "its own format (see parallel.route_dist_operator)",
                     file=sys.stderr,
                 )
-            mesh = make_mesh(args.mesh)
+            if args.hosts:
+                from ca_lanczos_tpu.parallel import make_hier_mesh
+
+                if args.mesh % args.hosts:
+                    raise SystemExit(
+                        f"--hosts {args.hosts} must divide --mesh {args.mesh}"
+                    )
+                mesh = make_hier_mesh(args.hosts, args.mesh // args.hosts)
+            else:
+                mesh = make_mesh(args.mesh)
             if mesh.devices.size != args.mesh:
                 raise SystemExit(
                     f"--mesh {args.mesh}: only {mesh.devices.size} devices "

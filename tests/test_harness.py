@@ -287,6 +287,29 @@ class TestSolveCli:
         exact = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:3]
         np.testing.assert_allclose(rec["eigs"][:3], exact, rtol=1e-7)
 
+    def test_solve_mtx_hier_mesh(self, tmp_path):
+        """--mesh 8 --hosts 2 routes over the hierarchical ('host',
+        'chip') mesh (round-5) with the same answers."""
+        import json
+
+        from ca_lanczos_tpu.__main__ import main
+
+        n = 512
+        d = np.linspace(1.0, 40.0, n)
+        a = sp.diags([d, 0.05 * np.ones(n - 1), 0.05 * np.ones(n - 1)],
+                     [0, -1, 1])
+        path = str(tmp_path / "band.mtx")
+        save_mtx(path, a)
+        out = str(tmp_path / "rec.json")
+        rc = main(["solve", "--mtx", path, "--n-wanted", "3",
+                   "--max-lanczos", "24", "--s", "4", "--mesh", "8",
+                   "--hosts", "2", "--out", out])
+        assert rc == 0
+        rec = json.loads(open(out).read().strip())
+        assert rec["converged"] and rec["solver"].startswith("dist_")
+        exact = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:3]
+        np.testing.assert_allclose(rec["eigs"][:3], exact, rtol=1e-7)
+
 
 class TestSolveAutoFusedEngine:
     def test_fused_engine_first_leg(self):
