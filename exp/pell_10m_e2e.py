@@ -83,7 +83,16 @@ def main():
     log(f"PELL encode (native): {enc_wall:.1f}s  K={A.k_slots} enc={A.enc} "
         f"sw={A.sw} W={A.n_win}")
 
-    kw = dict(n_wanted=10, s=8, tol=1e-6, mixed_precision=True,
+    # PELL_MP=0: the two-stage pipeline (loose over-locked pure-f32
+    # solve + deeper f64 polish; exp/flagship_10m.py).  Measured: solve
+    # 698 -> 112 s and accuracy 5.4e-11 -> 3.6e-12, but the polish for
+    # GENERAL sparsity is host-bound (~2 min/pass at 84M nnz on this
+    # 4-core host), so 8 passes cost 1028 s and end-to-end does not
+    # improve — single-stage stays the default here until a device f64
+    # general-sparsity apply exists.
+    mp = os.environ.get("PELL_MP", "1") != "0"
+    kw = dict(n_wanted=10 if mp else 13, s=8,
+              tol=1e-6 if mp else 1e-4, mixed_precision=mp,
               cycles_per_call=1)
     t0 = time.perf_counter()
     res = fused_restarted_ca_lanczos(
@@ -91,7 +100,7 @@ def main():
         on_burst=lambda c, k_: log(f"  burst: cycle={c} nconv={k_}"), **kw
     )
     solve_wall = time.perf_counter() - t0
-    got = np.sort(res.eigs)[::-1]
+    got = np.sort(res.eigs)[::-1][:10]
     err = np.nanmax(np.abs(got - exact)) / 100.0
     log(f"solve: converged={res.converged} n_restarts={res.n_restarts} "
         f"eig_rel_err={err:.2e} wall={solve_wall:.1f}s (incl compile)")
@@ -109,12 +118,18 @@ def main():
     Xh = np.asarray(X)  # one-time device->host fetch (~12 MB/s relay)
     log(f"fetched locked block ({Xh.nbytes/1e6:.0f} MB) in "
         f"{time.perf_counter()-t0:.1f}s")
-    w, resid, _ = rayleigh_ritz_polish_host(lambda Z: a @ Z, Xh,
-                                            iters=3, depth=3)
+    from ca_lanczos_tpu.ops._spmm_native import CsrMatmul
+
+    n_pass = int(os.environ.get("POLISH_ITERS", "3" if mp else "8"))
+    w, resid, _ = rayleigh_ritz_polish_host(CsrMatmul(a), Xh,
+                                            iters=n_pass, depth=3)
     polish_wall = time.perf_counter() - t0
     norm_A = float(exact[0])  # ||A||_2 to eigsh accuracy
-    errp = float(np.max(np.abs(np.sort(w)[::-1] - exact) / norm_A))
-    worst_abs = float(np.max(resid))
+    errp = float(np.max(np.abs(np.sort(w)[::-1][:10] - exact) / norm_A))
+    # worst residual over the WANTED top-10 columns only (the polish
+    # keeps n_wanted+3 columns in two-stage mode; the discarded overflow
+    # directions legitimately carry O(1) residuals)
+    worst_abs = float(np.max(resid[:10]))
     log(f"f64 polish: {polish_wall:.1f}s POLISHED eig_rel_err={errp:.2e} "
         f"(pre {err:.2e}) worst resid {worst_abs:.2e} "
         f"(rel {worst_abs / norm_A:.2e})")
