@@ -41,6 +41,9 @@ class AutoResult:
     solver: str  # driver that produced the result
     escalated: bool  # True when the first-choice driver failed
     route: Optional[object] = None  # OperatorRoute when A was raw input
+    # true absolute residuals ||A x - w x|| after the f64 polish
+    # (None when polish=0); aligned with eigs
+    polish_resid: Optional[np.ndarray] = None
 
 
 def _n_locked(res) -> int:
@@ -162,6 +165,9 @@ def solve_auto(
     engine: str = "host",
     which: str = "largest",
     cycles_per_call: Optional[int] = None,
+    polish: int = 0,
+    over_lock: int = 0,
+    polish_depth: int = 4,
     **route_kwargs,
 ) -> AutoResult:
     """Solve for ``cfg.n_wanted`` extreme eigenpairs, escalating between
@@ -186,17 +192,41 @@ def solve_auto(
 
     ``which="smallest"`` targets the other end of the spectrum by
     solving -A and negating the eigenvalues back
-    (ops.formats.negate_operator)."""
+    (ops.formats.negate_operator).
+
+    ``polish`` > 0 runs that many f64 block-Krylov Rayleigh-Ritz passes
+    on the converged block after the solve (solvers.polish) — on DEVICE
+    when the operator is DIA-representable from the raw f64 input, on
+    host (native OpenMP CSR SpMM) otherwise; residuals return in
+    ``AutoResult.polish_resid``.  ``over_lock`` locks that many EXTRA
+    pairs during the solve so the polish RR can discard sloppy
+    directions and still return ``cfg.n_wanted`` accurate pairs — the
+    two-stage pipeline (BENCHMARKS.md round-5: 11M rows end-to-end in
+    68 s at 1.4e-11 with a loose-tol pure-f32 solve + polish=10,
+    over_lock=3, vs 538 s single-stage)."""
     import jax.numpy as jnp
 
     cfg = cfg or LanczosConfig()
     route = None
+    raw = None  # the caller's raw matrix (the f64 source for the polish)
     # framework operators (incl. PellMatrix) are duck-typed on .matvec
     if not hasattr(A, "matvec"):
         from ca_lanczos_tpu.ops.formats import make_operator
 
+        raw = A
         A, route = make_operator(A, **route_kwargs)
         r = jnp.asarray(route.apply(r), A.dtype)
+    if polish > 0 or over_lock > 0:
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+        if raw is None and not isinstance(A, DiaMatrix):
+            raise ValueError(
+                "polish/over_lock need an f64 operator source: pass the "
+                "raw scipy matrix to solve_auto, or a DiaMatrix operator"
+            )
+    n_want0 = cfg.n_wanted
+    if over_lock:
+        cfg = dataclasses.replace(cfg, n_wanted=cfg.n_wanted + over_lock)
     if which not in ("largest", "smallest"):
         raise ValueError(f"which must be 'largest' or 'smallest', got {which!r}")
     if which == "smallest":
@@ -219,6 +249,29 @@ def solve_auto(
     if route is not None and route.perm is not None and Q is not None:
         Q = route.restore(Q)
     eigs = np.asarray(res.eigs)
+    presid = None
+    if polish > 0 and Q is not None and Q.shape[1] > 0:
+        # Polish in the ORIGINAL frame (after any route restore) against
+        # the f64 source; the solve frame's negation (which="smallest")
+        # is re-applied so the RR keeps the wanted end.
+        w, presid, Qp = _polish_block(
+            raw, A, route, Q, which, polish, polish_depth
+        )
+        keep = min(n_want0, len(w))
+        eigs, presid = w[:keep], presid[:keep]
+        Q = Qp[:, :keep] if Qp is not None else None
+        if which == "smallest":
+            eigs = -eigs
+        return AutoResult(
+            eigs=eigs,
+            Q_conv=Q,
+            converged=bool(res.converged),
+            n_restarts=int(res.n_restarts),
+            solver=solver + f"+polish{polish}",
+            escalated=escalated,
+            route=route,
+            polish_resid=presid,
+        )
     if which == "smallest":
         eigs = -eigs
     return AutoResult(
@@ -230,3 +283,65 @@ def solve_auto(
         escalated=escalated,
         route=route,
     )
+
+
+def _polish_block(raw, A_solve, route, Q, which, iters: int, depth: int):
+    """f64 Rayleigh-Ritz polish of a converged block in the caller's
+    frame: device path for DIA-representable f64 sources, host path
+    (native OpenMP CSR SpMM) otherwise.  Returns (w desc-in-solve-frame,
+    resid, Q (n, k)) — w/resid aligned with Q's columns."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ca_lanczos_tpu.ops.spmv import DiaMatrix
+    from ca_lanczos_tpu.solvers.polish import (
+        rayleigh_ritz_polish, rayleigh_ritz_polish_host,
+    )
+
+    sgn = -1.0 if which == "smallest" else 1.0
+    if raw is not None and (route is None or route.perm is None):
+        d = sp.dia_matrix(sp.csr_matrix(raw).astype(np.float64))
+        if len(d.offsets) <= 48:  # DIA-representable: device polish
+            A64 = DiaMatrix(
+                data=jnp.asarray(sgn * _dia_rows(d)),
+                offsets=tuple(int(o) for o in d.offsets),
+            )
+            w, resid, Qp = rayleigh_ritz_polish(
+                A64, jnp.asarray(Q, jnp.float32), iters=iters, depth=depth
+            )
+            return w, resid, np.asarray(Qp)
+    if raw is None and isinstance(A_solve, DiaMatrix):
+        # Framework DIA input: polish against its planes upcast to f64
+        # (representation-limited if they were stored f32 — documented).
+        A64 = DiaMatrix(
+            data=jnp.asarray(np.asarray(A_solve.data), jnp.float64),
+            offsets=A_solve.offsets,
+        )  # A_solve is already negated for which="smallest"
+        w, resid, Qp = rayleigh_ritz_polish(
+            A64, jnp.asarray(Q, jnp.float32), iters=iters, depth=depth
+        )
+        return w, resid, np.asarray(Qp)
+    # Host path: general sparsity (or permuted routes) against the raw
+    # f64 matrix via the native OpenMP SpMM.
+    from ca_lanczos_tpu.ops._spmm_native import CsrMatmul
+
+    mm = CsrMatmul(sp.csr_matrix(raw).astype(np.float64))
+    mv = (lambda Z: -mm(Z)) if sgn < 0 else mm
+    w, resid, Qp = rayleigh_ritz_polish_host(
+        mv, np.asarray(Q), iters=iters, depth=depth
+    )
+    return w, resid, Qp
+
+
+def _dia_rows(d) -> np.ndarray:
+    """scipy dia_matrix data -> ops.spmv DiaMatrix row convention
+    (A[i, i+k] = data[row_of_k, i]; scipy stores A[i, i+k] at
+    data[row_of_k, i+k])."""
+    n = d.shape[0]
+    out = np.zeros((len(d.offsets), n), np.float64)
+    for j, k in enumerate(d.offsets):
+        if k >= 0:
+            out[j, : n - k] = d.data[j, k:n]
+        else:
+            out[j, -k:] = d.data[j, : n + k]
+    return out

@@ -480,3 +480,83 @@ class TestEscalationLadder:
             [(f"d{i}", None, f"d{i}", None) for i in range(3)],
         )
         assert label == "d1" and esc and len(res.eigs) == 3
+
+
+class TestTwoStagePolish:
+    """Round-5: solve_auto(polish=, over_lock=) — the two-stage pipeline
+    (loose solve + f64 Rayleigh-Ritz polish) as a first-class API
+    (BENCHMARKS.md: 11M end-to-end 68 s at 1.4e-11)."""
+
+    def _op(self, n=4096):
+        d = np.linspace(1.0, 90.0, n)
+        d[-5:] = np.linspace(95.0, 100.0, 5)
+        rng = np.random.default_rng(0)
+        off = rng.standard_normal(n - 1) * 1e-3
+        return sp.diags([off, d, off], [-1, 0, 1], format="csr"), d
+
+    def test_loose_solve_plus_polish_reaches_f64_grade(self):
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness.auto import solve_auto
+
+        a, _ = self._op()
+        exact = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:5]
+        rng = np.random.default_rng(1)
+        cfg = LanczosConfig(n_wanted=5, s=4, tol=1e-5, max_restarts=100)
+        res = solve_auto(a, rng.standard_normal(a.shape[0]), 32, cfg,
+                         polish=6, over_lock=3)
+        assert res.converged and res.solver.endswith("+polish6")
+        assert len(res.eigs) == 5 and res.polish_resid is not None
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact,
+                                   rtol=1e-10)
+        assert res.Q_conv.shape[1] == 5
+
+    def test_polish_smallest_end(self):
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness.auto import solve_auto
+
+        a, _ = self._op()
+        exact = np.sort(np.linalg.eigvalsh(a.toarray()))[:3]
+        rng = np.random.default_rng(2)
+        cfg = LanczosConfig(n_wanted=3, s=4, tol=1e-5, max_restarts=100)
+        res = solve_auto(a, rng.standard_normal(a.shape[0]), 32, cfg,
+                         which="smallest", polish=6, over_lock=2)
+        assert res.converged
+        # bottom-end gaps are tighter (linspace spacing ~2e-2), so the
+        # fixed 6-pass polish lands ~1e-8-grade there
+        np.testing.assert_allclose(np.sort(res.eigs)[:3], exact, rtol=1e-7)
+
+    def test_polish_requires_f64_source(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness.auto import solve_auto
+        from ca_lanczos_tpu.ops.spmv import EllMatrix
+
+        a, _ = self._op(512)
+        A = EllMatrix.from_scipy(sp.csr_matrix(a).astype(np.float32))
+        with _pytest.raises(ValueError, match="f64 operator source"):
+            solve_auto(A, jnp.ones(512, jnp.float32), 32,
+                       LanczosConfig(n_wanted=3), polish=2)
+
+    def test_host_polish_path_general_sparsity(self):
+        """A permuted/general route falls to the host SpMM polish."""
+        from ca_lanczos_tpu.config import LanczosConfig
+        from ca_lanczos_tpu.harness.auto import solve_auto
+
+        n = 1024
+        rng = np.random.default_rng(3)
+        d = np.linspace(1.0, 50.0, n)
+        d[-3:] = [60.0, 65.0, 70.0]
+        rows = np.repeat(np.arange(n), 3)
+        cols = np.clip(rows + rng.integers(-6, 7, rows.shape), 0, n - 1)
+        off = sp.csr_matrix(
+            (rng.standard_normal(rows.shape) * 1e-3, (rows, cols)), (n, n))
+        a = (off + off.T + sp.diags(d)).tocsr()
+        exact = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:3]
+        cfg = LanczosConfig(n_wanted=3, s=4, tol=1e-5, max_restarts=100)
+        res = solve_auto(a, rng.standard_normal(n), 32, cfg,
+                         polish=5, over_lock=2, prefer="ell")
+        assert res.converged
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], exact,
+                                   rtol=1e-9)
