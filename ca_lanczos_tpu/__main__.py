@@ -95,6 +95,16 @@ def main(argv=None):
     p.add_argument("--engine", default="host", choices=["host", "fused"],
                    help="explicit-restart leg: host state machine or the "
                    "one-XLA-call fused driver (single-chip only)")
+    p.add_argument("--polish", type=int, default=0, metavar="N",
+                   help="two-stage pipeline: N f64 Rayleigh-Ritz polish "
+                   "passes on the converged block after the solve "
+                   "(single-chip route; device polish for banded f64 "
+                   "sources, host OpenMP SpMM otherwise)")
+    p.add_argument("--over-lock", type=int, default=0, metavar="K",
+                   help="with --polish: lock K extra pairs for the polish "
+                   "RR to discard (run the solve at a loose --tol, e.g. "
+                   "1e-4, and let the polish set final accuracy — "
+                   "BENCHMARKS.md round-5: 15x end-to-end at 11M rows)")
     p.add_argument("--cycles-per-call", type=int, default=None,
                    metavar="N",
                    help="fused engine: at most N restart cycles per device "
@@ -215,6 +225,9 @@ def main(argv=None):
             from ca_lanczos_tpu.parallel import make_mesh
             from ca_lanczos_tpu.parallel.auto import dist_solve_auto
 
+            if args.polish or args.over_lock:
+                print("warning: --polish/--over-lock apply to the "
+                      "single-chip route only", file=sys.stderr)
             if (args.prefer != "auto" or args.sw is not None
                     or args.max_windows != 16):
                 print(
@@ -249,6 +262,7 @@ def main(argv=None):
                 prefer=args.prefer, max_windows=args.max_windows, sw=args.sw,
                 which=args.which, engine=args.engine,
                 cycles_per_call=args.cycles_per_call,
+                polish=args.polish, over_lock=args.over_lock,
                 allow_reorder=not args.no_reorder,
             )
         rec = {
