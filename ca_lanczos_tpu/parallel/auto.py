@@ -136,25 +136,44 @@ def dist_solve_auto(
     cfg: Optional[LanczosConfig] = None,
     probe_steps: int = 40,
     which: str = "largest",
+    polish: int = 0,
+    over_lock: int = 0,
+    polish_depth: int = 4,
     **route_kwargs,
 ) -> AutoResult:
     """Multi-chip solve_auto: route ``a`` for distribution, probe the
     spectrum to ORDER the drivers (recommend_solver — same prior as the
     host entry: clustered tops go implicit-first), run the first choice,
     escalate to the other when unconverged at the budget (same contract
-    as harness.auto.solve_auto; Q_conv decoded through any RCM perm)."""
+    as harness.auto.solve_auto; Q_conv decoded through any RCM perm).
+
+    polish/over_lock: the two-stage pipeline (harness.auto.solve_auto)
+    — the gathered converged block is polished against the raw f64
+    matrix after the distributed solve."""
+    import dataclasses as _dc
+
     from ca_lanczos_tpu.harness.matrix_info import recommend_solver
     from ca_lanczos_tpu.parallel.dist_irl import dist_impl_restarted_ca_lanczos
     from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
 
     cfg = cfg or LanczosConfig()
     route = None
+    raw = None
     dist_format = "auto"
     if not hasattr(a, "matvec"):
+        raw = a
         a, dist_format, route = route_dist_operator(
             a, mesh, cfg.s, **route_kwargs
         )
         r = route.apply(r)
+    if (polish > 0 or over_lock > 0) and raw is None:
+        raise ValueError(
+            "polish/over_lock need an f64 operator source: pass the raw "
+            "scipy matrix to dist_solve_auto"
+        )
+    n_want0 = cfg.n_wanted
+    if over_lock:
+        cfg = _dc.replace(cfg, n_wanted=cfg.n_wanted + over_lock)
     if which not in ("largest", "smallest"):
         raise ValueError(f"which must be 'largest' or 'smallest', got {which!r}")
     if which == "smallest":
@@ -197,6 +216,17 @@ def dist_solve_auto(
     if route is not None and route.perm is not None and Q is not None:
         Q = route.restore(Q)
     eigs = np.asarray(res.eigs)
+    presid = None
+    if polish > 0 and Q is not None and np.asarray(Q).shape[1] > 0:
+        from ca_lanczos_tpu.harness.auto import _polish_block
+
+        w, presid, Qp = _polish_block(
+            raw, None, route, np.asarray(Q), which, polish, polish_depth
+        )
+        keep = min(n_want0, len(w))
+        eigs, presid = w[:keep], presid[:keep]
+        Q = Qp[:, :keep] if Qp is not None else None
+        solver = solver + f"+polish{polish}"
     if which == "smallest":
         eigs = -eigs
     return AutoResult(
@@ -207,4 +237,5 @@ def dist_solve_auto(
         solver=solver,
         escalated=escalated,
         route=route,
+        polish_resid=presid,
     )

@@ -81,6 +81,26 @@ class TestDistSolveAuto:
             np.sort(res.eigs)[::-1], oracle, rtol=1e-8
         )
 
+    def test_two_stage_polish(self, mesh):
+        """Round-5: dist_solve_auto(polish=, over_lock=) — loose dist
+        solve + f64 polish of the gathered block (harness._polish_block)."""
+        n = 1024
+        d = np.linspace(1.0, 90.0, n)
+        d[-4:] = np.linspace(95.0, 100.0, 4)
+        a = _band(n, d)
+        cfg = LanczosConfig(n_wanted=4, s=4, tol=1e-5, max_restarts=100)
+        res = dist_solve_auto(a, np.ones(n), 32, mesh, cfg,
+                              polish=6, over_lock=2)
+        assert res.converged and res.solver.endswith("+polish6")
+        assert len(res.eigs) == 4 and res.polish_resid is not None
+        from scipy.sparse.linalg import eigsh
+
+        oracle = np.sort(
+            eigsh(a, k=4, which="LA", return_eigenvectors=False)
+        )[::-1]
+        np.testing.assert_allclose(np.sort(res.eigs)[::-1], oracle,
+                                   rtol=1e-9)
+
     def test_reordered_general_sparsity(self, mesh):
         # permuted band -> RCM -> dist solve; Ritz vectors decode to the
         # ORIGINAL ordering
