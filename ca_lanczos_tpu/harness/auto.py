@@ -203,7 +203,10 @@ def solve_auto(
     directions and still return ``cfg.n_wanted`` accurate pairs — the
     two-stage pipeline (BENCHMARKS.md round-5: 11M rows end-to-end in
     68 s at 1.4e-11 with a loose-tol pure-f32 solve + polish=10,
-    over_lock=3, vs 538 s single-stage)."""
+    over_lock=3, vs 538 s single-stage).  Applicability: separated or
+    moderately clustered tops; tightly clustered tops should keep the
+    standard tolerance (the polish still helps, never hurts —
+    measured over the corpus families, BENCHMARKS.md)."""
     import jax.numpy as jnp
 
     cfg = cfg or LanczosConfig()
