@@ -303,8 +303,13 @@ def _polish_block(raw, A_solve, route, Q, which, iters: int, depth: int):
 
     sgn = -1.0 if which == "smallest" else 1.0
     if raw is not None and (route is None or route.perm is None):
-        d = sp.dia_matrix(sp.csr_matrix(raw).astype(np.float64))
-        if len(d.offsets) <= 48:  # DIA-representable: device polish
+        coo = sp.coo_matrix(raw)
+        # Count distinct diagonals BEFORE any dia conversion:
+        # sp.dia_matrix materializes (n_offsets, n) data, which for
+        # scattered sparsity is O(n^2) memory.
+        offsets = np.unique(coo.col.astype(np.int64) - coo.row)
+        if len(offsets) <= 48:  # DIA-representable: device polish
+            d = sp.dia_matrix(sp.csr_matrix(raw).astype(np.float64))
             A64 = DiaMatrix(
                 data=jnp.asarray(sgn * _dia_rows(d)),
                 offsets=tuple(int(o) for o in d.offsets),
