@@ -104,3 +104,52 @@ class BsrMatrix:
         import scipy.sparse as sp
 
         return BsrMatrix.from_scipy(sp.csr_matrix(np.asarray(a)), block_size)
+
+    def to_dia(self, max_offsets: int = 64):
+        """Scalar-DIA view of a block-BANDED operator (host conversion).
+
+        TPU-first finding (round 5): on 128-lane hardware the 8x8 block
+        structure buys nothing — a block-banded BSR converts to a
+        ~(2*bm*bandwidth)-diagonal scalar DIA whose powers ride the
+        banded kernels at 300+ Gnnz/s, vs ~6 Gnnz/s for the gather-based
+        block contraction (BENCHMARKS.md round-5 BSR section).  Each
+        block entry A[bm*i+b, bm*j+c] lands on scalar offset
+        bm*(j-i) + (c-b); raises when the structural block offsets would
+        need more than ``max_offsets`` scalar diagonals (unstructured
+        block sparsity — keep BSR or route the scalar view to PELL).
+        """
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+
+        vals = np.asarray(self.vals)
+        cols = np.asarray(self.cols)
+        nb, kb, bm, bn = vals.shape
+        if bm != bn:
+            raise ValueError("square blocks only")
+        n = nb * bm
+        rows_b = np.arange(nb)[:, None]
+        d_all = cols - rows_b  # (nb, kb) block offsets
+        live = vals.reshape(nb, kb, -1).any(-1)
+        ds = np.unique(d_all[live]) if live.any() else np.asarray([0])
+        offs = sorted({
+            bm * int(d) + c - b
+            for d in ds for b in range(bm) for c in range(bn)
+        })
+        if len(offs) > max_offsets:
+            raise ValueError(
+                f"block structure needs {len(offs)} scalar diagonals "
+                f"(> max_offsets={max_offsets}); not band-convertible"
+            )
+        data = np.zeros((len(offs), n), vals.dtype)
+        oidx = {o: j for j, o in enumerate(offs)}
+        for k in range(kb):
+            d_k = d_all[:, k]
+            for dv in np.unique(d_k[live[:, k]]):
+                bi = np.nonzero(live[:, k] & (d_k == dv))[0]
+                for b in range(bm):
+                    rows = bi * bm + b
+                    for c in range(bn):
+                        o = bm * int(dv) + c - b
+                        # += folds same-offset contributions from
+                        # different block diagonals into one plane
+                        data[oidx[o], rows] += vals[bi, k, b, c]
+        return DiaMatrix(data=jnp.asarray(data), offsets=tuple(offs))

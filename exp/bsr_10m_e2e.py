@@ -163,4 +163,5 @@ def main():
     log(f"appended {out}")
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -188,3 +188,50 @@ class TestDistBsr:
             partition_operator(A, mesh, s_max=4, dist_format="ilv")
         with pytest.raises(ValueError):
             partition_operator(A, mesh, s_max=4, dist_format="pell")
+
+
+class TestBsrToDia:
+    """Round-5 TPU-first finding: block-banded BSR converts to a scalar
+    DIA whose powers ride the banded kernels (ops/bsr.py to_dia)."""
+
+    def test_conversion_exact(self):
+        rng = np.random.default_rng(0)
+        nb, bs = 24, 8
+        n = nb * bs
+        import scipy.sparse as sp
+
+        rows, cols, vals = [], [], []
+        for i in range(nb):
+            for d in (-1, 0, 1):
+                j = i + d
+                if 0 <= j < nb:
+                    T = rng.standard_normal((bs, bs))
+                    for b in range(bs):
+                        for c in range(bs):
+                            rows.append(i * bs + b)
+                            cols.append(j * bs + c)
+                            vals.append(T[b, c])
+        a = sp.csr_matrix((vals, (rows, cols)), (n, n))
+        A = BsrMatrix.from_scipy(a, block_size=bs)
+        D = A.to_dia()
+        assert len(D.offsets) == 31  # 2*bs*bw - 1 for block tridiag
+        np.testing.assert_allclose(np.asarray(D.to_dense()), a.toarray(),
+                                   atol=1e-14)
+
+    def test_unstructured_raises(self):
+        rng = np.random.default_rng(1)
+        nb, bs = 64, 8
+        n = nb * bs
+        import scipy.sparse as sp
+
+        # scattered block columns: too many distinct block offsets
+        rows, cols, vals = [], [], []
+        for i in range(nb):
+            for j in rng.choice(nb, 3, replace=False):
+                rows.append(i * bs)
+                cols.append(int(j) * bs)
+                vals.append(1.0)
+        a = sp.csr_matrix((vals, (rows, cols)), (n, n))
+        A = BsrMatrix.from_scipy(a, block_size=bs)
+        with pytest.raises(ValueError, match="not band-convertible"):
+            A.to_dia(max_offsets=48)
