@@ -24,7 +24,11 @@ from ca_lanczos_tpu.utils.matrices import (
     laplacian_2d,
 )
 
-RNG = np.random.default_rng(42)
+def _rng(seed):
+    """Per-call-site generators: a shared module RNG made test inputs
+    depend on xdist scheduling (which tests land on a worker), flaking
+    tight-tolerance recurrences on unlucky draws (round-5)."""
+    return np.random.default_rng(seed)
 
 
 def _rand_banded(n=40, seed=0):
@@ -40,13 +44,13 @@ class TestDia:
     def test_matvec_matches_dense(self):
         a = _rand_banded()
         A = DiaMatrix.from_dense(a)
-        x = RNG.standard_normal(40)
+        x = _rng(100).standard_normal(40)
         np.testing.assert_allclose(spmv(A, jnp.asarray(x)), a @ x, rtol=1e-13)
 
     def test_multivector(self):
         a = _rand_banded()
         A = DiaMatrix.from_dense(a)
-        X = RNG.standard_normal((40, 5))
+        X = _rng(101).standard_normal((40, 5))
         np.testing.assert_allclose(spmv(A, jnp.asarray(X)), a @ X, rtol=1e-13)
 
     def test_to_dense_roundtrip(self):
@@ -63,13 +67,13 @@ class TestEll:
     def test_matvec_matches_dense(self):
         a = _rand_banded(seed=3)
         A = EllMatrix.from_dense(a)
-        x = RNG.standard_normal(40)
+        x = _rng(102).standard_normal(40)
         np.testing.assert_allclose(spmv(A, jnp.asarray(x)), a @ x, rtol=1e-13)
 
     def test_multivector(self):
         a = _rand_banded(seed=3)
         A = EllMatrix.from_dense(a)
-        X = RNG.standard_normal((40, 3))
+        X = _rng(103).standard_normal((40, 3))
         np.testing.assert_allclose(spmv(A, jnp.asarray(X)), a @ X, rtol=1e-13)
 
     def test_from_scipy(self):
@@ -82,7 +86,7 @@ class TestEll:
     def test_complex_matvec(self):
         a = _rand_banded(seed=7)
         A = EllMatrix.from_dense(a)
-        x = RNG.standard_normal(40) + 1j * RNG.standard_normal(40)
+        x = _rng(104).standard_normal(40) + 1j * _rng(105).standard_normal(40)
         np.testing.assert_allclose(spmv(A, jnp.asarray(x)), a @ x, rtol=1e-13)
 
 
@@ -143,7 +147,7 @@ class TestMatrixPowers:
     def test_monomial(self):
         a = _rand_banded(seed=11)
         A = DiaMatrix.from_dense(a)
-        q = RNG.standard_normal(40)
+        q = _rng(106).standard_normal(40)
         V = np.asarray(matrix_powers_monomial(A, jnp.asarray(q), 4))
         assert V.shape == (40, 5)
         expect = q
@@ -155,7 +159,7 @@ class TestMatrixPowers:
     def test_newton_real_shifts(self):
         a = _rand_banded(seed=13)
         A = DiaMatrix.from_dense(a)
-        q = RNG.standard_normal(40)
+        q = _rng(107).standard_normal(40)
         shifts = np.array([0.3, -1.2, 2.0, 0.0])
         V = np.asarray(matrix_powers_newton(A, jnp.asarray(q), 4, shifts))
         v = q
@@ -169,7 +173,7 @@ class TestMatrixPowers:
         matrix_powers_newton.m:30-47 semantics."""
         a = _rand_banded(seed=17)
         A = DiaMatrix.from_dense(a)
-        q = RNG.standard_normal(40)
+        q = _rng(108).standard_normal(40)
         shifts = np.array([1.0 + 0.5j, 1.0 - 0.5j, 0.7 + 0j])
         V = np.asarray(matrix_powers_newton(A, jnp.asarray(q), 3, shifts, modified=True))
         assert not np.iscomplexobj(V)
@@ -183,7 +187,7 @@ class TestMatrixPowers:
     def test_from_B_matches_newton(self):
         a = _rand_banded(seed=19)
         A = DiaMatrix.from_dense(a)
-        q = RNG.standard_normal(40)
+        q = _rng(109).standard_normal(40)
         shifts = np.array([1.0 + 0.5j, 1.0 - 0.5j, 0.7, -0.3])
         B = newton_basis_matrix(shifts, 4, modified=True)
         V1 = np.asarray(matrix_powers_from_B(A, jnp.asarray(q), B))
@@ -195,7 +199,7 @@ class TestMatrixPowers:
         a = _rand_banded(seed=23)
         a = a + a.T
         A = DenseMatrix(a=jnp.asarray(a))
-        q = RNG.standard_normal(40)
+        q = _rng(110).standard_normal(40)
         s = 4
         I = np.eye(s + 1)
         Bmono = I[:, 1:]
