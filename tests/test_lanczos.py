@@ -12,7 +12,6 @@ from ca_lanczos_tpu import Orth
 from ca_lanczos_tpu.solvers import lanczos
 from ca_lanczos_tpu.utils.matrices import diag_spectrum, laplacian_2d
 
-RNG = np.random.default_rng(11)
 
 
 def _run(A, m, orth, n=None, seed=0):

@@ -7,7 +7,10 @@ from ca_lanczos_tpu import cholqr, normalize, project, project_and_normalize, ts
 from ca_lanczos_tpu.config import OrthParams
 from ca_lanczos_tpu.ops.qr import cholqr2
 
-RNG = np.random.default_rng(7)
+def _rng(seed):
+    """Per-call-site generators (xdist-scheduling determinism; see
+    tests/test_spmv.py round-5 note)."""
+    return np.random.default_rng(seed)
 
 
 def _tall(n=200, m=6, seed=0):
@@ -48,7 +51,7 @@ class TestCholqr:
     def test_cholqr2_orthogonality(self):
         # Moderately ill-conditioned block: CholQR2 restores orthogonality.
         n, m = 300, 8
-        U = np.linalg.qr(RNG.standard_normal((n, m)))[0]
+        U = np.linalg.qr(_rng(500).standard_normal((n, m)))[0]
         S = np.logspace(0, -6, m)
         X = jnp.asarray(U * S)
         Q, R = cholqr2(X)
