@@ -111,8 +111,10 @@ class BsrMatrix:
         TPU-first finding (round 5): on 128-lane hardware the 8x8 block
         structure buys nothing — a block-banded BSR converts to a
         ~(2*bm*bandwidth)-diagonal scalar DIA whose powers ride the
-        banded kernels at 300+ Gnnz/s, vs ~6 Gnnz/s for the gather-based
-        block contraction (BENCHMARKS.md round-5 BSR section).  Each
+        banded kernels (9-diagonal headline: 657 Gnnz/s; a 31-diagonal
+        operator is planes-traffic-bound near ~150) vs ~6 Gnnz/s for the
+        gather-based block contraction (BENCHMARKS.md round-5 BSR
+        section; exp/bsr_dia_bench.py measures the converted rate).  Each
         block entry A[bm*i+b, bm*j+c] lands on scalar offset
         bm*(j-i) + (c-b); raises when the structural block offsets would
         need more than ``max_offsets`` scalar diagonals (unstructured
