@@ -98,8 +98,8 @@ def main(argv=None):
     p.add_argument("--polish", type=int, default=0, metavar="N",
                    help="two-stage pipeline: N f64 Rayleigh-Ritz polish "
                    "passes on the converged block after the solve "
-                   "(single-chip route; device polish for banded f64 "
-                   "sources, host OpenMP SpMM otherwise)")
+                   "(device polish for banded f64 sources, host OpenMP "
+                   "SpMM otherwise; works on both routes)")
     p.add_argument("--over-lock", type=int, default=0, metavar="K",
                    help="with --polish: lock K extra pairs for the polish "
                    "RR to discard (run the solve at a loose --tol, e.g. "
@@ -225,9 +225,6 @@ def main(argv=None):
             from ca_lanczos_tpu.parallel import make_mesh
             from ca_lanczos_tpu.parallel.auto import dist_solve_auto
 
-            if args.polish or args.over_lock:
-                print("warning: --polish/--over-lock apply to the "
-                      "single-chip route only", file=sys.stderr)
             if (args.prefer != "auto" or args.sw is not None
                     or args.max_windows != 16):
                 print(
@@ -254,6 +251,7 @@ def main(argv=None):
             res = dist_solve_auto(
                 a, rng.standard_normal(a.shape[0]), args.max_lanczos,
                 mesh, cfg, which=args.which,
+                polish=args.polish, over_lock=args.over_lock,
                 allow_reorder=not args.no_reorder,
             )
         else:
