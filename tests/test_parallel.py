@@ -412,6 +412,32 @@ class TestDistRestartedOrthModes:
         np.testing.assert_allclose(Q.T @ Q, np.eye(Q.shape[1]), atol=1e-9)
 
 
+class TestDistRestartedSmallestEnd:
+    def test_returns_smallest_end(self, mesh):
+        """ADVICE r4 medium regression (dist leg): restart_strategy=
+        SMALLEST must return the BOTTOM-end pairs — the overfill trim
+        and _finalize used to keep/sort the largest.  Fixture mirrors
+        tests/test_restarted.TestSmallestEnd: separated top (converges
+        first) + resolvable bottom."""
+        from ca_lanczos_tpu.config import LanczosConfig, Orth, RestartStrategy
+        from ca_lanczos_tpu.ops.spmv import DiaMatrix
+        from ca_lanczos_tpu.parallel.restarted import dist_restarted_ca_lanczos
+
+        n = 480
+        d = np.linspace(0.0, 1.0, n)
+        d[-3:] = [4.0, 5.0, 6.0]            # separated top end
+        d[:4] = [-2.0, -1.7, -1.4, -1.1]    # resolvable bottom end
+        A = DiaMatrix(data=jnp.asarray(d[None, :]), offsets=(0,))
+        cfg = LanczosConfig(s=4, n_wanted=3, tol=1e-7, max_restarts=100,
+                            orth=Orth.FULL,
+                            restart_strategy=RestartStrategy.SMALLEST)
+        res = dist_restarted_ca_lanczos(A, np.ones(n), 24, mesh, cfg)
+        assert res.converged
+        got = np.sort(np.asarray(res.eigs))[:3]
+        np.testing.assert_allclose(got, [-2.0, -1.7, -1.4], atol=1e-6)
+        assert np.all(got < 0.0), got  # no top-end value reported
+
+
 class TestDistSstep:
     @pytest.mark.parametrize("s,m", [(2, 4), (4, 3)])
     def test_matches_single_chip(self, mesh, s, m):
