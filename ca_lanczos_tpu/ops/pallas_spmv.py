@@ -86,6 +86,19 @@ def _dia_power_step(
     interpret: bool = False,
 ) -> jax.Array:
     n = x.shape[0]
+    out_dt = x.dtype
+    if not interpret and jnp.dtype(x.dtype).itemsize == 8:
+        # Kernel seam (the ilv/PELL engines' contract, parallel/step.py
+        # body_ilv): Mosaic kernels are f32-only — a 64-bit operand
+        # recurses Mosaic's convert-element-type lowering (jax 0.9),
+        # and x64_trace_off must leave genuine 64-bit operands alone.
+        # f64 driver state casts here only; the result returns at the
+        # caller's dtype.  Interpret mode (CPU f64 parity tests) is
+        # exempt: those need true f64 compute.
+        x = x.astype(jnp.float32)
+        v_prev = v_prev.astype(jnp.float32)
+        coefs = coefs.astype(jnp.float32)
+        data = data.astype(jnp.float32)
     W = max(max(abs(o) for o in offsets), 1)
     # Mosaic tiles 1-D f32 memrefs in chunks of 1024; DMA slice shapes
     # must be multiples of that, so round the halo up accordingly.
@@ -97,7 +110,7 @@ def _dia_power_step(
     xpad = jnp.pad(x, (W, W))
     kernel = partial(_dia_step_kernel, offsets=offsets, T=T, W=W)
     with x64_trace_off(x.dtype):
-        return pl.pallas_call(
+        out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -114,6 +127,7 @@ def _dia_power_step(
         ],
         interpret=interpret,
     )(coefs, data, v_prev, xpad)
+    return out.astype(out_dt)
 
 
 def matrix_powers_dia_pallas(
@@ -233,6 +247,14 @@ def _dia_powers_fused(
     W >= s*max|offset| and be a multiple of 1024.
     """
     n = x.shape[0]
+    out_dt = x.dtype
+    if not interpret and jnp.dtype(x.dtype).itemsize == 8:
+        # Kernel seam (see _dia_power_step): Mosaic is f32-only; f64
+        # driver state (the natural-path dist history dtype under x64)
+        # casts here only, outputs return at the caller's dtype.
+        x = x.astype(jnp.float32)
+        coefs = coefs.astype(jnp.float32)
+        dflat = dflat.astype(jnp.float32)
     nd = len(offsets)
     wmax = max(max(abs(o) for o in offsets), 1)
     if W is None:
@@ -378,7 +400,7 @@ def _dia_powers_fused(
 
     vma = getattr(jax.typeof(x), "vma", frozenset())
     with x64_trace_off(x.dtype):
-        return pl.pallas_call(
+        V, last = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
@@ -405,6 +427,7 @@ def _dia_powers_fused(
         ],
         interpret=interpret,
     )(coefs, dflat, x)
+    return V.astype(out_dt), last.astype(out_dt)
 
 
 def matrix_powers_dia_fused(
