@@ -60,6 +60,18 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                # Silent truncation here would let a "P-way" run execute
+                # on fewer shards than requested (e.g. an 8-way dryrun
+                # collapsing to the 1 visible relay chip) and every
+                # scaling claim downstream would be mislabeled.
+                raise ValueError(
+                    f"make_mesh({n_devices}): only {len(devices)} "
+                    f"device(s) visible ({devices[0].platform}); for CPU "
+                    "meshes set XLA_FLAGS=--xla_force_host_platform_"
+                    "device_count and jax_platforms='cpu' before first "
+                    "device use"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (ROWS,))
 

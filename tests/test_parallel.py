@@ -31,6 +31,14 @@ def mesh():
     return make_mesh(8)
 
 
+class TestMakeMesh:
+    def test_more_devices_than_visible_raises(self):
+        # Silent truncation would run a "P-way" job on fewer shards
+        # (e.g. an 8-way dryrun collapsing to the 1 visible relay chip).
+        with pytest.raises(ValueError, match="only 8 device"):
+            make_mesh(16)
+
+
 class TestDistSpmv:
     def test_matches_local(self, mesh):
         n = 128
