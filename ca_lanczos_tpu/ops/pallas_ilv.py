@@ -114,6 +114,15 @@ def dia_powers_ilv(
     transpose costs ~0.85 ms at 4.2M — the same cost the roll-based
     kernel's consumers pay).
     """
+    out_dt = x_il.dtype
+    if not interpret and jnp.dtype(x_il.dtype).itemsize == 8:
+        # Kernel seam (see ops/pallas_spmv.py): Mosaic is f32-only — a
+        # 64-bit operand recurses the convert-element-type lowering.
+        # Dist callers cast in parallel/step.py body_ilv already; this
+        # covers direct single-chip callers under x64.
+        x_il = x_il.astype(jnp.float32)
+        coefs = coefs.astype(jnp.float32)
+        dflat_il = dflat_il.astype(jnp.float32)
     nd = len(offsets)
     nq = n // J
     assert n % (J * Tq) == 0 and nq % 1024 == 0 and Tq % 1024 == 0
@@ -322,7 +331,7 @@ def dia_powers_ilv(
     V2 = jnp.stack(
         [lax.dynamic_slice(V_flat, (j * n,), (n,)) for j in range(s)], axis=0
     )
-    return V2, last
+    return V2.astype(out_dt), last.astype(out_dt)
 
 
 # ---------------------------------------------------------------------------

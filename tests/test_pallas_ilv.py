@@ -178,3 +178,32 @@ class TestIlvOperator:
             np.asarray(ilv.T), np.asarray(ref.T),
             atol=1e-4 * float(np.abs(np.asarray(ref.T)).max()),
         )
+
+
+class TestIlvKernelSeamDtype:
+    def test_f64_state_compiled_casts_to_f32(self):
+        # Same contract as the DIA kernels (test_pallas.py
+        # TestKernelSeamDtype): compiling with a 64-bit operand must pin
+        # the pallas_call at f32 (Mosaic convert recursion otherwise)
+        # and return at the caller's dtype.
+        from tests.test_pallas import TestKernelSeamDtype
+
+        n, Tq, s = 8 * 2048 * 2, 1024, 3
+        A = make_op(n)
+        dfl = jnp.asarray(ilv_data_tiled(A, Tq))
+        x_il = jnp.asarray(ilv_encode(
+            np.asarray(np.random.default_rng(2).standard_normal(n))))
+        assert x_il.dtype == jnp.float64  # x64 on (conftest)
+        coefs = jnp.zeros((s, 2))
+        jx = jax.make_jaxpr(
+            lambda d, xx, c: dia_powers_ilv(
+                d, xx, c, A.offsets, s, Tq, n, interpret=False
+            )
+        )(dfl, x_il, coefs)
+        eqns = TestKernelSeamDtype._pallas_eqns(jx.jaxpr, [])
+        assert eqns
+        for eq in eqns:
+            for v in eq.invars + eq.outvars:
+                assert v.aval.dtype == jnp.float32
+        for v in jx.jaxpr.outvars:
+            assert v.aval.dtype == jnp.float64
